@@ -1,0 +1,534 @@
+"""GPModel — public API mirroring the reference Python package.
+
+Reference: python-package/gpboost/basic.py:4172 (class GPModel) — constructor
+signature, fit / neg_log_likelihood / predict / summary methods, parameter
+naming. The compute path underneath is the TPU-native engine in models/.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops.cov_fcts import CovarianceFunction
+from .models.components import GPComponent, GroupedComponent
+from .models.gaussian_gp import DenseGaussianEngine
+from .models.optimize import OptimConfig, OptimResult, optimize_gaussian
+
+_OPTIM_PARAM_KEYS = {
+    "optimizer_cov", "optimizer_coef", "lr_cov", "lr_coef", "use_nesterov_acc",
+    "acc_rate_cov", "acc_rate_coef", "momentum_offset", "delta_rel_conv",
+    "convergence_criterion", "maxit", "std_dev", "init_cov_pars", "init_coef",
+    "estimate_cov_par_index", "trace", "init_aux_pars", "estimate_aux_pars",
+    # accepted-but-currently-unused (iterative-methods & misc) keys
+    "cg_max_num_it", "cg_max_num_it_tridiag", "cg_delta_conv",
+    "cg_preconditioner_type", "num_rand_vec_trace", "reuse_rand_vec_trace",
+    "seed_rand_vec_trace", "piv_chol_rank", "init_coef_aux_pars_from_iid_model",
+    "nesterov_schedule_version",
+}
+
+
+class GPModel:
+    """Gaussian process and grouped random effects model.
+
+    Mirrors the reference GPModel (basic.py:4172): y = F(X) + Zb + xi with
+    Gaussian likelihood; y ~ p(y | G(F(X) + Zb)) for non-Gaussian likelihoods.
+    """
+
+    def __init__(self,
+                 likelihood="gaussian",
+                 group_data=None,
+                 group_rand_coef_data=None,
+                 ind_effect_group_rand_coef=None,
+                 drop_intercept_group_rand_effect=None,
+                 gp_coords=None,
+                 gp_rand_coef_data=None,
+                 cov_function="matern",
+                 cov_fct_shape=1.5,
+                 gp_approx="none",
+                 cov_fct_taper_range=1.0,
+                 cov_fct_taper_shape=1.0,
+                 num_neighbors=None,
+                 vecchia_ordering="random",
+                 ind_points_selection="kmeans++",
+                 num_ind_points=500,
+                 cover_tree_radius=1.0,
+                 matrix_inversion_method="cholesky",
+                 seed=0,
+                 cluster_ids=None,
+                 likelihood_additional_param=None,
+                 free_raw_data=False,
+                 model_file=None,
+                 model_dict=None,
+                 likelihood_learning_rate=1.0,
+                 ):
+        if model_file is not None or model_dict is not None:
+            self._init_from_dict(model_file, model_dict)
+            return
+        self.likelihood = likelihood
+        self.gp_approx = gp_approx
+        self.matrix_inversion_method = matrix_inversion_method
+        self.cov_function_name = cov_function
+        self.cov_fct_shape = cov_fct_shape
+        self.seed = seed
+        self.num_neighbors = num_neighbors
+        self.vecchia_ordering = vecchia_ordering
+
+        if group_data is None and gp_coords is None:
+            raise ValueError("Both group_data and gp_coords are None. "
+                             "Provide at least one random effect.")
+
+        self.components = []
+        self._par_names = ["Error_term"] if likelihood == "gaussian" else []
+
+        # grouped random effects first (CreateREComponents order,
+        # re_model_template.h:7500)
+        self.group_data = None
+        if group_data is not None:
+            group_data = np.asarray(group_data)
+            if group_data.ndim == 1:
+                group_data = group_data[:, None]
+            self.group_data = group_data
+            for ic in range(group_data.shape[1]):
+                name = f"Group_{ic + 1}" if group_data.shape[1] > 1 else "Group_1"
+                self.components.append(
+                    GroupedComponent(group_data[:, ic], name=name))
+                self._par_names.append(name)
+        self.group_rand_coef_data = None
+        if group_rand_coef_data is not None:
+            group_rand_coef_data = np.asarray(group_rand_coef_data, dtype=np.float64)
+            if group_rand_coef_data.ndim == 1:
+                group_rand_coef_data = group_rand_coef_data[:, None]
+            self.group_rand_coef_data = group_rand_coef_data
+            ind = np.atleast_1d(np.asarray(ind_effect_group_rand_coef)) - 1
+            self.ind_effect_group_rand_coef = ind
+            for ic in range(group_rand_coef_data.shape[1]):
+                base = self.components[int(ind[ic])]
+                self.components.append(GroupedComponent(
+                    self.group_data[:, int(ind[ic])],
+                    z=group_rand_coef_data[:, ic],
+                    name=f"Group_rand_coef_{ic + 1}"))
+                self._par_names.append(f"Group_rand_coef_{ic + 1}")
+
+        self.gp_coords = None
+        if gp_coords is not None:
+            gp_coords = np.asarray(gp_coords, dtype=np.float64)
+            if gp_coords.ndim == 1:
+                gp_coords = gp_coords[:, None]
+            self.gp_coords = gp_coords
+            cov_fn = CovarianceFunction(
+                cov_function, shape=cov_fct_shape, dim=gp_coords.shape[1],
+                taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape)
+            self.components.append(GPComponent(gp_coords, cov_fn, name="GP"))
+            self._par_names.append("GP_var")
+            for ir in range(cov_fn.num_range_par):
+                self._par_names.append(
+                    "GP_range" if cov_fn.num_range_par == 1 else f"GP_range_{ir + 1}")
+        self.gp_rand_coef_data = None
+        if gp_rand_coef_data is not None:
+            gp_rand_coef_data = np.asarray(gp_rand_coef_data, dtype=np.float64)
+            if gp_rand_coef_data.ndim == 1:
+                gp_rand_coef_data = gp_rand_coef_data[:, None]
+            self.gp_rand_coef_data = gp_rand_coef_data
+            for ic in range(gp_rand_coef_data.shape[1]):
+                cov_fn = CovarianceFunction(
+                    cov_function, shape=cov_fct_shape, dim=self.gp_coords.shape[1],
+                    taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape)
+                self.components.append(GPComponent(
+                    self.gp_coords, cov_fn, z=gp_rand_coef_data[:, ic],
+                    name=f"GP_rand_coef_nb_{ic + 1}"))
+                self._par_names.append(f"GP_rand_coef_nb_{ic + 1}_var")
+                for ir in range(cov_fn.num_range_par):
+                    self._par_names.append(
+                        f"GP_rand_coef_nb_{ic + 1}_range" if cov_fn.num_range_par == 1
+                        else f"GP_rand_coef_nb_{ic + 1}_range_{ir + 1}")
+
+        self.num_data = (len(self.group_data) if self.group_data is not None
+                         else len(self.gp_coords))
+        self.cluster_ids = None if cluster_ids is None else np.asarray(cluster_ids)
+
+        if likelihood != "gaussian":
+            raise NotImplementedError(
+                "non-Gaussian likelihoods land with the Laplace-approximation "
+                "layer (gpboost_tpu.models.laplace)")
+
+        self._engine = DenseGaussianEngine(
+            self.components, self.num_data, cluster_ids=self.cluster_ids)
+
+        self.num_cov_par = self._engine.num_cov_par
+
+        # state
+        self.params = OptimConfig()
+        self._fit_result: OptimResult = None
+        self.y = None
+        self.X = None
+        self.model_has_been_fitted = False
+
+    # ------------------------------------------------------------------
+    def set_optim_params(self, params):
+        if not params:
+            return self
+        for k, v in params.items():
+            if k not in _OPTIM_PARAM_KEYS:
+                raise ValueError(f"Unknown parameter '{k}'")
+            if hasattr(self.params, k) and k != "init_cov_pars":
+                setattr(self.params, k, v)
+            elif k == "init_cov_pars":
+                self.params.init_cov_pars = None if v is None else np.asarray(v, dtype=np.float64)
+        return self
+
+    set_optim_coef_params = set_optim_params
+
+    # ------------------------------------------------------------------
+    def _default_init_cov_pars(self, y):
+        """Data-driven initial values (re_model_template.h:4814 FindInitCovPar)."""
+        y = np.asarray(y, dtype=np.float64)
+        var = float(np.var(y, ddof=1))
+        pars = [var / 2.0]
+        init_marg_var = (var / 2.0) / len(self.components)
+        for comp in self.components:
+            pars.append(init_marg_var)
+            if comp.kind == "gp":
+                pars.extend(_init_ranges(comp))
+        return np.asarray(pars)
+
+    # ------------------------------------------------------------------
+    def fit(self, y, X=None, params=None, offset=None):
+        self.set_optim_params(params or {})
+        y = np.asarray(y, dtype=np.float64)
+        if offset is not None:
+            y = y - np.asarray(offset, dtype=np.float64)
+        self.y = y
+        self.X = None if X is None else np.asarray(X, dtype=np.float64)
+        cfg = self.params
+        if cfg.init_cov_pars is None:
+            cfg = OptimConfig(**{**cfg.__dict__,
+                                 "init_cov_pars": self._default_init_cov_pars(y)})
+        self._fit_result = optimize_gaussian(self._engine, y, cfg, X=self.X)
+        self.model_has_been_fitted = True
+        return self
+
+    def neg_log_likelihood(self, cov_pars=None, y=None, fixed_effects=None, aux_pars=None):
+        y = np.asarray(y, dtype=np.float64)
+        if fixed_effects is not None:
+            y = y - np.asarray(fixed_effects, dtype=np.float64)
+        cov_pars = self._check_cov_pars(cov_pars)
+        return self._engine.neg_log_likelihood(cov_pars, y)
+
+    def _check_cov_pars(self, cov_pars):
+        cov_pars = np.asarray(cov_pars, dtype=np.float64)
+        if cov_pars.shape[-1] != self.num_cov_par:
+            raise ValueError(
+                f"cov_pars has {cov_pars.shape[-1]} entries but the model has "
+                f"{self.num_cov_par} covariance parameters "
+                f"({', '.join(self._par_names)})")
+        return cov_pars
+
+    # ------------------------------------------------------------------
+    def get_cov_pars(self, format_pandas=False, std_err=None):
+        r = self._require_fit()
+        if (std_err if std_err is not None else self.params.std_dev) and \
+                r.std_dev_cov_pars is not None:
+            return np.vstack([r.cov_pars, r.std_dev_cov_pars])
+        return r.cov_pars.copy()
+
+    def get_coef(self):
+        return self._require_fit().coef
+
+    def get_num_optim_iter(self):
+        return self._require_fit().num_it
+
+    def get_current_neg_log_likelihood(self):
+        return self._require_fit().neg_log_likelihood
+
+    def get_cov_par_names(self):
+        return list(self._par_names)
+
+    def _require_fit(self):
+        if self._fit_result is None:
+            raise RuntimeError("Model has not been fitted")
+        return self._fit_result
+
+    # ------------------------------------------------------------------
+    def predict(self, y=None, group_data_pred=None, group_rand_coef_data_pred=None,
+                gp_coords_pred=None, gp_rand_coef_data_pred=None,
+                cluster_ids_pred=None, X_pred=None,
+                predict_cov_mat=False, predict_var=False, cov_pars=None,
+                predict_response=True, offset=None, offset_pred=None,
+                fixed_effects=None, fixed_effects_pred=None):
+        """Posterior predictions (basic.py:6187 GPModel.predict)."""
+        if cov_pars is None:
+            cov_pars = self._require_fit().cov_pars
+        cov_pars = self._check_cov_pars(cov_pars)
+        if y is None:
+            if self.y is None:
+                raise ValueError("y not provided and model not fitted with y")
+            y = self.y
+        y = np.asarray(y, dtype=np.float64)
+        resid = y.copy()
+        if fixed_effects is not None:
+            resid = resid - np.asarray(fixed_effects, dtype=np.float64)
+        if offset is not None:
+            resid = resid - np.asarray(offset, dtype=np.float64)
+        coef = None
+        if self._fit_result is not None and self._fit_result.coef is not None:
+            coef = self._fit_result.coef
+            if self.X is not None:
+                resid = resid - self.X @ coef
+
+        pred_data = self._build_pred_data(
+            group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
+            gp_rand_coef_data_pred, cluster_ids_pred)
+
+        out = self._engine.predict(
+            cov_pars, resid, pred_data,
+            predict_var=predict_var, predict_cov_mat=predict_cov_mat,
+            predict_response=(predict_response and self.likelihood == "gaussian"))
+
+        if coef is not None and X_pred is not None:
+            out["mu"] = out["mu"] + np.asarray(X_pred, dtype=np.float64) @ coef
+        if offset_pred is not None:
+            out["mu"] = out["mu"] + np.asarray(offset_pred, dtype=np.float64)
+        if fixed_effects_pred is not None:
+            out["mu"] = out["mu"] + np.asarray(fixed_effects_pred, dtype=np.float64)
+        for k in ("cov", "var"):
+            if k not in out:
+                out[k] = None
+        return out
+
+    def predict_training_data_random_effects(self, predict_var=False):
+        """Posterior means (and variances) of random effects at the training
+        points (basic.py:6780); equals predict() at the training inputs for
+        the total random-effect part."""
+        r = self._require_fit()
+        pred = self.predict(
+            y=self.y,
+            group_data_pred=None if self.group_data is None else self.group_data,
+            gp_coords_pred=None if self.gp_coords is None else self.gp_coords,
+            group_rand_coef_data_pred=self.group_rand_coef_data,
+            gp_rand_coef_data_pred=self.gp_rand_coef_data,
+            cluster_ids_pred=self.cluster_ids,
+            predict_var=predict_var, predict_response=False)
+        if predict_var:
+            return np.column_stack([pred["mu"], pred["var"]])
+        return pred["mu"][:, None]
+
+    def _build_pred_data(self, group_data_pred, group_rand_coef_data_pred,
+                         gp_coords_pred, gp_rand_coef_data_pred, cluster_ids_pred):
+        comps = []
+        n_pred = None
+        ig = 0
+        igrc = 0
+        igp_rc = 0
+        for comp in self.components:
+            pd = {}
+            if comp.kind == "grouped":
+                if group_data_pred is None:
+                    raise ValueError("group_data_pred not provided")
+                gdp = np.asarray(group_data_pred)
+                if gdp.ndim == 1:
+                    gdp = gdp[:, None]
+                if comp.z is None:
+                    col = gdp[:, ig]
+                    ig += 1
+                    z_pred = None
+                else:
+                    idx = int(self.ind_effect_group_rand_coef[igrc])
+                    col = gdp[:, idx]
+                    z_pred = np.asarray(group_rand_coef_data_pred, dtype=np.float64)
+                    if z_pred.ndim == 2:
+                        z_pred = z_pred[:, igrc]
+                    igrc += 1
+                codes_pred = _codes_for_levels(comp.group_levels, col)
+                cross = (comp.group_codes[:, None] == codes_pred[None, :]).astype(float)
+                predW = (codes_pred[:, None] == codes_pred[None, :]).astype(float)
+                if z_pred is not None:
+                    cross = cross * np.outer(comp.z, z_pred)
+                    predW = predW * np.outer(z_pred, z_pred)
+                pd["cross_W"] = cross
+                pd["pred_W"] = predW
+                n_pred = len(codes_pred)
+            else:
+                if gp_coords_pred is None:
+                    raise ValueError("gp_coords_pred not provided")
+                cp = np.asarray(gp_coords_pred, dtype=np.float64)
+                if cp.ndim == 1:
+                    cp = cp[:, None]
+                pd["coords_pred"] = cp
+                n_pred = len(cp)
+                if comp.z is not None:
+                    z_pred = np.asarray(gp_rand_coef_data_pred, dtype=np.float64)
+                    if z_pred.ndim == 2:
+                        z_pred = z_pred[:, igp_rc]
+                    igp_rc += 1
+                    pd["cross_W"] = np.outer(comp.z, z_pred)
+                    pd["pred_W"] = np.outer(z_pred, z_pred)
+                else:
+                    pd["cross_W"] = None
+                    pd["pred_W"] = None
+            comps.append(pd)
+        pred_data = {"comps": comps, "n_pred": n_pred,
+                     "cross_cluster_mask": None, "pred_cluster_mask": None}
+        if self.cluster_ids is not None:
+            if cluster_ids_pred is None:
+                raise ValueError("cluster_ids_pred not provided")
+            cip = np.asarray(cluster_ids_pred)
+            pred_data["cross_cluster_mask"] = (
+                self.cluster_ids[:, None] == cip[None, :]).astype(float)
+            pred_data["pred_cluster_mask"] = (
+                cip[:, None] == cip[None, :]).astype(float)
+        return pred_data
+
+    # ------------------------------------------------------------------
+    def summary(self):
+        r = self._require_fit()
+        print("Covariance parameters (random effects):")
+        names = self._par_names
+        if r.std_dev_cov_pars is not None:
+            for n_, p, s in zip(names, r.cov_pars, r.std_dev_cov_pars):
+                print(f"  {n_}: {p:.6g} (std dev {s:.4g})")
+        else:
+            for n_, p in zip(names, r.cov_pars):
+                print(f"  {n_}: {p:.6g}")
+        if r.coef is not None:
+            print("Linear regression coefficients:")
+            for i, b in enumerate(r.coef):
+                print(f"  Covariate_{i + 1}: {b:.6g}")
+        print(f"Negative log-likelihood: {r.neg_log_likelihood:.6f}")
+        print(f"Number of optimization iterations: {r.num_it}")
+        return self
+
+    # ------------------------------------------------------------------
+    def model_to_dict(self, include_response_data=True):
+        r = self._require_fit()
+        d = {
+            "likelihood": self.likelihood,
+            "cov_function": self.cov_function_name,
+            "cov_fct_shape": self.cov_fct_shape,
+            "gp_approx": self.gp_approx,
+            "cov_pars": r.cov_pars.tolist(),
+            "num_optim_iter": r.num_it,
+            "neg_log_likelihood": r.neg_log_likelihood,
+            "model_has_been_fitted": self.model_has_been_fitted,
+        }
+        if r.coef is not None:
+            d["coefs"] = r.coef.tolist()
+        if include_response_data and self.y is not None:
+            d["y"] = np.asarray(self.y).tolist()
+        if self.gp_coords is not None:
+            d["gp_coords"] = self.gp_coords.tolist()
+        if self.group_data is not None:
+            d["group_data"] = self.group_data.tolist()
+        if self.cluster_ids is not None:
+            d["cluster_ids"] = self.cluster_ids.tolist()
+        return d
+
+    def save_model(self, filename):
+        import json
+        with open(filename, "w") as f:
+            json.dump(self.model_to_dict(), f)
+        return self
+
+    def _init_from_dict(self, model_file, model_dict):
+        import json
+        if model_dict is None:
+            with open(model_file) as f:
+                model_dict = json.load(f)
+        d = model_dict
+        self.__init__(
+            likelihood=d["likelihood"],
+            gp_coords=None if d.get("gp_coords") is None else np.asarray(d["gp_coords"]),
+            group_data=None if d.get("group_data") is None else np.asarray(d["group_data"]),
+            cov_function=d["cov_function"],
+            cov_fct_shape=d["cov_fct_shape"],
+            gp_approx=d.get("gp_approx", "none"),
+            cluster_ids=None if d.get("cluster_ids") is None else np.asarray(d["cluster_ids"]),
+        )
+        r = OptimResult(cov_pars=np.asarray(d["cov_pars"]),
+                        num_it=d.get("num_optim_iter", 0),
+                        neg_log_likelihood=d.get("neg_log_likelihood", np.nan),
+                        converged=True)
+        if d.get("coefs") is not None:
+            r.coef = np.asarray(d["coefs"])
+        self._fit_result = r
+        self.model_has_been_fitted = d.get("model_has_been_fitted", True)
+        if d.get("y") is not None:
+            self.y = np.asarray(d["y"])
+
+
+def _codes_for_levels(levels, values):
+    """Map prediction group labels onto training level codes.
+
+    Unseen levels get fresh codes >= len(levels) (shared among equal labels), so
+    predictions at a new group are mutually correlated but independent of all
+    training groups — matching AddPredCovMatrices (re_comp.h:494).
+    """
+    values = np.asarray(values)
+    sorter = np.argsort(levels)
+    pos = np.searchsorted(levels, values, sorter=sorter)
+    pos = np.clip(pos, 0, len(levels) - 1)
+    codes = sorter[pos]
+    seen = levels[codes] == values
+    unseen_levels, unseen_codes = np.unique(values[~seen], return_inverse=True)
+    out = codes.astype(np.int64)
+    out[~seen] = len(levels) + unseen_codes
+    return out
+
+
+def _init_ranges(comp):
+    """Initial transformed->original ranges via the median-distance rule
+    (cov_fcts.h:1599-1668 FindInitCovPar)."""
+    coords = comp.coords
+    n = len(coords)
+    if n > 1000:
+        rng = np.random.RandomState(0)
+        idx = rng.choice(n, 1000, replace=False)
+        coords = coords[idx]
+    cf = comp.cov_fn
+    t = cf.cov_fct_type
+
+    def med(x1):
+        iu = np.triu_indices(len(x1), k=1)
+        d = np.sqrt(((x1[:, None, :] - x1[None, :, :]) ** 2).sum(-1))[iu]
+        m = np.median(d)
+        return m if m > 0 else np.mean(d)
+
+    if t in ("exponential", "matern", "gaussian", "powered_exponential", "wendland"):
+        md = med(coords)
+        if t in ("exponential",) or (t == "matern" and cf.shape <= 1.0):
+            alpha = 2.0 * 3.0 / md
+        elif t == "matern" and cf.shape <= 2.0:
+            alpha = 2.0 * 4.7 / md
+        elif t == "matern":
+            alpha = 2.0 * 5.9 / md
+        elif t == "gaussian":
+            alpha = 3.0 / (md / 2.0) ** 2
+        elif t == "powered_exponential":
+            alpha = 3.0 / (md / 2.0) ** cf.shape
+        else:
+            return []
+        return list(np.atleast_1d(cf.range_from_transformed(alpha)))
+    if t in ("matern_ard", "gaussian_ard"):
+        alphas = []
+        for ic in range(coords.shape[1]):
+            dc = np.abs(coords[:, ic][:, None] - coords[:, ic][None, :])
+            iu = np.triu_indices(len(coords), k=1)
+            m = np.median(dc[iu])
+            if m <= 0:
+                m = np.mean(dc[iu])
+            if t == "matern_ard":
+                c = 3.0 if cf.shape <= 1.0 else (4.7 if cf.shape <= 2.0 else 5.9)
+                alphas.append(2.0 * c / m)
+            else:
+                alphas.append(3.0 / (m / 2.0) ** 2)
+        return list(np.atleast_1d(cf.range_from_transformed(np.asarray(alphas))))
+    if t == "matern_space_time":
+        dt = np.abs(coords[:, 0][:, None] - coords[:, 0][None, :])
+        iu = np.triu_indices(len(coords), k=1)
+        md_t = np.median(dt[iu]) or np.mean(dt[iu])
+        sp = coords[:, 1:]
+        md_s = med(sp)
+        c = 3.0 if cf.shape <= 1.0 else (4.7 if cf.shape <= 2.0 else 5.9)
+        alphas = np.asarray([2.0 * c / md_t, 2.0 * c / md_s])
+        return list(np.atleast_1d(cf.range_from_transformed(alphas)))
+    raise AssertionError(t)

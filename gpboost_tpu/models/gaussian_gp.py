@@ -1,0 +1,341 @@
+"""Dense exact-GP / mixed-effects marginal-likelihood engine (Gaussian likelihood).
+
+TPU-first redesign of the Gaussian branch of REModelTemplate
+(re_model_template.h:2862 EvalNegLogLikelihoodGauss, :9302 CalcCovFactor,
+:11170 CalcPred): everything is one dense covariance assembly + Cholesky on the
+MXU; gradients come from autodiff instead of the handwritten per-structure
+gradient code (re_model_template.h:1933-2592).
+
+Internal parameterization (matches re_model.cpp:306 TransformCovPars): the
+optimizer state is u = log([sigma2, v_1/sigma2, alpha_1..., v_2/sigma2, ...])
+where alpha are transformed ranges (see ops/cov_fcts.py). The scaled covariance
+
+    Psi_tilde(theta) = I + sum_j v_tilde_j * (W_j ∘ K_j(alpha_j))
+
+depends only on theta = u[1:], and
+
+    nll = 0.5 * ( y' Psi_tilde^{-1} y / sigma2 + log|Psi_tilde|
+                  + n log sigma2 + n log 2 pi ).
+
+Cluster independence (cluster_ids) is encoded as a block mask on W_j, turning the
+reference's per-cluster std::map layout (re_model_template.h:6067-6069) into one
+static masked dense matrix — branch-free and jit-compatible.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .components import GPComponent, GroupedComponent
+
+
+def _range_to_transformed_jnp(comp, rho):
+    """Differentiable rho -> alpha transform (mirrors CovarianceFunction)."""
+    t = comp.cov_fn.cov_fct_type
+    if t == "exponential":
+        return 1.0 / rho
+    if t in ("matern", "matern_ard", "matern_space_time"):
+        return comp.cov_fn._matern_mult_const() / rho
+    if t in ("gaussian", "gaussian_ard"):
+        return 1.0 / (rho * rho)
+    if t == "powered_exponential":
+        return jnp.power(rho, -comp.cov_fn.shape)
+    raise AssertionError(t)
+
+
+class DenseGaussianEngine:
+    """Marginal NLL, gradients, Fisher information, prediction — dense path."""
+
+    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64):
+        self.components = list(components)
+        self.n = int(num_data)
+        self.dtype = dtype
+        if cluster_ids is not None:
+            cluster_ids = np.asarray(cluster_ids)
+            codes = np.unique(cluster_ids, return_inverse=True)[1]
+            self.cluster_codes = codes
+            self._cluster_mask = (codes[:, None] == codes[None, :]).astype(np.float64)
+        else:
+            self.cluster_codes = None
+            self._cluster_mask = None
+
+        # static per-component data on device
+        self._comp_static = []
+        offset = 0
+        self.par_offsets = []
+        for comp in self.components:
+            self.par_offsets.append(offset)
+            offset += comp.num_cov_par
+            W = None
+            if comp.kind == "grouped":
+                W = comp.same_group_mask()
+                if comp.z is not None:
+                    W = W * np.outer(comp.z, comp.z)
+            else:
+                if comp.z is not None:
+                    W = np.outer(comp.z, comp.z)
+            if self._cluster_mask is not None:
+                W = self._cluster_mask if W is None else W * self._cluster_mask
+            D = None
+            if comp.kind == "gp" and comp.cov_fn.is_isotropic:
+                D = jnp.asarray(comp.dist_matrix(), dtype=dtype)
+            self._comp_static.append({
+                "W": None if W is None else jnp.asarray(W, dtype=dtype),
+                "D": D,
+            })
+        self.num_theta = offset          # number of component cov pars
+        self.num_cov_par = offset + 1    # + nugget
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def psi_tilde(self, theta_log):
+        """Scaled covariance I + sum_j v_tilde_j (W_j ∘ K_j)."""
+        n = self.n
+        M = jnp.eye(n, dtype=self.dtype)
+        for comp, static, off in zip(self.components, self._comp_static, self.par_offsets):
+            v = jnp.exp(theta_log[off])
+            if comp.kind == "grouped":
+                K = static["W"] if static["W"] is not None else jnp.ones((n, n), self.dtype)
+                M = M + v * K
+            else:
+                alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
+                if static["D"] is not None:
+                    K = comp.cov_fn.corr_from_dist(static["D"], alphas[0])
+                else:
+                    K = comp.corr(None, alphas)
+                if static["W"] is not None:
+                    K = K * static["W"]
+                M = M + v * K
+        return M
+
+    def psi_original(self, pars_orig):
+        """Unscaled covariance sigma2*I + sum v_j (W_j ∘ K_j(rho_j)) from original pars."""
+        theta_log, sigma2 = self._orig_to_internal_jnp(pars_orig)
+        return sigma2 * self.psi_tilde(theta_log)
+
+    def _orig_to_internal_jnp(self, pars_orig):
+        """Differentiable original -> internal transform (for original-scale FI)."""
+        sigma2 = pars_orig[0]
+        parts = []
+        for comp, off in zip(self.components, self.par_offsets):
+            v = pars_orig[1 + off]
+            parts.append(jnp.log(v / sigma2)[None])
+            if comp.num_range_par > 0:
+                rho = pars_orig[2 + off: 1 + off + comp.num_cov_par]
+                alpha = _range_to_transformed_jnp(comp, rho)
+                parts.append(jnp.log(alpha))
+        return jnp.concatenate(parts), sigma2
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        n = self.n
+
+        def nll_parts(theta_log, sigma2, y):
+            M = self.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(M)
+            alpha_v = jsl.cho_solve((L, True), y)
+            quad = y @ alpha_v
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            nll = 0.5 * (quad / sigma2 + logdet
+                         + n * jnp.log(sigma2) + n * math.log(2.0 * math.pi))
+            return nll, quad
+
+        def nll_scalar(theta_log, sigma2, y):
+            return nll_parts(theta_log, sigma2, y)[0]
+
+        def nll_full(u, y):
+            return nll_scalar(u[1:], jnp.exp(u[0]), y)
+
+        self.nll_parts = jax.jit(nll_parts)
+        self.grad_profiled = jax.jit(
+            lambda theta_log, sigma2, y:
+            jax.value_and_grad(nll_scalar)(theta_log, sigma2, y)
+        )
+        self.nll_full = jax.jit(nll_full)
+        self.vag_full = jax.jit(jax.value_and_grad(nll_full))
+        self.hess_full = jax.jit(jax.hessian(nll_full))
+
+        def fisher_transformed(u, include_error_var=True):
+            """FI on transformed (log) scale (CalcFisherInformation transf_scale=true).
+
+            FI[0,0]=n/2, FI[0,j]=tr(M^-1 dM_j)/2, FI[j,k]=tr(M^-1 dM_j M^-1 dM_k)/2.
+            """
+            theta_log = u[1:]
+            M = self.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(M)
+            dM = jax.jacfwd(self.psi_tilde)(theta_log)          # (n, n, p)
+            p = self.num_theta
+            dM2 = jnp.moveaxis(dM, -1, 0)                        # (p, n, n)
+            A = jax.vmap(lambda G: jsl.cho_solve((L, True), G))(dM2)  # M^-1 dM_j
+            FI_cc = 0.5 * jnp.einsum('pij,qji->pq', A, A)
+            if include_error_var:
+                FI = jnp.zeros((p + 1, p + 1), self.dtype)
+                FI = FI.at[0, 0].set(n / 2.0)
+                tr = 0.5 * jnp.trace(A, axis1=1, axis2=2)
+                FI = FI.at[0, 1:].set(tr)
+                FI = FI.at[1:, 0].set(tr)
+                FI = FI.at[1:, 1:].set(FI_cc)
+                return FI
+            return FI_cc
+
+        self.fisher_transformed = jax.jit(fisher_transformed, static_argnums=1)
+
+        def fisher_original(pars_orig):
+            """FI wrt original-scale pars (CalcFisherInformation transf_scale=false)."""
+            Psi = self.psi_original(pars_orig)
+            L = jnp.linalg.cholesky(Psi)
+            dPsi = jax.jacfwd(self.psi_original)(pars_orig)      # (n, n, p+1)
+            dPsi = jnp.moveaxis(dPsi, -1, 0)
+            A = jax.vmap(lambda G: jsl.cho_solve((L, True), G))(dPsi)
+            return 0.5 * jnp.einsum('pij,qji->pq', A, A)
+
+        self.fisher_original = jax.jit(fisher_original)
+
+        def wls_coef(theta_log, y, X):
+            """Closed-form GLS coefficients (re_model_template.h:9942 UpdateCoefGLS)."""
+            M = self.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(M)
+            MiX = jsl.cho_solve((L, True), X)
+            Miy = jsl.cho_solve((L, True), y)
+            # X'M^-1X is SPD -> Cholesky solve (TPU has no f64 LU kernel)
+            A = X.T @ MiX
+            La = jnp.linalg.cholesky(A)
+            return jsl.cho_solve((La, True), X.T @ Miy)
+
+        self.wls_coef = jax.jit(wls_coef)
+
+        def coef_grad(theta_log, sigma2, resid, X):
+            """grad_beta = -X' Psi^-1 resid (re_model_template.h:2016)."""
+            M = self.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(M)
+            return -(X.T @ jsl.cho_solve((L, True), resid)) / sigma2
+
+        self.coef_grad = jax.jit(coef_grad)
+
+        def nll_profiled(theta_log, y):
+            """NLL with the nugget profiled out in closed form
+            (optim_utils.h:243 EvalLLforLBFGSpp semantics):
+            sigma2_hat = y'M^-1 y / n  =>  quad/sigma2_hat = n."""
+            M = self.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(M)
+            alpha_v = jsl.cho_solve((L, True), y)
+            quad = y @ alpha_v
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            return 0.5 * (logdet + n * jnp.log(quad / n) + n
+                          + n * math.log(2.0 * math.pi))
+
+        self.nll_profiled_vag = jax.jit(jax.value_and_grad(nll_profiled))
+
+    # ------------------------------------------------------------------
+    # parameter transforms (host side, numpy)
+    def transform_pars(self, pars_orig):
+        """Original [sigma2, v_1, rho_1.., ...] -> internal transformed vector."""
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        out = [sigma2]
+        for comp, off in zip(self.components, self.par_offsets):
+            v = pars_orig[1 + off]
+            out.append(v / sigma2)
+            if comp.num_range_par > 0:
+                rho = pars_orig[2 + off: 1 + off + comp.num_cov_par]
+                out.extend(np.atleast_1d(comp.cov_fn.range_to_transformed(rho)))
+        return np.asarray(out)
+
+    def back_transform_pars(self, pars_internal):
+        """Internal transformed vector -> original scale."""
+        t = np.asarray(pars_internal, dtype=np.float64)
+        sigma2 = t[0]
+        out = [sigma2]
+        for comp, off in zip(self.components, self.par_offsets):
+            out.append(t[1 + off] * sigma2)
+            if comp.num_range_par > 0:
+                alphas = t[2 + off: 1 + off + comp.num_cov_par]
+                out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(alphas)))
+        return np.asarray(out)
+
+    def total_re_variance_original(self, pars_orig):
+        return float(sum(pars_orig[1 + off] for off in self.par_offsets))
+
+    def apply_nugget_lower_bound(self, pars_internal):
+        """Enforce nugget >= r/(1-r) * total RE variance, r = 1e-10
+        (re_model_template.h:7804 ApplyGaussianNuggetLowerBound)."""
+        r = 1e-10
+        orig = self.back_transform_pars(pars_internal)
+        other_var = self.total_re_variance_original(orig)
+        if not np.isfinite(other_var) or other_var <= 0:
+            return pars_internal
+        nugget_min = r / (1.0 - r) * other_var
+        if np.isfinite(nugget_min) and orig[0] < nugget_min:
+            orig[0] = nugget_min
+            return self.transform_pars(orig)
+        return pars_internal
+
+    # ------------------------------------------------------------------
+    def neg_log_likelihood(self, pars_orig, y):
+        """NLL at original-scale cov pars (GPB_EvalNegLogLikelihood path)."""
+        t = self.transform_pars(pars_orig)
+        u_theta = jnp.asarray(np.log(t[1:]), dtype=self.dtype)
+        nll, _ = self.nll_parts(u_theta, jnp.asarray(t[0], self.dtype),
+                                jnp.asarray(y, self.dtype))
+        return float(nll)
+
+    # ------------------------------------------------------------------
+    # prediction (re_model_template.h:3392 Predict, :11170 CalcPred)
+    def predict(self, pars_orig, y_resid, pred_data, predict_var=False,
+                predict_cov_mat=False, predict_response=False):
+        """Posterior predictive mean / (co)variance of the random effects part.
+
+        pred_data: list (per component) of dicts from `build_pred_data`, plus
+        cluster cross/pred masks if cluster_ids are used.
+        """
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        t = self.transform_pars(pars_orig)
+        theta_log = jnp.asarray(np.log(t[1:]), dtype=self.dtype)
+        y_resid = jnp.asarray(y_resid, dtype=self.dtype)
+
+        M = self.psi_tilde(theta_log)           # Psi / sigma2
+        L = jnp.linalg.cholesky(M)
+
+        n_pred = pred_data["n_pred"]
+        K_cross = jnp.zeros((self.n, n_pred), dtype=self.dtype)
+        K_pred = jnp.zeros((n_pred, n_pred), dtype=self.dtype)
+        for comp, off, pd in zip(self.components, self.par_offsets, pred_data["comps"]):
+            v = pars_orig[1 + off]
+            if comp.kind == "grouped":
+                Kc = jnp.asarray(pd["cross_W"], self.dtype)
+                Kp = jnp.asarray(pd["pred_W"], self.dtype)
+                K_cross = K_cross + v * Kc
+                K_pred = K_pred + v * Kp
+            else:
+                alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
+                Kc = comp.cross_corr(pd["coords_pred"], alphas)
+                Kp = comp.pred_corr(pd["coords_pred"], alphas)
+                if pd.get("cross_W") is not None:
+                    Kc = Kc * jnp.asarray(pd["cross_W"], self.dtype)
+                    Kp = Kp * jnp.asarray(pd["pred_W"], self.dtype)
+                K_cross = K_cross + v * Kc
+                K_pred = K_pred + v * Kp
+        if pred_data.get("cross_cluster_mask") is not None:
+            K_cross = K_cross * jnp.asarray(pred_data["cross_cluster_mask"], self.dtype)
+            K_pred = K_pred * jnp.asarray(pred_data["pred_cluster_mask"], self.dtype)
+
+        # Psi^-1 = M^-1 / sigma2
+        alpha_v = jsl.cho_solve((L, True), y_resid) / sigma2
+        mu = K_cross.T @ alpha_v
+        out = {"mu": np.asarray(mu)}
+        if predict_cov_mat or predict_var:
+            V = jsl.cho_solve((L, True), K_cross) / sigma2    # Psi^-1 K_cross
+            cov = K_pred - K_cross.T @ V
+            if predict_response:
+                cov = cov + sigma2 * jnp.eye(n_pred, dtype=self.dtype)
+            if predict_cov_mat:
+                out["cov"] = np.asarray(cov)
+            if predict_var:
+                out["var"] = np.asarray(jnp.diagonal(cov)).copy()
+        return out

@@ -1,0 +1,485 @@
+"""Covariance-parameter estimation: the master optimizer loop.
+
+Faithful reimplementation of REModelTemplate::OptimLinRegrCoefCovPar
+(re_model_template.h:969) semantics for the Gaussian likelihood:
+
+  * internal optimizers: gradient_descent (Nesterov acceleration + Armijo
+    backtracking with permanent learning-rate halving, re_model_template.h:8621
+    UpdateCovAuxPars), fisher_scoring, newton (step clipping at log(100),
+    :8661-8669), all on the log-transformed parameter scale with the nugget
+    variance profiled out for gradient_descent (:1068-1075, :2605
+    ProfileOutSigma2);
+  * external optimizers: lbfgs / nelder_mead / adam on the profiled objective
+    (optim_utils.h:243 EvalLLforLBFGSpp, :562 OptimExternal).
+
+Constants mirror the reference defaults (re_model_template.h:5682-5796):
+LR_SHRINKAGE_FACTOR=0.5, c_armijo=1e-4, c_armijo_mom=1e-4,
+max_number_lr_shrinkage_steps=30, MAX_GRADIENT_UPDATE_LOG_SCALE=log(100),
+acc_rate_cov=0.5, momentum_offset=2.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+LR_SHRINKAGE_FACTOR = 0.5
+C_ARMIJO = 1e-4
+C_ARMIJO_MOM = 1e-4
+MAX_NUM_LR_SHRINKAGE_STEPS = 30
+MAX_GRADIENT_UPDATE_LOG_SCALE = math.log(100.0)
+
+
+@dataclass
+class OptimConfig:
+    optimizer_cov: str = "lbfgs"
+    optimizer_coef: str = "wls"
+    lr_cov: float = -999.0          # -999 -> default (0.1 gd, 1.0 otherwise)
+    lr_coef: float = 0.1
+    use_nesterov_acc: bool = True
+    acc_rate_cov: float = 0.5
+    acc_rate_coef: float = 0.5
+    momentum_offset: int = 2
+    nesterov_schedule_version: int = 0
+    delta_rel_conv: float = -999.0  # -999 -> 1e-6 (1e-8 for nelder_mead)
+    convergence_criterion: str = "relative_change_in_log_likelihood"
+    max_iter: int = 1000
+    init_cov_pars: Optional[np.ndarray] = None
+    estimate_cov_par_index: Optional[list] = None
+    std_dev: bool = False
+    maxit: Optional[int] = None     # alias used by reference tests for lbfgs
+    trace: bool = False
+
+    def resolved_lr_cov(self):
+        if self.lr_cov < 0:
+            return 0.1 if self.optimizer_cov == "gradient_descent" else 1.0
+        return self.lr_cov
+
+    def resolved_delta_rel_conv(self):
+        if self.delta_rel_conv < 0:
+            return 1e-8 if self.optimizer_cov == "nelder_mead" else 1e-6
+        return self.delta_rel_conv
+
+
+@dataclass
+class OptimResult:
+    cov_pars: np.ndarray = None          # original scale
+    cov_pars_internal: np.ndarray = None
+    num_it: int = 0
+    neg_log_likelihood: float = np.nan
+    std_dev_cov_pars: Optional[np.ndarray] = None
+    coef: Optional[np.ndarray] = None
+    std_dev_coef: Optional[np.ndarray] = None
+    converged: bool = False
+    trajectory: Optional[list] = None
+
+
+def nesterov_mu(it, version, acc_rate, momentum_offset):
+    """re_model_template.h:6098 NesterovSchedule."""
+    if it < momentum_offset:
+        return 0.0
+    if version == 0:
+        return acc_rate
+    if version == 1:
+        return 1.0 - (3.0 / (6.0 + it))
+    raise ValueError(f"nesterov_schedule_version {version}")
+
+
+def optimize_gaussian(engine, y, config: OptimConfig,
+                      X=None) -> OptimResult:
+    """Estimate covariance parameters (and optional linear coefs) for Gaussian y."""
+    opt = config.optimizer_cov
+    if opt in ("gradient_descent", "fisher_scoring", "newton"):
+        res = _optimize_internal(engine, y, config, X)
+    elif opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "lbfgs_not_profile_out_nugget",
+                 "nelder_mead", "adam", "bfgs_optim_lib"):
+        res = _optimize_external(engine, y, config, X)
+    else:
+        raise ValueError(f"optimizer_cov '{opt}' is not supported")
+    if config.std_dev:
+        FI = np.asarray(engine.fisher_original(jnp.asarray(res.cov_pars)))
+        std = np.full(len(res.cov_pars), np.nan)
+        try:
+            FI_inv = np.linalg.inv(FI)
+            d = np.diagonal(FI_inv)
+            ok = np.isfinite(d) & (d >= 0)
+            std[ok] = np.sqrt(d[ok])
+        except np.linalg.LinAlgError:
+            pass
+        res.std_dev_cov_pars = std
+    return res
+
+
+# ----------------------------------------------------------------------
+def _est_mask(engine, config):
+    m = np.ones(engine.num_cov_par, dtype=bool)
+    if config.estimate_cov_par_index is not None:
+        idx = np.asarray(config.estimate_cov_par_index)
+        m = idx > 0
+    return m
+
+
+def _coef_state(engine, y, X, config):
+    """Initial beta / residual handling. Returns (beta, resid)."""
+    if X is None:
+        return None, np.asarray(y, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    beta = np.zeros(X.shape[1])
+    return beta, np.asarray(y, dtype=np.float64) - X @ beta
+
+
+def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
+    n = engine.n
+    opt = config.optimizer_cov
+    profile_out = opt == "gradient_descent"  # gaussian-only path
+    est = _est_mask(engine, config)
+    est_theta = est[1:]
+    use_nesterov = config.use_nesterov_acc and opt == "gradient_descent"
+    delta_rel_conv = config.resolved_delta_rel_conv()
+    has_covariates = X is not None
+    if has_covariates:
+        X = np.asarray(X, dtype=np.float64)
+        Xd = jnp.asarray(X)
+
+    t = engine.transform_pars(np.asarray(config.init_cov_pars, dtype=np.float64))
+    u = np.log(t)                      # internal log pars [log s2, log vt, log a]
+    y = np.asarray(y, dtype=np.float64)
+    yd = jnp.asarray(y)
+
+    beta = np.zeros(X.shape[1]) if has_covariates else None
+    beta_after_grad = beta.copy() if has_covariates else None
+    beta_after_grad_lag1 = beta.copy() if has_covariates else None
+    lr_coef = config.lr_coef
+
+    resid = y - X @ beta if has_covariates else y
+    residd = jnp.asarray(resid)
+
+    nll, quad = [float(v) for v in engine.nll_parts(
+        jnp.asarray(u[1:]), jnp.exp(u[0]), residd)]
+
+    lr_cov = config.resolved_lr_cov()
+    theta_after_grad = np.exp(u[1:]).copy()       # natural transformed scale
+    theta_after_grad_lag1 = np.exp(u[1:]).copy()
+    num_it = config.max_iter
+    converged = False
+    nll_new = nll
+    trajectory = [] if config.trace else None
+
+    for it in range(config.max_iter):
+        nll_lag1 = nll
+        u_lag1 = u.copy()
+
+        # ---- update regression coefficients ----------------------------
+        if has_covariates:
+            if config.optimizer_coef == "wls":
+                beta = np.asarray(engine.wls_coef(jnp.asarray(u[1:]), yd, Xd))
+                resid = y - X @ beta
+                residd = jnp.asarray(resid)
+                nll_coef, quad = [float(v) for v in engine.nll_parts(
+                    jnp.asarray(u[1:]), jnp.exp(u[0]), residd)]
+                nll_after_coef = nll_coef
+            elif config.optimizer_coef == "gradient_descent":
+                beta, resid, nll_after_coef, quad, lr_coef, beta_after_grad, \
+                    beta_after_grad_lag1 = _update_coef_gd(
+                        engine, y, X, beta, u, lr_coef, it, config,
+                        nll_lag1, beta_after_grad, beta_after_grad_lag1)
+                residd = jnp.asarray(resid)
+            else:
+                raise ValueError(f"optimizer_coef '{config.optimizer_coef}'")
+        else:
+            nll_after_coef = nll_lag1
+
+        # ---- profile out the nugget (gradient_descent) -----------------
+        # quad = y' Psi_tilde^-1 y is sigma2-free, so sigma2_hat = quad / n
+        # (re_model_template.h:2605 ProfileOutSigma2)
+        if profile_out and est[0]:
+            sigma2 = quad / n
+            u[0] = np.log(sigma2)
+            u = np.log(engine.apply_nugget_lower_bound(np.exp(u)))
+
+        sigma2 = np.exp(u[0])
+
+        # ---- gradient / step direction ---------------------------------
+        if opt == "gradient_descent":
+            _, g = engine.grad_profiled(jnp.asarray(u[1:]), jnp.asarray(sigma2), residd)
+            g = np.array(g)
+            g[~est_theta] = 0.0
+            neg_step = g
+            # AvoidTooLargeLearningRatesCovAuxPars (permanent cap)
+            max_abs = np.max(np.abs(neg_step)) if neg_step.size else 0.0
+            if max_abs > 0:
+                lr_cov = min(lr_cov, MAX_GRADIENT_UPDATE_LOG_SCALE / max_abs)
+            grad_for_armijo = g
+        elif opt == "fisher_scoring":
+            _, g_full = engine.vag_full(jnp.asarray(u), residd)
+            g_full = np.asarray(g_full)
+            FI = np.asarray(engine.fisher_transformed(jnp.asarray(u), True))
+            neg_step = np.linalg.solve(FI, g_full)
+            grad_for_armijo = g_full
+        elif opt == "newton":
+            _, g_full = engine.vag_full(jnp.asarray(u), residd)
+            g_full = np.asarray(g_full)
+            H = np.asarray(engine.hess_full(jnp.asarray(u), residd))
+            try:
+                neg_step = np.linalg.solve(H, g_full)
+            except np.linalg.LinAlgError:
+                neg_step = g_full
+            grad_for_armijo = g_full
+        else:
+            raise AssertionError(opt)
+
+        dir_deriv = -float(grad_for_armijo @ neg_step)
+        if use_nesterov:
+            delta_log = u[1:] - np.log(theta_after_grad)
+            mom_dir_deriv = float(grad_for_armijo @ delta_log)
+        else:
+            mom_dir_deriv = 0.0
+
+        # ---- update with learning-rate backtracking --------------------
+        lr = lr_cov
+        acc_rate = config.acc_rate_cov
+        halving_done = False
+        decrease_found = False
+        for ih in range(MAX_NUM_LR_SHRINKAGE_STEPS):
+            step = lr * neg_step
+            if opt in ("fisher_scoring", "newton"):
+                step = np.clip(step, -MAX_GRADIENT_UPDATE_LOG_SCALE,
+                               MAX_GRADIENT_UPDATE_LOG_SCALE)
+                u_cand = u - np.where(est, step, 0.0)
+                theta_grad_cand = np.exp(u_cand[1:])
+                theta_cand = theta_grad_cand
+                u0_cand = u_cand[0]
+            else:
+                theta_grad_cand = np.exp(u[1:] - np.where(est_theta, step, 0.0))
+                u0_cand = u[0]
+                if use_nesterov:
+                    mu = nesterov_mu(it, config.nesterov_schedule_version,
+                                     acc_rate, config.momentum_offset)
+                    theta_cand = np.exp(
+                        (1.0 + mu) * np.log(theta_grad_cand)
+                        - mu * np.log(theta_after_grad_lag1))
+                else:
+                    theta_cand = theta_grad_cand
+
+            cand_full = np.concatenate([[np.exp(u0_cand)], theta_cand])
+            cand_full = engine.apply_nugget_lower_bound(cand_full)
+            nll_new, quad_new = [float(v) for v in engine.nll_parts(
+                jnp.asarray(np.log(cand_full[1:])), jnp.asarray(cand_full[0]), residd)]
+
+            mu = (nesterov_mu(it, config.nesterov_schedule_version, acc_rate,
+                              config.momentum_offset) if use_nesterov else 0.0)
+            bound = (nll_after_coef + C_ARMIJO * lr * dir_deriv
+                     + C_ARMIJO_MOM * mu * mom_dir_deriv)
+            if nll_new <= bound:
+                decrease_found = True
+                break
+            halving_done = True
+            lr *= LR_SHRINKAGE_FACTOR
+            acc_rate *= 0.5
+
+        if halving_done and opt == "gradient_descent":
+            lr_cov = lr  # permanent decrease (re_model_template.h:8757)
+
+        theta_after_grad_lag1 = theta_grad_cand.copy()
+        theta_after_grad = theta_grad_cand.copy()
+        u = np.log(cand_full)
+        nll = nll_new
+        quad = quad_new
+        if trajectory is not None:
+            trajectory.append((np.exp(u_lag1), np.exp(u), nll_lag1, nll,
+                               lr_cov, lr, ih, dir_deriv))
+
+        # ---- convergence check -----------------------------------------
+        if config.convergence_criterion == "relative_change_in_log_likelihood":
+            if (nll_lag1 - nll) <= delta_rel_conv * max(abs(nll_lag1), 1.0):
+                converged = True
+        elif config.convergence_criterion == "relative_change_in_parameters":
+            t_now = np.exp(u)
+            t_lag = np.exp(u_lag1)
+            if np.linalg.norm(t_now - t_lag) <= delta_rel_conv * np.linalg.norm(t_lag):
+                converged = True
+        else:
+            raise ValueError(config.convergence_criterion)
+        if not np.all(np.isfinite(u)) or not np.isfinite(nll):
+            converged = True  # NA/Inf guard: stop (reference falls back to nelder_mead)
+        if converged:
+            num_it = it + 1
+            break
+
+    result = OptimResult(
+        cov_pars=engine.back_transform_pars(np.exp(u)),
+        cov_pars_internal=np.exp(u),
+        num_it=num_it,
+        neg_log_likelihood=nll,
+        converged=converged,
+        trajectory=trajectory,
+    )
+    if has_covariates:
+        result.coef = beta
+    return result
+
+
+def _update_coef_gd(engine, y, X, beta, u, lr_coef, it, config,
+                    nll_lag1, beta_after_grad, beta_after_grad_lag1):
+    """One gradient-descent step for linear coefficients
+    (re_model_template.h:9106 UpdateLinCoef)."""
+    sigma2 = np.exp(u[0])
+    resid = y - X @ beta
+    g_beta = np.asarray(engine.coef_grad(
+        jnp.asarray(u[1:]), jnp.asarray(sigma2), jnp.asarray(resid), jnp.asarray(X)))
+    # AvoidTooLargeLearningRateCoef: cap so linear-predictor change stays bounded
+    lp_change = X @ g_beta
+    lp_lag = X @ beta
+    denom = np.std(lp_change) * 10.0
+    sd_lag = np.std(lp_lag)
+    max_lr = np.inf
+    if denom > 0:
+        max_lr = max(sd_lag, np.std(y)) * 10.0 / np.std(lp_change) \
+            if np.std(lp_change) > 0 else np.inf
+    lr_coef = min(lr_coef, max_lr)
+    dir_deriv = -float(g_beta @ g_beta)
+    use_acc = config.use_nesterov_acc and config.optimizer_coef == "gradient_descent"
+    mom_dir_deriv = float(g_beta @ (beta - beta_after_grad)) if use_acc else 0.0
+
+    lr = lr_coef
+    acc_rate = config.acc_rate_coef
+    halving_done = False
+    nll_new = nll_lag1
+    for ih in range(MAX_NUM_LR_SHRINKAGE_STEPS):
+        beta_grad_new = beta - lr * g_beta
+        if use_acc:
+            mu = nesterov_mu(it, config.nesterov_schedule_version, acc_rate,
+                             config.momentum_offset)
+            beta_new = (1.0 + mu) * beta_grad_new - mu * beta_after_grad_lag1
+        else:
+            mu = 0.0
+            beta_new = beta_grad_new
+        resid_new = y - X @ beta_new
+        nll_new, quad_new = [float(v) for v in engine.nll_parts(
+            jnp.asarray(u[1:]), jnp.asarray(sigma2), jnp.asarray(resid_new))]
+        bound = (nll_lag1 + C_ARMIJO * lr * dir_deriv + C_ARMIJO_MOM * mu * mom_dir_deriv)
+        if nll_new <= bound:
+            break
+        halving_done = True
+        lr *= LR_SHRINKAGE_FACTOR
+        acc_rate *= 0.5
+    if halving_done:
+        lr_coef = lr
+    beta_after_grad_lag1 = beta_grad_new.copy()
+    return (beta_new, resid_new, nll_new, quad_new, lr_coef,
+            beta_grad_new, beta_after_grad_lag1)
+
+
+# ----------------------------------------------------------------------
+def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
+    """lbfgs / nelder_mead / adam on the profiled objective (optim_utils.h:562)."""
+    from scipy import optimize as sopt
+
+    n = engine.n
+    est = _est_mask(engine, config)
+    est_theta = est[1:]
+    y = np.asarray(y, dtype=np.float64)
+    has_covariates = X is not None
+    if has_covariates:
+        X = np.asarray(X, dtype=np.float64)
+        Xd = jnp.asarray(X)
+    yd = jnp.asarray(y)
+
+    t0 = engine.transform_pars(np.asarray(config.init_cov_pars, dtype=np.float64))
+    theta0 = np.log(t0[1:])
+    log_s2_fixed = math.log(t0[0])
+    profile_sigma2 = bool(est[0])
+
+    neval = [0]
+
+    def obj_and_grad(theta_free):
+        theta = theta0.copy()
+        theta[est_theta] = theta_free
+        if has_covariates:
+            beta = np.asarray(engine.wls_coef(jnp.asarray(theta), yd, Xd))
+            residd = jnp.asarray(y - X @ beta)
+        else:
+            residd = yd
+        if profile_sigma2:
+            val, grad = engine.nll_profiled_vag(jnp.asarray(theta), residd)
+        else:
+            val, grad = engine.grad_profiled(
+                jnp.asarray(theta), jnp.asarray(math.exp(log_s2_fixed)), residd)
+        neval[0] += 1
+        g = np.asarray(grad)[est_theta]
+        return float(val), g
+
+    x0 = theta0[est_theta]
+    opt = config.optimizer_cov
+    max_iter = config.maxit if config.maxit else config.max_iter
+
+    if x0.size == 0:
+        # nothing to estimate except possibly the profiled nugget
+        theta = theta0
+        res_x = theta
+        nit = 0
+    elif opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "bfgs_optim_lib",
+                 "lbfgs_not_profile_out_nugget"):
+        r = sopt.minimize(obj_and_grad, x0, jac=True, method="L-BFGS-B",
+                          options={"maxiter": max_iter, "ftol": 1e-14, "gtol": 1e-9})
+        res_x, nit = r.x, r.nit
+    elif opt == "nelder_mead":
+        drc = config.resolved_delta_rel_conv()
+        f0 = obj_and_grad(x0)[0]
+        r = sopt.minimize(lambda x: obj_and_grad(x)[0], x0, method="Nelder-Mead",
+                          options={"maxiter": max_iter * 10,
+                                   "fatol": drc * max(abs(f0), 1.0),
+                                   "xatol": 1e-12})
+        res_x, nit = r.x, r.nit
+    elif opt == "adam":
+        import optax
+        opt_adam = optax.adam(1e-2)
+        state = opt_adam.init(x0)
+        x = x0.copy()
+        f_prev = np.inf
+        drc = config.resolved_delta_rel_conv()
+        nit = 0
+        for i in range(max_iter * 10):
+            f, g = obj_and_grad(x)
+            upd, state = opt_adam.update(g, state)
+            x = x + np.asarray(upd)
+            if abs(f_prev - f) <= drc * max(abs(f_prev), 1.0) and i > 50:
+                nit = i + 1
+                break
+            f_prev = f
+        res_x = x
+        if nit == 0:
+            nit = max_iter * 10
+    else:
+        raise AssertionError(opt)
+
+    theta = theta0.copy()
+    theta[est_theta] = res_x
+    if has_covariates:
+        beta = np.asarray(engine.wls_coef(jnp.asarray(theta), yd, Xd))
+        resid = y - X @ beta
+        residd = jnp.asarray(resid)
+    else:
+        beta = None
+        residd = yd
+    if profile_sigma2:
+        _, quad = engine.nll_parts(jnp.asarray(theta), jnp.asarray(1.0), residd)
+        sigma2 = float(quad) / n
+    else:
+        sigma2 = math.exp(log_s2_fixed)
+    nll, _ = engine.nll_parts(jnp.asarray(theta), jnp.asarray(sigma2), residd)
+
+    internal = np.concatenate([[sigma2], np.exp(theta)])
+    internal = engine.apply_nugget_lower_bound(internal)
+    result = OptimResult(
+        cov_pars=engine.back_transform_pars(internal),
+        cov_pars_internal=internal,
+        num_it=int(nit),
+        neg_log_likelihood=float(nll),
+        converged=True,
+    )
+    if has_covariates:
+        result.coef = beta
+    return result
