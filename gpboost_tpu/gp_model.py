@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from .ops.cov_fcts import CovarianceFunction
 from .models.components import GPComponent, GroupedComponent
 from .models.gaussian_gp import DenseGaussianEngine
+from .models.grouped_re import WoodburyGaussianEngine
 from .models.optimize import OptimConfig, OptimResult, optimize_gaussian
 
 _OPTIM_PARAM_KEYS = {
@@ -152,8 +153,20 @@ class GPModel:
                 "non-Gaussian likelihoods land with the Laplace-approximation "
                 "layer (gpboost_tpu.models.laplace)")
 
-        self._engine = DenseGaussianEngine(
-            self.components, self.num_data, cluster_ids=self.cluster_ids)
+        # Engine selection (analogue of the reference's matrix-format dispatch,
+        # re_model.cpp:77-89): grouped-REs-only models get the q-sized Woodbury
+        # engine, anything with a GP the dense engine.
+        self._use_woodbury = all(c.kind == "grouped" for c in self.components)
+        if self._use_woodbury:
+            if self.cluster_ids is not None:
+                # independence across clusters == refining each grouping by the
+                # cluster id (same level in different clusters -> separate RE)
+                for comp in self.components:
+                    comp.refine_by_cluster(self.cluster_ids)
+            self._engine = WoodburyGaussianEngine(self.components, self.num_data)
+        else:
+            self._engine = DenseGaussianEngine(
+                self.components, self.num_data, cluster_ids=self.cluster_ids)
 
         self.num_cov_par = self._engine.num_cov_par
 
@@ -339,15 +352,21 @@ class GPModel:
                     if z_pred.ndim == 2:
                         z_pred = z_pred[:, igrc]
                     igrc += 1
-                codes_pred = _codes_for_levels(comp.group_levels, col)
-                cross = (comp.group_codes[:, None] == codes_pred[None, :]).astype(float)
-                predW = (codes_pred[:, None] == codes_pred[None, :]).astype(float)
-                if z_pred is not None:
-                    cross = cross * np.outer(comp.z, z_pred)
-                    predW = predW * np.outer(z_pred, z_pred)
-                pd["cross_W"] = cross
-                pd["pred_W"] = predW
+                codes_pred = comp.codes_for_prediction(col, cluster_ids_pred)
                 n_pred = len(codes_pred)
+                if self._use_woodbury:
+                    pd["codes_pred"] = codes_pred
+                    pd["z_pred"] = z_pred
+                else:
+                    cross = (comp.group_codes[:, None]
+                             == codes_pred[None, :]).astype(float)
+                    predW = (codes_pred[:, None]
+                             == codes_pred[None, :]).astype(float)
+                    if z_pred is not None:
+                        cross = cross * np.outer(comp.z, z_pred)
+                        predW = predW * np.outer(z_pred, z_pred)
+                    pd["cross_W"] = cross
+                    pd["pred_W"] = predW
             else:
                 if gp_coords_pred is None:
                     raise ValueError("gp_coords_pred not provided")
@@ -454,25 +473,6 @@ class GPModel:
         self.model_has_been_fitted = d.get("model_has_been_fitted", True)
         if d.get("y") is not None:
             self.y = np.asarray(d["y"])
-
-
-def _codes_for_levels(levels, values):
-    """Map prediction group labels onto training level codes.
-
-    Unseen levels get fresh codes >= len(levels) (shared among equal labels), so
-    predictions at a new group are mutually correlated but independent of all
-    training groups — matching AddPredCovMatrices (re_comp.h:494).
-    """
-    values = np.asarray(values)
-    sorter = np.argsort(levels)
-    pos = np.searchsorted(levels, values, sorter=sorter)
-    pos = np.clip(pos, 0, len(levels) - 1)
-    codes = sorter[pos]
-    seen = levels[codes] == values
-    unseen_levels, unseen_codes = np.unique(values[~seen], return_inverse=True)
-    out = codes.astype(np.int64)
-    out[~seen] = len(levels) + unseen_codes
-    return out
 
 
 def _init_ranges(comp):

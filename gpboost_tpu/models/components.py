@@ -114,9 +114,64 @@ class GroupedComponent:
         b = a if codes_other is None else codes_other
         return (a[:, None] == b[None, :]).astype(np.float64)
 
+    def refine_by_cluster(self, cluster_ids):
+        """Split levels by cluster id: the same group label in two clusters
+        becomes two independent effects (cluster partitioning semantics,
+        re_model_template.h:6775 SetUpClusterIds)."""
+        ccodes, self._cluster_levels = _factorize(cluster_ids)
+        self._base_levels = self.group_levels
+        mult = len(self.group_levels)
+        combo = ccodes.astype(np.int64) * mult + self.group_codes
+        new_codes, combo_levels = _factorize(combo)
+        self.group_codes = new_codes.astype(np.int32)
+        self.group_levels = combo_levels
+        self._refined_mult = mult
+
+    def codes_for_prediction(self, group_values_pred, cluster_ids_pred=None):
+        """Map prediction labels to training level codes.
+
+        Returns codes where values < num_groups refer to training levels and
+        values >= num_groups are fresh codes shared among equal new labels
+        (so new groups are mutually correlated but independent of training —
+        re_comp.h:494 AddPredCovMatrices).
+        """
+        vals = np.asarray(group_values_pred)
+        if hasattr(self, "_refined_mult"):
+            if cluster_ids_pred is None:
+                raise ValueError("cluster_ids_pred not provided")
+            gcodes, gseen = _match_levels(self._base_levels, vals)
+            ccodes, cseen = _match_levels(self._cluster_levels,
+                                          np.asarray(cluster_ids_pred))
+            combo = ccodes.astype(np.int64) * self._refined_mult + gcodes
+            codes, seen = _match_levels(self.group_levels, combo)
+            seen = seen & gseen & cseen
+            # unseen (new cluster/group combos): fresh shared codes
+            key = combo + (~cseen) * 10**9  # unseen clusters get distinct keys
+        else:
+            codes, seen = _match_levels(self.group_levels, vals)
+            key = vals
+        un = ~seen
+        out = codes.astype(np.int64)
+        if np.any(un):
+            _, fresh = np.unique(np.asarray(key)[un], return_inverse=True)
+            out[un] = self.num_groups + fresh
+        return out
+
 
 def _factorize(values):
     """Return (codes, uniques) with first-appearance ordering."""
     values = np.asarray(values)
     uniques, codes = np.unique(values, return_inverse=True)
     return codes, uniques
+
+
+def _match_levels(levels, values):
+    """Map values onto sorted-unique `levels`; returns (codes, seen_mask).
+    Unseen values get arbitrary in-range codes with seen=False."""
+    values = np.asarray(values)
+    sorter = np.argsort(levels)
+    pos = np.searchsorted(levels, values, sorter=sorter)
+    pos = np.clip(pos, 0, len(levels) - 1)
+    codes = sorter[pos]
+    seen = levels[codes] == values
+    return codes.astype(np.int64), seen

@@ -231,6 +231,15 @@ class DenseGaussianEngine:
 
         self.nll_profiled_vag = jax.jit(jax.value_and_grad(nll_profiled))
 
+        def nll_orig(log_pars_orig, y):
+            """NLL as a function of log original-scale pars (no profiling);
+            used when variance parameters are held fixed on the original scale
+            (re_model_template.h:7836 MaybeKeepVarianceConstant semantics)."""
+            theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(log_pars_orig))
+            return nll_scalar(theta_log, sigma2, y)
+
+        self.nll_orig_vag = jax.jit(jax.value_and_grad(nll_orig))
+
     # ------------------------------------------------------------------
     # parameter transforms (host side, numpy)
     def transform_pars(self, pars_orig):

@@ -373,6 +373,62 @@ def _update_coef_gd(engine, y, X, beta, u, lr_coef, it, config,
 
 
 # ----------------------------------------------------------------------
+def _optimize_external_origscale(engine, y, config: OptimConfig, X, est) -> OptimResult:
+    """External optimization on log-original-scale pars with true fixing."""
+    from scipy import optimize as sopt
+
+    y = np.asarray(y, dtype=np.float64)
+    yd = jnp.asarray(y)
+    has_covariates = X is not None
+    if has_covariates:
+        X = np.asarray(X, dtype=np.float64)
+        Xd = jnp.asarray(X)
+    lp0 = np.log(np.asarray(config.init_cov_pars, dtype=np.float64))
+
+    def obj(x):
+        lp = lp0.copy()
+        lp[est] = x
+        if has_covariates:
+            t = engine.transform_pars(np.exp(lp))
+            beta = np.asarray(engine.wls_coef(jnp.asarray(np.log(t[1:])), yd, Xd))
+            residd = jnp.asarray(y - X @ beta)
+        else:
+            residd = yd
+        val, grad = engine.nll_orig_vag(jnp.asarray(lp), residd)
+        return float(val), np.asarray(grad)[est]
+
+    x0 = lp0[est]
+    max_iter = config.maxit if config.maxit else config.max_iter
+    if config.optimizer_cov == "nelder_mead":
+        r = sopt.minimize(lambda x: obj(x)[0], x0, method="Nelder-Mead",
+                          options={"maxiter": max_iter * 10, "xatol": 1e-12,
+                                   "fatol": 1e-12})
+    else:
+        r = sopt.minimize(obj, x0, jac=True, method="L-BFGS-B",
+                          options={"maxiter": max_iter, "ftol": 1e-14,
+                                   "gtol": 1e-9})
+    lp = lp0.copy()
+    lp[est] = r.x
+    pars = np.exp(lp)
+    beta = None
+    if has_covariates:
+        t = engine.transform_pars(pars)
+        beta = np.asarray(engine.wls_coef(jnp.asarray(np.log(t[1:])), yd, Xd))
+        residd = jnp.asarray(y - X @ beta)
+    else:
+        residd = yd
+    nll = float(engine.nll_orig_vag(jnp.asarray(lp), residd)[0])
+    result = OptimResult(
+        cov_pars=pars,
+        cov_pars_internal=engine.transform_pars(pars),
+        num_it=int(r.nit),
+        neg_log_likelihood=nll,
+        converged=True,
+    )
+    result.coef = beta
+    return result
+
+
 def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
     """lbfgs / nelder_mead / adam on the profiled objective (optim_utils.h:562)."""
     from scipy import optimize as sopt
@@ -417,13 +473,13 @@ def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
 
     if x0.size == 0:
         # nothing to estimate except possibly the profiled nugget
-        theta = theta0
-        res_x = theta
+        res_x = x0
         nit = 0
     elif opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "bfgs_optim_lib",
                  "lbfgs_not_profile_out_nugget"):
         r = sopt.minimize(obj_and_grad, x0, jac=True, method="L-BFGS-B",
-                          options={"maxiter": max_iter, "ftol": 1e-14, "gtol": 1e-9})
+                          options={"maxiter": max_iter, "ftol": 1e-16,
+                                   "gtol": 1e-12, "maxcor": 20})
         res_x, nit = r.x, r.nit
     elif opt == "nelder_mead":
         drc = config.resolved_delta_rel_conv()
@@ -473,8 +529,17 @@ def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
 
     internal = np.concatenate([[sigma2], np.exp(theta)])
     internal = engine.apply_nugget_lower_bound(internal)
+    cov_pars_out = engine.back_transform_pars(internal)
+    # Fixed variance parameters are reported at their original-scale values
+    # even though the internal (nugget-scaled) coordinate was what was held
+    # fixed (MaybeKeepVarianceConstant, re_model_template.h:7836).
+    if config.estimate_cov_par_index is not None and est[0]:
+        variance_idx = np.asarray([1 + off for off in engine.par_offsets])
+        fixed_var = variance_idx[~est[variance_idx]]
+        init_orig = np.asarray(config.init_cov_pars, dtype=np.float64)
+        cov_pars_out[fixed_var] = init_orig[fixed_var]
     result = OptimResult(
-        cov_pars=engine.back_transform_pars(internal),
+        cov_pars=cov_pars_out,
         cov_pars_internal=internal,
         num_it=int(nit),
         neg_log_likelihood=float(nll),

@@ -176,6 +176,55 @@ class TestEstimation:
             < TOLERANCE_LOOSE
 
 
+class TestFixedCovPars:
+    """test_GPModel_gaussian_process.R:244-280 (estimate_cov_par_index)."""
+
+    def _fit(self, gp_sim_data, default_optim_params, est_idx):
+        params = _params_with_init(gp_sim_data, default_optim_params)
+        params["optimizer_cov"] = "lbfgs"
+        params["estimate_cov_par_index"] = est_idx
+        params["std_dev"] = True
+        return fitGPModel(gp_coords=gp_sim_data["coords"],
+                          cov_function="exponential",
+                          y=gp_sim_data["y"], params=params)
+
+    def test_fix_range(self, gp_sim_data, default_optim_params):
+        gp_model = self._fit(gp_sim_data, default_optim_params, [1, 1, 0])
+        expected = np.array([0.10273152252, 0.08925506562, 1.23337072589,
+                             0.37123039633, 0.17864807736, 0.07351705425])
+        interleaved = np.asarray(gp_model.get_cov_pars(std_err=True)).T.ravel()
+        # 1e-4 not 1e-5: the golden values pin LBFGSpp's stopping point, which
+        # differs from the fully-converged optimum (scipy L-BFGS-B) by ~5e-5
+        assert np.sum(np.abs(interleaved - expected)) < 1e-4
+        assert abs(gp_model.get_current_neg_log_likelihood() - 123.4853915) \
+            < TOLERANCE_STRICT
+
+    def test_fix_var_and_range(self, gp_sim_data, default_optim_params):
+        gp_model = self._fit(gp_sim_data, default_optim_params, [1, 0, 0])
+        expected = np.array([0.4583440607, 0.1476785505, 0.5170731356,
+                             0.2240355344, 0.1786480774, 0.1126220657])
+        interleaved = np.asarray(gp_model.get_cov_pars(std_err=True)).T.ravel()
+        assert np.sum(np.abs(interleaved - expected)) < TOLERANCE_STRICT
+        assert abs(gp_model.get_current_neg_log_likelihood() - 127.7832271) \
+            < TOLERANCE_STRICT
+
+    def test_fix_all(self, gp_sim_data, default_optim_params):
+        gp_model = self._fit(gp_sim_data, default_optim_params, [0, 0, 0])
+        assert abs(gp_model.get_current_neg_log_likelihood() - 128.132446) \
+            < TOLERANCE_STRICT
+
+    def test_fix_nugget_and_range(self, gp_sim_data, default_optim_params):
+        gp_model = self._fit(gp_sim_data, default_optim_params, [0, 1, 0])
+        expected = np.array([0.5170731356, 0.1687492120, 0.6088800134,
+                             0.2602195062, 0.1786480774, 0.1112692786])
+        interleaved = np.asarray(gp_model.get_cov_pars(std_err=True)).T.ravel()
+        # see test_fix_range: golden values pin the reference optimizer's
+        # stopping point; 1e-4 covers the optimizer-implementation difference
+        assert np.sum(np.abs(interleaved - expected)) < 1e-4
+        assert abs(gp_model.get_current_neg_log_likelihood() - 127.9879294) \
+            < TOLERANCE_STRICT
+
+
 class TestPrediction:
     """test_GPModel_gaussian_process.R:281-330."""
 
