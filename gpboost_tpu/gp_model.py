@@ -11,10 +11,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from .ops.cov_fcts import CovarianceFunction
+from .likelihoods import get_likelihood
 from .models.components import GPComponent, GroupedComponent
 from .models.gaussian_gp import DenseGaussianEngine
 from .models.grouped_re import WoodburyGaussianEngine
-from .models.optimize import OptimConfig, OptimResult, optimize_gaussian
+from .models.laplace import LaplaceDenseEngine
+from .models.optimize import (OptimConfig, OptimResult, optimize_gaussian,
+                              optimize_laplace)
 
 _OPTIM_PARAM_KEYS = {
     "optimizer_cov", "optimizer_coef", "lr_cov", "lr_coef", "use_nesterov_acc",
@@ -148,25 +151,34 @@ class GPModel:
                          else len(self.gp_coords))
         self.cluster_ids = None if cluster_ids is None else np.asarray(cluster_ids)
 
-        if likelihood != "gaussian":
-            raise NotImplementedError(
-                "non-Gaussian likelihoods land with the Laplace-approximation "
-                "layer (gpboost_tpu.models.laplace)")
-
         # Engine selection (analogue of the reference's matrix-format dispatch,
-        # re_model.cpp:77-89): grouped-REs-only models get the q-sized Woodbury
-        # engine, anything with a GP the dense engine.
-        self._use_woodbury = all(c.kind == "grouped" for c in self.components)
-        if self._use_woodbury:
-            if self.cluster_ids is not None:
-                # independence across clusters == refining each grouping by the
-                # cluster id (same level in different clusters -> separate RE)
-                for comp in self.components:
-                    comp.refine_by_cluster(self.cluster_ids)
-            self._engine = WoodburyGaussianEngine(self.components, self.num_data)
+        # re_model.cpp:77-89): grouped-REs-only Gaussian models get the q-sized
+        # Woodbury engine; anything with a GP the dense engine; non-Gaussian
+        # likelihoods the Laplace-approximation engine.
+        self._likelihood_obj = None
+        self._use_woodbury = False
+        if likelihood != "gaussian":
+            self._likelihood_obj = get_likelihood(likelihood,
+                                                  likelihood_additional_param)
+            self._engine = LaplaceDenseEngine(
+                self.components, self.num_data, self._likelihood_obj,
+                cluster_ids=self.cluster_ids)
         else:
-            self._engine = DenseGaussianEngine(
-                self.components, self.num_data, cluster_ids=self.cluster_ids)
+            self._use_woodbury = all(c.kind == "grouped"
+                                     for c in self.components)
+            if self._use_woodbury:
+                if self.cluster_ids is not None:
+                    # independence across clusters == refining each grouping by
+                    # the cluster id (same level in different clusters ->
+                    # separate RE)
+                    for comp in self.components:
+                        comp.refine_by_cluster(self.cluster_ids)
+                self._engine = WoodburyGaussianEngine(self.components,
+                                                      self.num_data)
+            else:
+                self._engine = DenseGaussianEngine(
+                    self.components, self.num_data,
+                    cluster_ids=self.cluster_ids)
 
         self.num_cov_par = self._engine.num_cov_par
 
@@ -193,12 +205,17 @@ class GPModel:
     set_optim_coef_params = set_optim_params
 
     # ------------------------------------------------------------------
-    def _default_init_cov_pars(self, y):
+    def _default_init_cov_pars(self, y, optimizer_cov="lbfgs"):
         """Data-driven initial values (re_model_template.h:4814 FindInitCovPar)."""
         y = np.asarray(y, dtype=np.float64)
-        var = float(np.var(y, ddof=1))
-        pars = [var / 2.0]
-        init_marg_var = (var / 2.0) / len(self.components)
+        if self.likelihood == "gaussian":
+            var = float(np.var(y, ddof=1))
+            pars = [var / 2.0]
+            init_marg_var = (var / 2.0) / len(self.components)
+        else:
+            pars = []
+            init_marg_var = (0.1 if optimizer_cov == "nelder_mead" else 1.0) \
+                / len(self.components)
         for comp in self.components:
             pars.append(init_marg_var)
             if comp.kind == "gp":
@@ -208,25 +225,47 @@ class GPModel:
     # ------------------------------------------------------------------
     def fit(self, y, X=None, params=None, offset=None):
         self.set_optim_params(params or {})
-        y = np.asarray(y, dtype=np.float64)
-        if offset is not None:
-            y = y - np.asarray(offset, dtype=np.float64)
-        self.y = y
         self.X = None if X is None else np.asarray(X, dtype=np.float64)
         cfg = self.params
-        if cfg.init_cov_pars is None:
-            cfg = OptimConfig(**{**cfg.__dict__,
-                                 "init_cov_pars": self._default_init_cov_pars(y)})
-        self._fit_result = optimize_gaussian(self._engine, y, cfg, X=self.X)
+        if self.likelihood != "gaussian":
+            y = self._likelihood_obj.check_y(y)
+            self.y = y
+            if cfg.init_cov_pars is None:
+                cfg = OptimConfig(**{**cfg.__dict__, "init_cov_pars":
+                                     self._default_init_cov_pars(y, cfg.optimizer_cov)})
+            self._fit_result = optimize_laplace(self._engine, y, cfg, X=self.X,
+                                                offset=offset)
+        else:
+            y = np.asarray(y, dtype=np.float64)
+            if offset is not None:
+                y = y - np.asarray(offset, dtype=np.float64)
+            self.y = y
+            if cfg.init_cov_pars is None:
+                cfg = OptimConfig(**{**cfg.__dict__, "init_cov_pars":
+                                     self._default_init_cov_pars(y, cfg.optimizer_cov)})
+            self._fit_result = optimize_gaussian(self._engine, y, cfg, X=self.X)
         self.model_has_been_fitted = True
         return self
 
     def neg_log_likelihood(self, cov_pars=None, y=None, fixed_effects=None, aux_pars=None):
+        cov_pars = self._check_cov_pars(cov_pars)
+        if self.likelihood != "gaussian":
+            y = self._likelihood_obj.check_y(y)
+            if aux_pars is None and self._fit_result is not None:
+                aux_pars = self._fit_result.aux_pars
+            return self._engine.neg_log_likelihood(
+                cov_pars, y, aux_pars=aux_pars, fixed_effects=fixed_effects)
         y = np.asarray(y, dtype=np.float64)
         if fixed_effects is not None:
             y = y - np.asarray(fixed_effects, dtype=np.float64)
-        cov_pars = self._check_cov_pars(cov_pars)
         return self._engine.neg_log_likelihood(cov_pars, y)
+
+    def get_aux_pars(self):
+        r = self._require_fit()
+        return None if r.aux_pars is None else r.aux_pars.copy()
+
+    def get_num_aux_pars(self):
+        return self._engine.num_aux if self.likelihood != "gaussian" else 0
 
     def _check_cov_pars(self, cov_pars):
         cov_pars = np.asarray(cov_pars, dtype=np.float64)
@@ -278,6 +317,14 @@ class GPModel:
                 raise ValueError("y not provided and model not fitted with y")
             y = self.y
         y = np.asarray(y, dtype=np.float64)
+
+        if self.likelihood != "gaussian":
+            return self._predict_non_gaussian(
+                y, group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
+                gp_rand_coef_data_pred, cluster_ids_pred, X_pred,
+                predict_cov_mat, predict_var, cov_pars, predict_response,
+                offset, offset_pred, fixed_effects, fixed_effects_pred)
+
         resid = y.copy()
         if fixed_effects is not None:
             resid = resid - np.asarray(fixed_effects, dtype=np.float64)
@@ -304,6 +351,49 @@ class GPModel:
             out["mu"] = out["mu"] + np.asarray(offset_pred, dtype=np.float64)
         if fixed_effects_pred is not None:
             out["mu"] = out["mu"] + np.asarray(fixed_effects_pred, dtype=np.float64)
+        for k in ("cov", "var"):
+            if k not in out:
+                out[k] = None
+        return out
+
+    def _predict_non_gaussian(self, y, group_data_pred, group_rand_coef_data_pred,
+                              gp_coords_pred, gp_rand_coef_data_pred,
+                              cluster_ids_pred, X_pred, predict_cov_mat,
+                              predict_var, cov_pars, predict_response,
+                              offset, offset_pred, fixed_effects,
+                              fixed_effects_pred):
+        n = self.num_data
+        F = np.zeros(n)
+        if offset is not None:
+            F = F + np.asarray(offset, dtype=np.float64)
+        if fixed_effects is not None:
+            F = F + np.asarray(fixed_effects, dtype=np.float64)
+        coef = None
+        aux_pars = None
+        a_init = None
+        if self._fit_result is not None:
+            coef = self._fit_result.coef
+            aux_pars = self._fit_result.aux_pars
+            a_init = self._fit_result.mode_state
+            if coef is not None and self.X is not None:
+                F = F + self.X @ coef
+        pred_data = self._build_pred_data(
+            group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
+            gp_rand_coef_data_pred, cluster_ids_pred)
+        F_pred = None
+        if predict_response:
+            n_pred = pred_data["n_pred"]
+            F_pred = np.zeros(n_pred)
+            if offset_pred is not None:
+                F_pred = F_pred + np.asarray(offset_pred, dtype=np.float64)
+            if fixed_effects_pred is not None:
+                F_pred = F_pred + np.asarray(fixed_effects_pred, dtype=np.float64)
+            if coef is not None and X_pred is not None:
+                F_pred = F_pred + np.asarray(X_pred, dtype=np.float64) @ coef
+        out = self._engine.predict(
+            cov_pars, aux_pars, y, F, pred_data, a_init=a_init,
+            predict_var=predict_var, predict_cov_mat=predict_cov_mat,
+            predict_response=predict_response, F_pred=F_pred)
         for k in ("cov", "var"):
             if k not in out:
                 out[k] = None

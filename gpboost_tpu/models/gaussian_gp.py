@@ -33,6 +33,35 @@ import jax.scipy.linalg as jsl
 from .components import GPComponent, GroupedComponent
 
 
+def assemble_pred_covs(components, par_offsets, comp_vars, theta_log,
+                       pred_data, n, dtype):
+    """Cross (n, n_pred) and prediction (n_pred, n_pred) covariance matrices
+    on the original scale (AddPredCovMatrices, re_comp.h:494)."""
+    n_pred = pred_data["n_pred"]
+    K_cross = jnp.zeros((n, n_pred), dtype=dtype)
+    K_pred = jnp.zeros((n_pred, n_pred), dtype=dtype)
+    for comp, off, v, pd in zip(components, par_offsets, comp_vars,
+                                pred_data["comps"]):
+        if comp.kind == "grouped":
+            Kc = jnp.asarray(pd["cross_W"], dtype)
+            Kp = jnp.asarray(pd["pred_W"], dtype)
+            K_cross = K_cross + v * Kc
+            K_pred = K_pred + v * Kp
+        else:
+            alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
+            Kc = comp.cross_corr(pd["coords_pred"], alphas)
+            Kp = comp.pred_corr(pd["coords_pred"], alphas)
+            if pd.get("cross_W") is not None:
+                Kc = Kc * jnp.asarray(pd["cross_W"], dtype)
+                Kp = Kp * jnp.asarray(pd["pred_W"], dtype)
+            K_cross = K_cross + v * Kc
+            K_pred = K_pred + v * Kp
+    if pred_data.get("cross_cluster_mask") is not None:
+        K_cross = K_cross * jnp.asarray(pred_data["cross_cluster_mask"], dtype)
+        K_pred = K_pred * jnp.asarray(pred_data["pred_cluster_mask"], dtype)
+    return K_cross, K_pred
+
+
 def _range_to_transformed_jnp(comp, rho):
     """Differentiable rho -> alpha transform (mirrors CovarianceFunction)."""
     t = comp.cov_fn.cov_fct_type
@@ -47,8 +76,9 @@ def _range_to_transformed_jnp(comp, rho):
     raise AssertionError(t)
 
 
-class DenseGaussianEngine:
-    """Marginal NLL, gradients, Fisher information, prediction — dense path."""
+class DenseSigmaAssembly:
+    """Shared dense covariance assembly Sigma(theta) = sum_j v_j (W_j ∘ K_j)
+    over the random-effect components, with cluster-independence masking."""
 
     def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64):
         self.components = list(components)
@@ -63,7 +93,6 @@ class DenseGaussianEngine:
             self.cluster_codes = None
             self._cluster_mask = None
 
-        # static per-component data on device
         self._comp_static = []
         offset = 0
         self.par_offsets = []
@@ -87,20 +116,18 @@ class DenseGaussianEngine:
                 "W": None if W is None else jnp.asarray(W, dtype=dtype),
                 "D": D,
             })
-        self.num_theta = offset          # number of component cov pars
-        self.num_cov_par = offset + 1    # + nugget
+        self.num_theta = offset
 
-        self._build_jitted()
-
-    # ------------------------------------------------------------------
-    def psi_tilde(self, theta_log):
-        """Scaled covariance I + sum_j v_tilde_j (W_j ∘ K_j)."""
+    def sigma(self, theta_log):
+        """sum_j v_j (W_j ∘ K_j(alpha_j)) with v_j = exp(theta_log[offset_j])."""
         n = self.n
-        M = jnp.eye(n, dtype=self.dtype)
-        for comp, static, off in zip(self.components, self._comp_static, self.par_offsets):
+        M = jnp.zeros((n, n), dtype=self.dtype)
+        for comp, static, off in zip(self.components, self._comp_static,
+                                     self.par_offsets):
             v = jnp.exp(theta_log[off])
             if comp.kind == "grouped":
-                K = static["W"] if static["W"] is not None else jnp.ones((n, n), self.dtype)
+                K = static["W"] if static["W"] is not None \
+                    else jnp.ones((n, n), self.dtype)
                 M = M + v * K
             else:
                 alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
@@ -112,6 +139,29 @@ class DenseGaussianEngine:
                     K = K * static["W"]
                 M = M + v * K
         return M
+
+
+class DenseGaussianEngine:
+    """Marginal NLL, gradients, Fisher information, prediction — dense path."""
+
+    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64):
+        self._assembly = DenseSigmaAssembly(components, num_data,
+                                            cluster_ids=cluster_ids, dtype=dtype)
+        self.components = self._assembly.components
+        self.n = self._assembly.n
+        self.dtype = dtype
+        self.cluster_codes = self._assembly.cluster_codes
+        self._comp_static = self._assembly._comp_static
+        self.par_offsets = self._assembly.par_offsets
+        self.num_theta = self._assembly.num_theta
+        self.num_cov_par = self.num_theta + 1    # + nugget
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def psi_tilde(self, theta_log):
+        """Scaled covariance I + sum_j v_tilde_j (W_j ∘ K_j)."""
+        return jnp.eye(self.n, dtype=self.dtype) + self._assembly.sigma(theta_log)
 
     def psi_original(self, pars_orig):
         """Unscaled covariance sigma2*I + sum v_j (W_j ∘ K_j(rho_j)) from original pars."""
@@ -311,28 +361,11 @@ class DenseGaussianEngine:
         M = self.psi_tilde(theta_log)           # Psi / sigma2
         L = jnp.linalg.cholesky(M)
 
+        K_cross, K_pred = assemble_pred_covs(
+            self.components, self.par_offsets,
+            [pars_orig[1 + off] for off in self.par_offsets],
+            theta_log, pred_data, self.n, self.dtype)
         n_pred = pred_data["n_pred"]
-        K_cross = jnp.zeros((self.n, n_pred), dtype=self.dtype)
-        K_pred = jnp.zeros((n_pred, n_pred), dtype=self.dtype)
-        for comp, off, pd in zip(self.components, self.par_offsets, pred_data["comps"]):
-            v = pars_orig[1 + off]
-            if comp.kind == "grouped":
-                Kc = jnp.asarray(pd["cross_W"], self.dtype)
-                Kp = jnp.asarray(pd["pred_W"], self.dtype)
-                K_cross = K_cross + v * Kc
-                K_pred = K_pred + v * Kp
-            else:
-                alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
-                Kc = comp.cross_corr(pd["coords_pred"], alphas)
-                Kp = comp.pred_corr(pd["coords_pred"], alphas)
-                if pd.get("cross_W") is not None:
-                    Kc = Kc * jnp.asarray(pd["cross_W"], self.dtype)
-                    Kp = Kp * jnp.asarray(pd["pred_W"], self.dtype)
-                K_cross = K_cross + v * Kc
-                K_pred = K_pred + v * Kp
-        if pred_data.get("cross_cluster_mask") is not None:
-            K_cross = K_cross * jnp.asarray(pred_data["cross_cluster_mask"], self.dtype)
-            K_pred = K_pred * jnp.asarray(pred_data["pred_cluster_mask"], self.dtype)
 
         # Psi^-1 = M^-1 / sigma2
         alpha_v = jsl.cho_solve((L, True), y_resid) / sigma2

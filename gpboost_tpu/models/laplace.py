@@ -1,0 +1,332 @@
+"""Laplace-approximation engine for non-Gaussian likelihoods (dense path).
+
+Reference: likelihoods.h:2808 FindModePostRandEffCalcMLLStable (the numerically
+stable Rasmussen & Williams formulation with the a = Sigma^-1 mode
+parameterization), :4230 CalcGradNegMargLikelihoodLaplaceApproxStable,
+:7253 PredictLaplaceApprox*, :9581 PredictResponse.
+
+Approximate negative marginal log-likelihood:
+
+    nll(theta, aux) = -[ -0.5 a' Sigma a + loglik(Sigma a + F) ]
+                      + sum log diag chol(I + sqrt(W) Sigma sqrt(W)),
+    a solves a = d1(Sigma a + F)    (mode condition; mode b = Sigma a)
+
+Mode finding is a jitted lax.while_loop with Armijo backtracking (c=1e-4, max
+20 halvings, delta_conv 1e-8 — likelihoods.h:17261-17277); the mode state a is
+carried across optimizer iterations (warm start, mode_previous_value semantics).
+
+Gradients wrt covariance parameters, auxiliary likelihood parameters and fixed
+effects F come from ONE implicit-function-theorem custom_vjp around the solved
+mode — replacing the reference's ~5k lines of per-structure handwritten
+gradient code. The adjoint solve uses (I + Sigma W)^-1 = I - Sigma sqrt(W)
+B^-1 sqrt(W) with B = I + sqrt(W) Sigma sqrt(W) (SPD, Cholesky).
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .gaussian_gp import DenseSigmaAssembly
+
+DELTA_CONV_MODE = 1e-8
+MAXIT_MODE_NEWTON = 1000
+MAX_LR_SHRINK_MODE = 20
+C_ARMIJO = 1e-4
+
+
+class LaplaceDenseEngine:
+    """Laplace-approximated marginal NLL / gradients / prediction."""
+
+    is_gaussian = False
+
+    def __init__(self, components, num_data, likelihood, cluster_ids=None,
+                 dtype=jnp.float64):
+        self._assembly = DenseSigmaAssembly(components, num_data,
+                                            cluster_ids=cluster_ids, dtype=dtype)
+        self.components = self._assembly.components
+        self.n = self._assembly.n
+        self.dtype = dtype
+        self.likelihood = likelihood
+        self.par_offsets = self._assembly.par_offsets
+        self.num_theta = self._assembly.num_theta     # cov pars (no nugget)
+        self.num_cov_par = self.num_theta             # reference naming
+        self.num_aux = likelihood.num_aux
+        self.num_par = self.num_theta + self.num_aux
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        n = self.n
+        lik = self.likelihood
+        sigma_fn = self._assembly.sigma
+
+        def _loglik(y, loc, aux):
+            return jnp.sum(lik.log_lik(y, loc, aux))
+
+        def _d1(y, loc, aux):
+            return jax.grad(lambda l: _loglik(y, l, aux))(loc)
+
+        def _W(y, loc, aux):
+            return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
+
+        def _mode_solve(Sigma, aux, y, F, a_init):
+            """R&W stable Newton with Armijo backtracking; returns
+            (a, mode, obj) with obj = -0.5 a'mode + loglik at the mode."""
+            mode0 = Sigma @ a_init
+            obj0 = -0.5 * (a_init @ mode0) + _loglik(y, mode0 + F, aux)
+
+            def newton_body(carry):
+                a, mode, obj, it, done = carry
+                loc = mode + F
+                d1 = _d1(y, loc, aux)
+                W = _W(y, loc, aux)
+                sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                B = jnp.eye(n, dtype=Sigma.dtype) \
+                    + (sW[:, None] * Sigma) * sW[None, :]
+                L = jnp.linalg.cholesky(B)
+                rhs = W * mode + d1
+                rhs2 = sW * (Sigma @ rhs)
+                a_upd = rhs - sW * jsl.cho_solve((L, True), rhs2)
+                mode_upd = Sigma @ a_upd
+                direction = mode_upd - mode
+                grad_dot_dir = direction @ (a_upd - a + W * direction)
+
+                def bt_cond(bt):
+                    lr, ih, accepted, _, _, _ = bt
+                    return jnp.logical_and(~accepted, ih < MAX_LR_SHRINK_MODE)
+
+                def bt_body(bt):
+                    lr, ih, _, _, _, _ = bt
+                    a_new = jnp.where(ih == 0, 1.0, lr) * a_upd \
+                        + jnp.where(ih == 0, 0.0, 1.0 - lr) * a
+                    mode_new = jnp.where(ih == 0, 1.0, lr) * mode_upd \
+                        + jnp.where(ih == 0, 0.0, 1.0 - lr) * mode
+                    obj_new = -0.5 * (a_new @ mode_new) \
+                        + _loglik(y, mode_new + F, aux)
+                    ok = obj_new >= (obj + C_ARMIJO * lr * grad_dot_dir)
+                    ok = jnp.logical_and(ok, jnp.isfinite(obj_new))
+                    lr_next = jnp.where(ok, lr, lr * 0.5)
+                    return (lr_next, ih + 1, ok, a_new, mode_new, obj_new)
+
+                bt0 = (jnp.asarray(1.0, Sigma.dtype), 0, False,
+                       a, mode, obj)
+                _, _, _, a_new, mode_new, obj_new = jax.lax.while_loop(
+                    bt_cond, bt_body, bt0)
+
+                rel = DELTA_CONV_MODE * jnp.abs(obj)
+                converged = jnp.where(
+                    it == 0,
+                    jnp.abs(obj_new - obj) < rel,
+                    (obj_new - obj) < rel)
+                bad = ~jnp.isfinite(obj_new)
+                return (a_new, mode_new, obj_new, it + 1,
+                        jnp.logical_or(converged, bad))
+
+            def newton_cond(carry):
+                _, _, _, it, done = carry
+                return jnp.logical_and(~done, it < MAXIT_MODE_NEWTON)
+
+            a_fin, mode_fin, obj_fin, nit, _ = jax.lax.while_loop(
+                newton_cond, newton_body,
+                (a_init, mode0, obj0, 0, False))
+            return a_fin, mode_fin, obj_fin, nit
+
+        def _g(u, F, a, y):
+            """nll expression at a FIXED a (mode = Sigma a); the logdet W-term
+            depends on a, which the implicit-diff backward pass accounts for."""
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            mode = Sigma @ a
+            loc = mode + F
+            W = _W(y, loc, aux)
+            sW = jnp.sqrt(jnp.maximum(W, 0.0))
+            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
+            L = jnp.linalg.cholesky(B)
+            return (0.5 * (a @ mode) - _loglik(y, loc, aux)
+                    + jnp.sum(jnp.log(jnp.diagonal(L))))
+
+        def _r(u, F, a, y):
+            """Mode residual r = a - d1(Sigma a + F)."""
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            return a - _d1(y, Sigma @ a + F, aux)
+
+        @jax.custom_vjp
+        def nll_fn(u, F, y, a_init):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
+            nll = _g(u, F, a, y)
+            return nll, a
+
+        def nll_fwd(u, F, y, a_init):
+            out = nll_fn(u, F, y, a_init)
+            return out, (u, F, y, out[1])
+
+        def nll_bwd(res, ct):
+            ct_nll = ct[0]           # cotangent of a (ct[1]) is ignored:
+            u, F, y, a = res         # callers never differentiate the mode
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            loc = Sigma @ a + F
+            W = _W(y, loc, aux)
+            sW = jnp.sqrt(jnp.maximum(W, 0.0))
+            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
+            L = jnp.linalg.cholesky(B)
+            g_u, g_F, g_a = jax.grad(_g, argnums=(0, 1, 2))(u, F, a, y)
+            # adjoint: lam = (I + Sigma W)^-1 g_a = (I - Sigma sW B^-1 sW) g_a
+            lam = g_a - Sigma @ (sW * jsl.cho_solve((L, True), sW * g_a))
+            _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, a, y), u, F)
+            ru_l, rF_l = r_vjp(lam)
+            du = (g_u - ru_l) * ct_nll
+            dF = (g_F - rF_l) * ct_nll
+            return du, dF, None, None
+
+        nll_fn.defvjp(nll_fwd, nll_bwd)
+
+        self._nll_fn = jax.jit(nll_fn)
+        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+                                                 has_aux=True))
+
+        def predict_latent(u, F, y, a_init, Kcross, Kpred_diag):
+            """Latent posterior mean/var at prediction points
+            (PredictLaplaceApproxStable, likelihoods.h:7253)."""
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
+            loc = mode + F
+            W = _W(y, loc, aux)
+            sW = jnp.sqrt(jnp.maximum(W, 0.0))
+            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
+            L = jnp.linalg.cholesky(B)
+            mu_p = Kcross.T @ a
+            V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
+            var_red = jnp.sum((sW[:, None] * Kcross) * V, axis=0)
+            return mu_p, Kpred_diag - var_red, a
+
+        self._predict_latent = jax.jit(predict_latent)
+
+        def predict_latent_cov(u, F, y, a_init, Kcross, Kpred):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            Sigma = sigma_fn(theta_log)
+            a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
+            loc = mode + F
+            W = _W(y, loc, aux)
+            sW = jnp.sqrt(jnp.maximum(W, 0.0))
+            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
+            L = jnp.linalg.cholesky(B)
+            mu_p = Kcross.T @ a
+            V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
+            cov_p = Kpred - (sW[:, None] * Kcross).T @ V
+            return mu_p, cov_p, a
+
+        self._predict_latent_cov = jax.jit(predict_latent_cov)
+
+    # ------------------------------------------------------------------
+    # host-facing API
+    def zero_mode(self):
+        return jnp.zeros(self.n, dtype=self.dtype)
+
+    def laplace_nll(self, u, y, F, a_init):
+        nll, a = self._nll_fn(jnp.asarray(u, self.dtype), F, y, a_init)
+        return float(nll), a
+
+    def laplace_vag(self, u, y, F, a_init):
+        (nll, a), grad = self._vag(jnp.asarray(u, self.dtype), F, y, a_init)
+        return float(nll), np.asarray(grad), a
+
+    def laplace_vag_F(self, u, y, F, a_init):
+        (nll, a), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype), F, y, a_init)
+        return float(nll), np.asarray(gu), np.asarray(gF), a
+
+    # parameter transforms (sigma2 = 1 for non-Gaussian, cov_fcts.h:501)
+    def transform_pars(self, pars_orig):
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        out = []
+        for comp, off in zip(self.components, self.par_offsets):
+            out.append(pars_orig[off])
+            if comp.num_cov_par > 1:
+                rho = pars_orig[off + 1: off + comp.num_cov_par]
+                out.extend(np.atleast_1d(comp.cov_fn.range_to_transformed(rho)))
+        return np.asarray(out)
+
+    def back_transform_pars(self, pars_internal):
+        t = np.asarray(pars_internal, dtype=np.float64)
+        out = []
+        for comp, off in zip(self.components, self.par_offsets):
+            out.append(t[off])
+            if comp.num_cov_par > 1:
+                alphas = t[off + 1: off + comp.num_cov_par]
+                out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(alphas)))
+        return np.asarray(out)
+
+    def predict(self, pars_orig, aux_pars, y, F, pred_data, a_init=None,
+                predict_var=False, predict_cov_mat=False, predict_response=False,
+                F_pred=None):
+        """Laplace-approximate predictions (PredictLaplaceApproxStable +
+        PredictResponse, likelihoods.h:7253/:9581)."""
+        from .gaussian_gp import assemble_pred_covs
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        t = self.transform_pars(pars_orig)
+        u = np.log(t)
+        if self.num_aux:
+            if aux_pars is None:
+                aux_pars = self.likelihood.init_aux(np.asarray(y))
+            u = np.concatenate([u, np.log(np.asarray(aux_pars, dtype=np.float64))])
+        aux_d = jnp.exp(jnp.asarray(u[self.num_theta:], self.dtype))
+        theta_log = jnp.asarray(u[:self.num_theta], self.dtype)
+        comp_vars = [t[off] for off in self.par_offsets]
+        K_cross, K_pred = assemble_pred_covs(
+            self.components, self.par_offsets, comp_vars, theta_log,
+            pred_data, self.n, self.dtype)
+        yd = jnp.asarray(y, self.dtype)
+        Fd = jnp.asarray(F, self.dtype)
+        if a_init is None:
+            a_init = self.zero_mode()
+        ud = jnp.asarray(u, self.dtype)
+        out = {}
+        if predict_cov_mat:
+            mu, cov, _ = self._predict_latent_cov(ud, Fd, yd, a_init,
+                                                  K_cross, K_pred)
+            var = jnp.diagonal(cov)
+        else:
+            mu, var, _ = self._predict_latent(ud, Fd, yd, a_init, K_cross,
+                                              jnp.diagonal(K_pred))
+            cov = None
+        if predict_response:
+            mu_tot = mu if F_pred is None else mu + jnp.asarray(F_pred, self.dtype)
+            m, v = self.likelihood.response_mean_var(mu_tot,
+                                                     jnp.maximum(var, 0.0), aux_d)
+            out["mu"] = np.asarray(m)
+            if predict_var or predict_cov_mat:
+                out["var"] = np.asarray(v)
+        else:
+            out["mu"] = np.asarray(mu)
+            if predict_cov_mat:
+                out["cov"] = np.asarray(cov)
+            if predict_var:
+                out["var"] = np.asarray(var).copy()
+        return out
+
+    def neg_log_likelihood(self, pars_orig, y, aux_pars=None, fixed_effects=None):
+        t = self.transform_pars(pars_orig)
+        if aux_pars is None:
+            aux_pars = self.likelihood.init_aux(np.asarray(y))
+        u = np.concatenate([np.log(t), np.log(np.asarray(aux_pars, dtype=np.float64))]) \
+            if self.num_aux else np.log(t)
+        F = jnp.zeros(self.n, self.dtype) if fixed_effects is None \
+            else jnp.asarray(fixed_effects, self.dtype)
+        yd = jnp.asarray(y, self.dtype)
+        nll, _ = self.laplace_nll(u, yd, F, self.zero_mode())
+        return nll

@@ -51,6 +51,8 @@ class OptimConfig:
     std_dev: bool = False
     maxit: Optional[int] = None     # alias used by reference tests for lbfgs
     trace: bool = False
+    init_aux_pars: Optional[np.ndarray] = None
+    estimate_aux_pars: bool = True
 
     def resolved_lr_cov(self):
         if self.lr_cov < 0:
@@ -74,6 +76,8 @@ class OptimResult:
     std_dev_coef: Optional[np.ndarray] = None
     converged: bool = False
     trajectory: Optional[list] = None
+    aux_pars: Optional[np.ndarray] = None
+    mode_state: object = None
 
 
 def nesterov_mu(it, version, acc_rate, momentum_offset):
@@ -121,13 +125,82 @@ def _est_mask(engine, config):
     return m
 
 
-def _coef_state(engine, y, X, config):
-    """Initial beta / residual handling. Returns (beta, resid)."""
-    if X is None:
-        return None, np.asarray(y, dtype=np.float64)
-    X = np.asarray(X, dtype=np.float64)
-    beta = np.zeros(X.shape[1])
-    return beta, np.asarray(y, dtype=np.float64) - X @ beta
+C_MAX_CHANGE_COEF = 10.0
+
+
+class CovariateHandler:
+    """Covariate scaling, intercept detection/initialisation and the
+    coefficient learning-rate cap (re_model_template.h:1206-1278 covariate
+    scaling, :5393 MaximalLearningRateCoef, likelihoods.h:1435/2593)."""
+
+    def __init__(self, X, scale):
+        self.X_orig = np.asarray(X, dtype=np.float64)
+        n, k = self.X_orig.shape
+        self.k = k
+        self.intercept_col = None
+        for icol in range(k):
+            if np.all(self.X_orig[:, icol] == self.X_orig[0, icol]):
+                self.intercept_col = icol
+                break
+        self.scale = scale and not (self.intercept_col is not None and k == 1)
+        if self.scale:
+            self.loc = np.zeros(k)
+            self.sd = np.ones(k)
+            self.X = self.X_orig.copy()
+            for icol in range(k):
+                if icol == self.intercept_col:
+                    continue
+                self.loc[icol] = self.X_orig[:, icol].mean()
+                centered = self.X_orig[:, icol] - self.loc[icol]
+                self.sd[icol] = np.sqrt(np.mean(centered ** 2))
+                self.X[:, icol] = centered / self.sd[icol]
+        else:
+            self.X = self.X_orig
+
+    def init_beta(self, likelihood, y, tot_var, F=None):
+        beta = np.zeros(self.k)
+        if self.intercept_col is not None:
+            if likelihood is None:   # gaussian
+                z = y if F is None else y - np.asarray(F)
+                beta[self.intercept_col] = float(np.mean(z)) \
+                    / self.X_orig[0, self.intercept_col]
+            else:
+                beta[self.intercept_col] = likelihood.init_intercept(y, tot_var, F) \
+                    / self.X_orig[0, self.intercept_col]
+        return beta
+
+    def back_transform(self, beta):
+        """Scaled-X coefficients -> original-X coefficients."""
+        if not self.scale:
+            return beta
+        out = beta.copy()
+        shift = 0.0
+        for icol in range(self.k):
+            if icol == self.intercept_col:
+                continue
+            out[icol] = beta[icol] / self.sd[icol]
+            shift += self.loc[icol] * out[icol]
+        if self.intercept_col is not None:
+            out[self.intercept_col] = beta[self.intercept_col] \
+                - shift / self.X_orig[0, self.intercept_col]
+        return out
+
+    def max_lr(self, beta, neg_step, C_mu, C_sigma2):
+        n = self.X.shape[0]
+        lp_change = self.X @ neg_step
+        lp_lag1 = self.X @ beta
+        mean_c = lp_change.mean()
+        var_c = np.mean(lp_change ** 2) - mean_c ** 2
+        cov_lc = np.mean(lp_change * lp_lag1) - mean_c * lp_lag1.mean()
+        out = np.inf
+        if abs(mean_c) > 0:
+            out = C_mu * C_MAX_CHANGE_COEF / abs(mean_c)
+        if var_c > 0:
+            max_lr_var = (abs(cov_lc) + np.sqrt(
+                cov_lc * cov_lc + 4 * var_c * C_sigma2 * C_MAX_CHANGE_COEF)) \
+                / 2.0 / var_c
+            out = min(out, max_lr_var)
+        return out
 
 
 def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
@@ -139,16 +212,26 @@ def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
     use_nesterov = config.use_nesterov_acc and opt == "gradient_descent"
     delta_rel_conv = config.resolved_delta_rel_conv()
     has_covariates = X is not None
+    handler = None
+    C_mu = C_sigma2 = 1.0
+    y = np.asarray(y, dtype=np.float64)
     if has_covariates:
-        X = np.asarray(X, dtype=np.float64)
+        handler = CovariateHandler(
+            X, scale=(config.optimizer_coef == "gradient_descent"))
+        X = handler.X
         Xd = jnp.asarray(X)
+        C_mu = abs(float(np.mean(y)))
+        C_sigma2 = float(np.var(y))
 
     t = engine.transform_pars(np.asarray(config.init_cov_pars, dtype=np.float64))
     u = np.log(t)                      # internal log pars [log s2, log vt, log a]
-    y = np.asarray(y, dtype=np.float64)
     yd = jnp.asarray(y)
 
-    beta = np.zeros(X.shape[1]) if has_covariates else None
+    beta = None
+    if has_covariates:
+        beta = (handler.init_beta(None, y, 0.0)
+                if config.optimizer_coef == "gradient_descent"
+                else np.zeros(X.shape[1]))
     beta_after_grad = beta.copy() if has_covariates else None
     beta_after_grad_lag1 = beta.copy() if has_covariates else None
     lr_coef = config.lr_coef
@@ -184,7 +267,8 @@ def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
                 beta, resid, nll_after_coef, quad, lr_coef, beta_after_grad, \
                     beta_after_grad_lag1 = _update_coef_gd(
                         engine, y, X, beta, u, lr_coef, it, config,
-                        nll_lag1, beta_after_grad, beta_after_grad_lag1)
+                        nll_lag1, beta_after_grad, beta_after_grad_lag1,
+                        handler, C_mu, C_sigma2)
                 residd = jnp.asarray(resid)
             else:
                 raise ValueError(f"optimizer_coef '{config.optimizer_coef}'")
@@ -317,28 +401,21 @@ def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
         trajectory=trajectory,
     )
     if has_covariates:
-        result.coef = beta
+        result.coef = handler.back_transform(beta)
     return result
 
 
 def _update_coef_gd(engine, y, X, beta, u, lr_coef, it, config,
-                    nll_lag1, beta_after_grad, beta_after_grad_lag1):
+                    nll_lag1, beta_after_grad, beta_after_grad_lag1,
+                    handler, C_mu, C_sigma2):
     """One gradient-descent step for linear coefficients
     (re_model_template.h:9106 UpdateLinCoef)."""
     sigma2 = np.exp(u[0])
     resid = y - X @ beta
     g_beta = np.asarray(engine.coef_grad(
         jnp.asarray(u[1:]), jnp.asarray(sigma2), jnp.asarray(resid), jnp.asarray(X)))
-    # AvoidTooLargeLearningRateCoef: cap so linear-predictor change stays bounded
-    lp_change = X @ g_beta
-    lp_lag = X @ beta
-    denom = np.std(lp_change) * 10.0
-    sd_lag = np.std(lp_lag)
-    max_lr = np.inf
-    if denom > 0:
-        max_lr = max(sd_lag, np.std(y)) * 10.0 / np.std(lp_change) \
-            if np.std(lp_change) > 0 else np.inf
-    lr_coef = min(lr_coef, max_lr)
+    # AvoidTooLargeLearningRateCoef (re_model_template.h:5393)
+    lr_coef = min(lr_coef, handler.max_lr(beta, g_beta, C_mu, C_sigma2))
     dir_deriv = -float(g_beta @ g_beta)
     use_acc = config.use_nesterov_acc and config.optimizer_coef == "gradient_descent"
     mom_dir_deriv = float(g_beta @ (beta - beta_after_grad)) if use_acc else 0.0
@@ -370,6 +447,295 @@ def _update_coef_gd(engine, y, X, beta, u, lr_coef, it, config,
     beta_after_grad_lag1 = beta_grad_new.copy()
     return (beta_new, resid_new, nll_new, quad_new, lr_coef,
             beta_grad_new, beta_after_grad_lag1)
+
+
+# ----------------------------------------------------------------------
+def optimize_laplace(engine, y, config: OptimConfig, X=None,
+                     offset=None) -> OptimResult:
+    """Estimate (cov pars, aux pars, coefs) for non-Gaussian likelihoods via
+    the Laplace approximation (OptimLinRegrCoefCovPar non-Gaussian branch)."""
+    opt = config.optimizer_cov
+    if opt in ("gradient_descent",):
+        return _optimize_laplace_gd(engine, y, config, X, offset)
+    if opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "nelder_mead", "adam",
+               "bfgs_optim_lib"):
+        return _optimize_laplace_external(engine, y, config, X, offset)
+    if opt in ("fisher_scoring", "newton"):
+        raise ValueError(
+            f"optimizer_cov '{opt}' is not supported for non-Gaussian likelihoods")
+    raise ValueError(f"optimizer_cov '{opt}' is not supported")
+
+
+def _laplace_u0(engine, y, config):
+    """Initial internal parameter vector [log cov pars (transformed), log aux]."""
+    t = engine.transform_pars(np.asarray(config.init_cov_pars, dtype=np.float64))
+    u = np.log(t)
+    if engine.num_aux:
+        if getattr(config, "init_aux_pars", None) is not None:
+            aux0 = np.asarray(config.init_aux_pars, dtype=np.float64)
+        else:
+            aux0 = engine.likelihood.init_aux(np.asarray(y))
+        u = np.concatenate([u, np.log(aux0)])
+    return u
+
+
+def _laplace_est_mask(engine, config):
+    est = np.ones(engine.num_par, dtype=bool)
+    if config.estimate_cov_par_index is not None:
+        idx = np.asarray(config.estimate_cov_par_index)
+        est[:engine.num_theta] = idx > 0
+    if engine.num_aux and not getattr(config, "estimate_aux_pars", True):
+        est[engine.num_theta:] = False
+    return est
+
+
+def _optimize_laplace_gd(engine, y, config: OptimConfig, X=None, offset=None):
+    import jax.numpy as jnp
+
+    n = engine.n
+    est = _laplace_est_mask(engine, config)
+    p_cov = engine.num_theta
+    use_nesterov = config.use_nesterov_acc
+    delta_rel_conv = config.resolved_delta_rel_conv()
+    yd = jnp.asarray(np.asarray(y, dtype=np.float64))
+    has_covariates = X is not None
+    offs = np.zeros(n) if offset is None else np.asarray(offset, dtype=np.float64)
+    u = _laplace_u0(engine, y, config)
+    handler = None
+    beta = None
+    C_mu = C_sigma2 = 1.0
+    if has_covariates:
+        handler = CovariateHandler(X, scale=True)
+        X = handler.X
+        tot_var = float(np.sum(np.asarray(config.init_cov_pars)[
+            [off for off in engine.par_offsets]]))
+        beta = handler.init_beta(engine.likelihood, y, tot_var,
+                                 None if offset is None else offs)
+        C_mu, C_sigma2 = engine.likelihood.cap_constants(np.asarray(y), offs)
+    beta_after_grad = beta.copy() if has_covariates else None
+    beta_after_grad_lag1 = beta.copy() if has_covariates else None
+    lr_coef = config.lr_coef
+
+    def F_of(beta_):
+        F = offs.copy()
+        if has_covariates and beta_ is not None:
+            F = F + X @ beta_
+        return jnp.asarray(F)
+    a_state = engine.zero_mode()
+    Fd = F_of(beta)
+    nll, a_state = engine.laplace_nll(u, yd, Fd, a_state)
+
+    lr_cov = config.resolved_lr_cov()
+    lr_aux = lr_cov
+    pars_after_grad = np.exp(u).copy()
+    pars_after_grad_lag1 = np.exp(u).copy()
+    max_iter = config.maxit if config.maxit else config.max_iter
+    num_it = max_iter
+    converged = False
+
+    for it in range(max_iter):
+        nll_lag1 = nll
+        u_lag1 = u.copy()
+
+        # ---- coefficient gradient-descent step --------------------------
+        if has_covariates:
+            nll_b, gu, gF, _ = engine.laplace_vag_F(u, yd, F_of(beta), a_state)
+            g_beta = X.T @ gF
+            lr_coef = min(lr_coef, handler.max_lr(beta, g_beta, C_mu, C_sigma2))
+            dird_b = -float(g_beta @ g_beta)
+            mom_b = float(g_beta @ (beta - beta_after_grad)) if use_nesterov else 0.0
+            lr_b = lr_coef
+            acc_b = config.acc_rate_coef
+            halved = False
+            for ih in range(MAX_NUM_LR_SHRINKAGE_STEPS):
+                beta_grad_new = beta - lr_b * g_beta
+                mu = (nesterov_mu(it, config.nesterov_schedule_version, acc_b,
+                                  config.momentum_offset) if use_nesterov else 0.0)
+                beta_new = (1.0 + mu) * beta_grad_new - mu * beta_after_grad_lag1
+                nll_new_b, a_cand = engine.laplace_nll(u, yd, F_of(beta_new), a_state)
+                if nll_new_b <= (nll_lag1 + C_ARMIJO * lr_b * dird_b
+                                 + C_ARMIJO_MOM * mu * mom_b):
+                    break
+                halved = True
+                lr_b *= LR_SHRINKAGE_FACTOR
+                acc_b *= 0.5
+            if halved:
+                lr_coef = lr_b
+            beta = beta_new
+            beta_after_grad = beta_grad_new
+            beta_after_grad_lag1 = beta_grad_new.copy()
+            a_state = a_cand
+            nll_after_coef = nll_new_b
+        else:
+            nll_after_coef = nll_lag1
+        Fd = F_of(beta)
+
+        # ---- covariance/aux parameter step ------------------------------
+        _, g, a_state = engine.laplace_vag(u, yd, Fd, a_state)
+        g = np.array(g)
+        g[~est] = 0.0
+        g_cov, g_aux = g[:p_cov], g[p_cov:]
+        if np.max(np.abs(g_cov), initial=0.0) > 0:
+            lr_cov = min(lr_cov, MAX_GRADIENT_UPDATE_LOG_SCALE / np.max(np.abs(g_cov)))
+        if g_aux.size and np.max(np.abs(g_aux), initial=0.0) > 0:
+            lr_aux = min(lr_aux, MAX_GRADIENT_UPDATE_LOG_SCALE / np.max(np.abs(g_aux)))
+        dir_cov = -float(g_cov @ g_cov)
+        dir_aux = -float(g_aux @ g_aux) if g_aux.size else 0.0
+        if use_nesterov:
+            delta_log = u - np.log(pars_after_grad)
+            mom_cov = float(g_cov @ delta_log[:p_cov])
+            mom_aux = float(g_aux @ delta_log[p_cov:]) if g_aux.size else 0.0
+        else:
+            mom_cov = mom_aux = 0.0
+
+        lrc, lra = lr_cov, lr_aux
+        acc_rate = config.acc_rate_cov
+        halving_done = False
+        for ih in range(MAX_NUM_LR_SHRINKAGE_STEPS):
+            step = np.concatenate([lrc * g_cov, lra * g_aux])
+            u_grad_new = u - np.where(est, step, 0.0)
+            if use_nesterov:
+                mu = nesterov_mu(it, config.nesterov_schedule_version, acc_rate,
+                                 config.momentum_offset)
+                u_cand = (1.0 + mu) * u_grad_new - mu * np.log(pars_after_grad_lag1)
+            else:
+                mu = 0.0
+                u_cand = u_grad_new
+            nll_new, a_cand = engine.laplace_nll(u_cand, yd, Fd, a_state)
+            ok = nll_new <= (nll_after_coef + C_ARMIJO * lrc * dir_cov
+                             + C_ARMIJO_MOM * mu * mom_cov)
+            if g_aux.size:
+                ok = ok and nll_new <= (nll_after_coef + C_ARMIJO * lra * dir_aux
+                                        + C_ARMIJO_MOM * mu * mom_aux)
+            if ok:
+                break
+            halving_done = True
+            lrc *= LR_SHRINKAGE_FACTOR
+            lra *= LR_SHRINKAGE_FACTOR
+            acc_rate *= 0.5
+            # mode was advanced by the rejected candidate: keep warm-starting
+            # from the accepted base point instead (ResetModeToPreviousValue)
+        if halving_done:
+            lr_cov, lr_aux = lrc, lra
+        pars_after_grad_lag1 = np.exp(u_grad_new).copy()
+        pars_after_grad = np.exp(u_grad_new).copy()
+        u = u_cand
+        nll = nll_new
+        a_state = a_cand
+
+        # ---- convergence ------------------------------------------------
+        if config.convergence_criterion == "relative_change_in_log_likelihood":
+            if (nll_lag1 - nll) <= delta_rel_conv * max(abs(nll_lag1), 1.0):
+                converged = True
+        elif config.convergence_criterion == "relative_change_in_parameters":
+            t_now, t_lag = np.exp(u), np.exp(u_lag1)
+            if np.linalg.norm(t_now - t_lag) <= delta_rel_conv * np.linalg.norm(t_lag):
+                converged = True
+        if not np.all(np.isfinite(u)) or not np.isfinite(nll):
+            converged = True
+        if converged:
+            num_it = it + 1
+            break
+
+    beta_out = handler.back_transform(beta) if has_covariates else None
+    return _laplace_result(engine, u, nll, num_it, converged, beta_out, a_state)
+
+
+def _laplace_result(engine, u, nll, num_it, converged, beta, a_state):
+    p_cov = engine.num_theta
+    result = OptimResult(
+        cov_pars=engine.back_transform_pars(np.exp(u[:p_cov])),
+        cov_pars_internal=np.exp(u[:p_cov]),
+        num_it=num_it,
+        neg_log_likelihood=nll,
+        converged=converged,
+    )
+    result.coef = beta
+    result.aux_pars = np.exp(u[p_cov:]) if engine.num_aux else None
+    result.mode_state = a_state
+    return result
+
+
+def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=None):
+    from scipy import optimize as sopt
+    import jax.numpy as jnp
+
+    n = engine.n
+    est = _laplace_est_mask(engine, config)
+    yd = jnp.asarray(np.asarray(y, dtype=np.float64))
+    has_covariates = X is not None
+    offs = np.zeros(n) if offset is None else np.asarray(offset, dtype=np.float64)
+    u0 = _laplace_u0(engine, y, config)
+    handler = None
+    beta0 = None
+    if has_covariates:
+        handler = CovariateHandler(
+            X, scale=config.optimizer_cov in ("lbfgs", "bfgs_optim_lib",
+                                              "lbfgs_linesearch_nocedal_wright"))
+        X = handler.X
+        k = X.shape[1]
+        tot_var = float(np.sum(np.asarray(config.init_cov_pars)[
+            [off for off in engine.par_offsets]]))
+        beta0 = handler.init_beta(engine.likelihood, y, tot_var,
+                                  None if offset is None else offs)
+    state = {"a": engine.zero_mode()}
+
+    def unpack(x):
+        u = u0.copy()
+        u[est] = x[:est.sum()]
+        beta = x[est.sum():] if has_covariates else None
+        return u, beta
+
+    def obj(x):
+        u, beta = unpack(x)
+        F = offs + (X @ beta if has_covariates else 0.0)
+        if has_covariates:
+            nll, gu, gF, a = engine.laplace_vag_F(u, yd, jnp.asarray(F), state["a"])
+            g = np.concatenate([gu[est], X.T @ gF])
+        else:
+            nll, gu, a = engine.laplace_vag(u, yd, jnp.asarray(F), state["a"])
+            g = gu[est]
+        state["a"] = a
+        return nll, g
+
+    x0 = u0[est]
+    if has_covariates:
+        x0 = np.concatenate([x0, beta0])
+    max_iter = config.maxit if config.maxit else config.max_iter
+
+    opt = config.optimizer_cov
+    if opt == "nelder_mead":
+        r = sopt.minimize(lambda x: obj(x)[0], x0, method="Nelder-Mead",
+                          options={"maxiter": max_iter * 10, "xatol": 1e-10,
+                                   "fatol": config.resolved_delta_rel_conv()})
+        nit = r.nit
+    elif opt == "adam":
+        import optax
+        opt_adam = optax.adam(1e-2)
+        st = opt_adam.init(x0)
+        x = x0.copy()
+        f_prev = np.inf
+        drc = config.resolved_delta_rel_conv()
+        nit = max_iter * 10
+        for i in range(max_iter * 10):
+            f, gg = obj(x)
+            upd, st = opt_adam.update(gg, st)
+            x = x + np.asarray(upd)
+            if abs(f_prev - f) <= drc * max(abs(f_prev), 1.0) and i > 50:
+                nit = i + 1
+                break
+            f_prev = f
+        r = type("R", (), {"x": x})
+    else:
+        r = sopt.minimize(obj, x0, jac=True, method="L-BFGS-B",
+                          options={"maxiter": max_iter, "ftol": 1e-16,
+                                   "gtol": 1e-10, "maxcor": 20})
+        nit = r.nit
+    u, beta = unpack(r.x)
+    F = offs + (X @ beta if has_covariates else 0.0)
+    nll, a = engine.laplace_nll(u, yd, jnp.asarray(F), state["a"])
+    beta_out = handler.back_transform(beta) if has_covariates else None
+    return _laplace_result(engine, u, nll, int(nit), True, beta_out, a)
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,43 @@
+"""Multi-device sharding tests (8 virtual CPU devices, see conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpboost_tpu.parallel import make_mesh, make_sharded_grouped_lmm_step
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_lmm_step_matches_single_device():
+    q = 8
+    n = 128
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, q, size=n)
+    Z = np.zeros((n, q))
+    Z[np.arange(n), codes] = 1.0
+    y = Z @ rng.randn(q) + 0.5 * rng.randn(n)
+    u0 = np.log([0.25, 4.0])
+
+    step8 = make_sharded_grouped_lmm_step(make_mesh(8), q=q, lr=0.1)
+    u8, nll8 = step8(jnp.asarray(u0), jnp.asarray(y), jnp.asarray(Z))
+
+    step1 = make_sharded_grouped_lmm_step(make_mesh(1), q=q, lr=0.1)
+    u1, nll1 = step1(jnp.asarray(u0), jnp.asarray(y), jnp.asarray(Z))
+
+    assert np.allclose(np.asarray(u8), np.asarray(u1), atol=1e-10)
+    assert abs(float(nll8) - float(nll1)) < 1e-8
+
+    # and against the Woodbury engine's NLL at the same parameters
+    from gpboost_tpu.models.components import GroupedComponent
+    from gpboost_tpu.models.grouped_re import WoodburyGaussianEngine
+    eng = WoodburyGaussianEngine([GroupedComponent(codes)], n)
+    s2, vt = np.exp(u0)
+    nll_ref = eng.neg_log_likelihood([s2, vt * s2], y)
+    assert abs(float(nll8) - nll_ref) < 1e-8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
