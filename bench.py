@@ -1,11 +1,13 @@
 """Benchmark driver: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Round-1 headline: exact-GP Gaussian hyperparameter fit (L-BFGS on the profiled
-marginal likelihood) on n=2000 2-D spatial points, wall-clock seconds excluding
-compile (first fit warms the jit cache; second fit is timed). vs_baseline is
-the speedup over a single-threaded numpy/scipy implementation of the same
-L-BFGS objective run on the host — a stand-in until reference CPU timings are
-available (BASELINE.md: the reference publishes none).
+Headline = the north-star workload (BASELINE.md): Vecchia-approximated GP
+hyperparameter fit on n=100k 2-D spatial points (num_neighbors=20, exponential
+kernel, L-BFGS on the profiled marginal likelihood, float32 on the TPU).
+Wall-clock excludes jit compile (one warm-up objective evaluation first).
+
+vs_baseline = speedup over a single-threaded vectorized-numpy implementation of
+the same Vecchia objective on the host CPU, extrapolated to the same number of
+objective evaluations (the reference publishes no numbers, BASELINE.md).
 """
 
 import json
@@ -14,57 +16,87 @@ import time
 import numpy as np
 
 
-def _sim_data(n=2000, seed=0):
+N = 100_000
+M = 20
+MAXIT = 30
+
+
+def _sim_data(n=N, seed=0):
     rng = np.random.RandomState(seed)
     coords = rng.rand(n, 2)
-    D = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
-    L = np.linalg.cholesky(np.exp(-D / 0.15) + 1e-10 * np.eye(n))
-    y = L @ rng.randn(n) + 0.5 * rng.randn(n)
-    return coords, D, y
+    # stationary field sampled cheaply via sparse mixture (data content does
+    # not matter for wall-clock; avoid an O(n^2) simulation)
+    y = np.sin(6 * coords[:, 0]) * np.cos(4 * coords[:, 1]) \
+        + 0.5 * rng.randn(n)
+    return coords, y
 
 
-def _numpy_baseline(D, y, maxiter=50):
-    """Single-threaded host implementation of the same profiled objective."""
-    from scipy import optimize as sopt
-    from scipy import linalg as sla
-    n = len(y)
+def _numpy_vecchia_obj_time(coords, y, nn_idx, nn_mask, n_evals=2):
+    """Single-threaded numpy evaluation time of the same profiled objective."""
+    n, m = nn_idx.shape
+    cn = coords[nn_idx]
+    d_nn = np.sqrt(((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1))
+    d_ni = np.sqrt(((cn - coords[:, None, :]) ** 2).sum(-1))
 
-    def obj(x):
-        vt, alpha = np.exp(x)
-        M = np.eye(n) + vt * np.exp(-alpha * D)
-        cf = sla.cho_factor(M, lower=True)
-        quad = y @ sla.cho_solve(cf, y)
-        logdet = 2.0 * np.sum(np.log(np.diagonal(cf[0])))
-        return 0.5 * (logdet + n * np.log(quad / n) + n
+    def obj(vt, alpha):
+        K_nn = vt * np.exp(-alpha * d_nn) + np.eye(m)[None]
+        k_ni = vt * np.exp(-alpha * d_ni)
+        pair = nn_mask[:, :, None] & nn_mask[:, None, :]
+        K_nn = np.where(pair, K_nn, np.eye(m)[None])
+        k_ni = np.where(nn_mask, k_ni, 0.0)
+        A = np.linalg.solve(K_nn, k_ni[..., None])[..., 0]
+        D = (vt + 1.0) - (A * k_ni).sum(1)
+        z = y - (A * y[nn_idx]).sum(1)
+        quad = (z * z / D).sum()
+        return 0.5 * (np.log(D).sum() + n * np.log(quad / n) + n
                       + n * np.log(2 * np.pi))
 
     t0 = time.time()
-    sopt.minimize(obj, np.log([1.0, 5.0]), method="L-BFGS-B",
-                  options={"maxiter": maxiter})
-    return time.time() - t0
+    for i in range(n_evals):
+        obj(1.0 + 0.1 * i, 8.0)
+    return (time.time() - t0) / n_evals
 
 
 def main():
+    import jax.numpy as jnp
     from gpboost_tpu import GPModel
 
-    coords, D, y = _sim_data()
-    params = {"optimizer_cov": "lbfgs", "maxit": 50}
+    coords, y = _sim_data()
 
-    # warm-up fit compiles all kernels
-    m = GPModel(gp_coords=coords, cov_function="exponential")
-    m.fit(y=y, params=params)
-    # timed fit (fresh model, same shapes -> jit cache hit)
-    m2 = GPModel(gp_coords=coords, cov_function="exponential")
+    t_init0 = time.time()
+    model = GPModel(gp_coords=coords, cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=M,
+                    vecchia_ordering="random", dtype="float32")
+    t_init = time.time() - t_init0
+
+    eng = model._engine
+    t = eng.transform_pars([0.5, 1.0, 0.1])
+    th = jnp.asarray(np.log(t[1:]))
+    yd = jnp.asarray(y[eng.perm])
+    # warm-up: compile the objective
+    (v, _), g = eng.nll_profiled_vag(th, yd)
+    v.block_until_ready()
+
     t0 = time.time()
-    m2.fit(y=y, params=params)
+    model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": MAXIT,
+                           "init_cov_pars": [0.5, 1.0, 0.1]})
     fit_time = time.time() - t0
+    n_evals = max(model.get_num_optim_iter(), 1)
 
-    base_time = _numpy_baseline(D, y)
+    # host baseline: per-evaluation time x the evaluations our fit used
+    base_per_eval = _numpy_vecchia_obj_time(
+        eng.coords_ord, y[eng.perm], np.asarray(eng._nn_idx),
+        np.asarray(eng._nn_mask))
+    # scipy L-BFGS makes ~2 obj+grad evals per iteration; grad via finite
+    # differences would be far worse — credit the baseline with an
+    # autodiff-style 2x cost only (conservative in our disfavor)
+    base_time = base_per_eval * 2.0 * n_evals
+
     print(json.dumps({
-        "metric": "exact_gp_fit_n2000_wallclock",
+        "metric": f"vecchia_gp_fit_n{N}_m{M}_wallclock",
         "value": round(fit_time, 3),
         "unit": "seconds",
-        "vs_baseline": round(base_time / fit_time, 3),
+        "vs_baseline": round(base_time / fit_time, 2),
     }))
 
 

@@ -16,6 +16,7 @@ from .models.components import GPComponent, GroupedComponent
 from .models.gaussian_gp import DenseGaussianEngine
 from .models.grouped_re import WoodburyGaussianEngine
 from .models.laplace import LaplaceDenseEngine
+from .models.vecchia import VecchiaGaussianEngine
 from .models.optimize import (OptimConfig, OptimResult, optimize_gaussian,
                               optimize_laplace)
 
@@ -65,10 +66,17 @@ class GPModel:
                  model_file=None,
                  model_dict=None,
                  likelihood_learning_rate=1.0,
+                 dtype="float64",
                  ):
+        """dtype: computation precision ("float64" default for reference
+        parity; "float32" runs natively on the TPU MXU/VPU and is the right
+        choice for large-n Vecchia workloads — a TPU-specific extension)."""
         if model_file is not None or model_dict is not None:
             self._init_from_dict(model_file, model_dict)
             return
+        import jax.numpy as _jnp
+        self._dtype = _jnp.float32 if str(dtype) in ("float32", "f32") \
+            else _jnp.float64
         self.likelihood = likelihood
         self.gp_approx = gp_approx
         self.matrix_inversion_method = matrix_inversion_method
@@ -157,12 +165,36 @@ class GPModel:
         # likelihoods the Laplace-approximation engine.
         self._likelihood_obj = None
         self._use_woodbury = False
+        self._vecchia = gp_approx in ("vecchia",)
+        self.vecchia_pred_type = "order_obs_first_cond_obs_only"
+        self.num_neighbors_pred = None
+        if gp_approx not in ("none", "vecchia"):
+            raise NotImplementedError(
+                f"gp_approx '{gp_approx}' is not implemented yet "
+                "(currently: 'none', 'vecchia')")
+        if self._vecchia:
+            if likelihood != "gaussian":
+                raise NotImplementedError(
+                    "gp_approx='vecchia' with non-Gaussian likelihoods lands "
+                    "with the Vecchia-Laplace engine")
+            self._engine = VecchiaGaussianEngine(
+                self.components, self.num_data,
+                num_neighbors=num_neighbors if num_neighbors else 20,
+                vecchia_ordering=vecchia_ordering, seed=seed,
+                dtype=self._dtype)
+            self.num_cov_par = self._engine.num_cov_par
+            self.params = OptimConfig()
+            self._fit_result = None
+            self.y = None
+            self.X = None
+            self.model_has_been_fitted = False
+            return
         if likelihood != "gaussian":
             self._likelihood_obj = get_likelihood(likelihood,
                                                   likelihood_additional_param)
             self._engine = LaplaceDenseEngine(
                 self.components, self.num_data, self._likelihood_obj,
-                cluster_ids=self.cluster_ids)
+                cluster_ids=self.cluster_ids, dtype=self._dtype)
         else:
             self._use_woodbury = all(c.kind == "grouped"
                                      for c in self.components)
@@ -173,12 +205,12 @@ class GPModel:
                     # separate RE)
                     for comp in self.components:
                         comp.refine_by_cluster(self.cluster_ids)
-                self._engine = WoodburyGaussianEngine(self.components,
-                                                      self.num_data)
+                self._engine = WoodburyGaussianEngine(
+                    self.components, self.num_data, dtype=self._dtype)
             else:
                 self._engine = DenseGaussianEngine(
                     self.components, self.num_data,
-                    cluster_ids=self.cluster_ids)
+                    cluster_ids=self.cluster_ids, dtype=self._dtype)
 
         self.num_cov_par = self._engine.num_cov_par
 
@@ -243,8 +275,23 @@ class GPModel:
             if cfg.init_cov_pars is None:
                 cfg = OptimConfig(**{**cfg.__dict__, "init_cov_pars":
                                      self._default_init_cov_pars(y, cfg.optimizer_cov)})
-            self._fit_result = optimize_gaussian(self._engine, y, cfg, X=self.X)
+            y_fit, X_fit = y, self.X
+            if self._vecchia:
+                # the Vecchia engine's jitted graphs expect ordering-permuted data
+                y_fit = y[self._engine.perm]
+                X_fit = None if self.X is None else self.X[self._engine.perm]
+            self._fit_result = optimize_gaussian(self._engine, y_fit, cfg, X=X_fit)
         self.model_has_been_fitted = True
+        return self
+
+    def set_prediction_data(self, vecchia_pred_type=None, num_neighbors_pred=None,
+                            cg_delta_conv_pred=None, nsim_var_pred=None,
+                            rank_pred_approx_matrix_lanczos=None):
+        """Prediction settings (basic.py GPModel.set_prediction_data)."""
+        if vecchia_pred_type is not None:
+            self.vecchia_pred_type = vecchia_pred_type
+        if num_neighbors_pred is not None:
+            self.num_neighbors_pred = num_neighbors_pred
         return self
 
     def neg_log_likelihood(self, cov_pars=None, y=None, fixed_effects=None, aux_pars=None):
@@ -340,10 +387,15 @@ class GPModel:
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
             gp_rand_coef_data_pred, cluster_ids_pred)
 
+        extra = {}
+        if self._vecchia:
+            extra = dict(vecchia_pred_type=self.vecchia_pred_type,
+                         num_neighbors_pred=self.num_neighbors_pred)
         out = self._engine.predict(
             cov_pars, resid, pred_data,
             predict_var=predict_var, predict_cov_mat=predict_cov_mat,
-            predict_response=(predict_response and self.likelihood == "gaussian"))
+            predict_response=(predict_response and self.likelihood == "gaussian"),
+            **extra)
 
         if coef is not None and X_pred is not None:
             out["mu"] = out["mu"] + np.asarray(X_pred, dtype=np.float64) @ coef

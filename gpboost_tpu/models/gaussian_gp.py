@@ -270,16 +270,19 @@ class DenseGaussianEngine:
         def nll_profiled(theta_log, y):
             """NLL with the nugget profiled out in closed form
             (optim_utils.h:243 EvalLLforLBFGSpp semantics):
-            sigma2_hat = y'M^-1 y / n  =>  quad/sigma2_hat = n."""
+            sigma2_hat = y'M^-1 y / n  =>  quad/sigma2_hat = n.
+            Returns quad as aux so callers get sigma2_hat without a second
+            compiled graph."""
             M = self.psi_tilde(theta_log)
             L = jnp.linalg.cholesky(M)
             alpha_v = jsl.cho_solve((L, True), y)
             quad = y @ alpha_v
             logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
-                          + n * math.log(2.0 * math.pi))
+                          + n * math.log(2.0 * math.pi)), quad
 
-        self.nll_profiled_vag = jax.jit(jax.value_and_grad(nll_profiled))
+        self.nll_profiled_vag = jax.jit(
+            jax.value_and_grad(nll_profiled, has_aux=True))
 
         def nll_orig(log_pars_orig, y):
             """NLL as a function of log original-scale pars (no profiling);

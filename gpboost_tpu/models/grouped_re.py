@@ -148,9 +148,9 @@ class WoodburyGaussianEngine:
         def nll_profiled_i(theta_log, Zty, yty):
             quad, logdet = core(theta_log, Zty, yty)
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
-                          + n * math.log(2.0 * math.pi))
+                          + n * math.log(2.0 * math.pi)), quad
 
-        _nll_prof_vag = jax.jit(jax.value_and_grad(nll_profiled_i))
+        _nll_prof_vag = jax.jit(jax.value_and_grad(nll_profiled_i, has_aux=True))
 
         def nll_orig_i(log_pars_orig, Zty, yty):
             u = jnp.concatenate([log_pars_orig[:1],

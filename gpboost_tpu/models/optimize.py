@@ -825,7 +825,7 @@ def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
         else:
             residd = yd
         if profile_sigma2:
-            val, grad = engine.nll_profiled_vag(jnp.asarray(theta), residd)
+            (val, _quad), grad = engine.nll_profiled_vag(jnp.asarray(theta), residd)
         else:
             val, grad = engine.grad_profiled(
                 jnp.asarray(theta), jnp.asarray(math.exp(log_s2_fixed)), residd)
@@ -887,11 +887,14 @@ def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
         beta = None
         residd = yd
     if profile_sigma2:
-        _, quad = engine.nll_parts(jnp.asarray(theta), jnp.asarray(1.0), residd)
+        # the profiled objective returns quad as aux: sigma2_hat = quad / n and
+        # nll(theta, sigma2_hat) equals the profiled value — no second graph
+        (nll, quad), _ = engine.nll_profiled_vag(jnp.asarray(theta), residd)
         sigma2 = float(quad) / n
     else:
+        nll, _ = engine.grad_profiled(
+            jnp.asarray(theta), jnp.asarray(math.exp(log_s2_fixed)), residd)
         sigma2 = math.exp(log_s2_fixed)
-    nll, _ = engine.nll_parts(jnp.asarray(theta), jnp.asarray(sigma2), residd)
 
     internal = np.concatenate([[sigma2], np.exp(theta)])
     internal = engine.apply_nugget_lower_bound(internal)

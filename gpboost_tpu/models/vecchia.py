@@ -1,0 +1,401 @@
+"""Vecchia approximation engine (Gaussian likelihood, response scale).
+
+Reference: Vecchia_utils.h/.cpp — Sigma^-1 ~= B' D^-1 B with B = I - A unit
+lower triangular, <= m off-diagonals per row (Vecchia_utils.cpp:1420-1435), and
+nearest-neighbor conditioning sets among preceding points in the ordering.
+For the Gaussian likelihood the approximation is applied to the RESPONSE
+covariance C = v_tilde K + I on the nugget-scaled parameterization (num_neighbors
+= n-1, ordering "none" reproduces the exact dense NLL bit-for-bit — pinned by
+test_GPModel_gaussian_process.R:1090-1135).
+
+TPU-first data layout: neighbor indices are a static (n, m) int array; each NLL
+evaluation is a gather of coordinates -> batched (m, m) kernel matrices ->
+batched Cholesky/triangular solves (vmapped, MXU-tiled) -> masked reductions.
+No sparse matrices, no dynamic shapes; gradients via autodiff through the
+batched Cholesky (replacing Vecchia_utils.cpp:1443 dB/dtheta, dD/dtheta).
+
+Prediction orderings (CalcPredVecchia*, Vecchia_utils.h:479-588):
+  * "order_obs_first_cond_obs_only" — each prediction point conditions on its
+    m nearest observed points (independent conditionals).
+  * "order_obs_first_cond_all" — joint Vecchia over [obs; pred]: the predictive
+    distribution is N(-Lam_pp^-1 Lam_po y, Lam_pp^-1) with Lam = B'D^-1 B.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from .components import GPComponent
+
+
+def nearest_preceding_neighbors(coords, m):
+    """Neighbor indices among preceding points in the ordering.
+
+    Exact kNN via cKDTree over doubling batches: for the batch [s, 2s) a tree
+    on points [0, 2s) is queried with an over-allocation factor, and indices
+    >= i are filtered out (at least half the candidates precede i, so a small
+    over-query almost always suffices; rare rows fall back to a brute-force
+    pass). O(n log n) — replaces the reference's brute-force / heuristic /
+    cover-tree variants (Vecchia_utils.h:217-252) with one scalable scheme.
+
+    Returns (idx (n, m) int64, mask (n, m) bool). Rows i < m are padded with
+    the row's own index, masked out.
+    """
+    from scipy.spatial import cKDTree
+    n = len(coords)
+    idx = np.zeros((n, m), dtype=np.int64)
+    mask = np.zeros((n, m), dtype=bool)
+    s = 1
+    while s < n:
+        e = min(2 * s, n)
+        tree = cKDTree(coords[:e])
+        k_query = min(e, 4 * m + 8)
+        _, cand = tree.query(coords[s:e], k=k_query)
+        cand = np.atleast_2d(cand)
+        for r in range(s, e):
+            row = cand[r - s]
+            valid = row[row < r][:m]
+            if len(valid) < min(m, r):
+                # over-query was not enough: brute force this row
+                d2 = ((coords[:r] - coords[r]) ** 2).sum(-1)
+                k = min(m, r)
+                valid = np.argpartition(d2, k - 1)[:k] if k < r else np.arange(r)
+                valid = valid[np.argsort(d2[valid], kind="stable")]
+            k = len(valid)
+            idx[r, :k] = valid
+            mask[r, :k] = True
+            idx[r, k:] = r
+        s = e
+    idx[0, :] = 0
+    return idx, mask
+
+
+class VecchiaGaussianEngine:
+    """Vecchia-approximated Gaussian marginal NLL / gradients / prediction."""
+
+    def __init__(self, components, num_data, num_neighbors=20,
+                 vecchia_ordering="random", seed=0, dtype=jnp.float64):
+        assert len(components) == 1 and components[0].kind == "gp", (
+            "gp_approx='vecchia' requires exactly one GP component")
+        self.components = list(components)
+        comp = self.components[0]
+        self.comp = comp
+        self.n = int(num_data)
+        self.dtype = dtype
+        self.m = int(min(num_neighbors, self.n - 1))
+        self.num_theta = comp.num_cov_par
+        self.num_cov_par = self.num_theta + 1
+        self.par_offsets = [0]
+
+        if vecchia_ordering in ("none", None):
+            perm = np.arange(self.n)
+        elif vecchia_ordering == "random":
+            perm = np.random.RandomState(seed).permutation(self.n)
+        elif vecchia_ordering == "time":
+            perm = np.argsort(comp.coords[:, 0], kind="stable")
+        elif vecchia_ordering == "time_random_space":
+            rng = np.random.RandomState(seed)
+            key = comp.coords[:, 0] + 1e-12 * rng.rand(self.n)
+            perm = np.argsort(key, kind="stable")
+        else:
+            raise ValueError(f"vecchia_ordering '{vecchia_ordering}'")
+        self.perm = perm
+        self.coords_ord = comp.coords[perm]
+        idx, mask = nearest_preceding_neighbors(self.coords_ord, self.m)
+        self._nn_idx = jnp.asarray(idx)
+        self._nn_mask = jnp.asarray(mask)
+        self._coords_d = jnp.asarray(self.coords_ord, dtype=dtype)
+        # theta-independent neighbor distances, computed ONCE (the reference
+        # recomputes covariances from distances each iteration too, but here
+        # the (n, m, m) gather+norm never re-runs inside the optimizer loop)
+        if comp.cov_fn.is_isotropic:
+            cn = self.coords_ord[idx]                      # (n, m, d)
+            d_nn = np.sqrt(np.maximum(
+                ((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1), 0.0))
+            d_ni = np.sqrt(np.maximum(
+                ((cn - self.coords_ord[:, None, :]) ** 2).sum(-1), 0.0))
+            self._d_nn = jnp.asarray(d_nn, dtype=dtype)
+            self._d_ni = jnp.asarray(d_ni, dtype=dtype)
+        else:
+            self._d_nn = self._d_ni = None
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def _bd(self, theta_log, latent=False):
+        """Batched Vecchia factors: A (n, m) coefficients, D (n,) diagonals.
+
+        Response scale: C = v K + 1{i=j} (latent=False) or C = v K (latent=True).
+        """
+        comp = self.comp
+        v = jnp.exp(theta_log[0])
+        alphas = jnp.exp(theta_log[1:])
+        ci = self._coords_d                     # (n, d)
+        cn = self._coords_d[self._nn_idx]       # (n, m, d)
+        mask = self._nn_mask
+
+        def corr_pair(dist):
+            if comp.cov_fn.is_isotropic:
+                return comp.cov_fn.corr_from_dist(dist, alphas[0])
+            raise NotImplementedError(
+                "vecchia with anisotropic kernels lands later")
+
+        if self._d_nn is not None:
+            d_nn, d_ni = self._d_nn, self._d_ni
+        else:
+            d_nn = jnp.sqrt(jnp.maximum(
+                ((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1), 0.0))
+            d_ni = jnp.sqrt(jnp.maximum(((cn - ci[:, None, :]) ** 2).sum(-1), 0.0))
+        K_nn = v * corr_pair(d_nn)
+        if not latent:
+            K_nn = K_nn + jnp.eye(self.m, dtype=self.dtype)[None, :, :]
+        k_ni = v * corr_pair(d_ni)
+        # mask padded neighbors: identity rows/cols in K_nn, zeros in k_ni
+        pair_mask = mask[:, :, None] & mask[:, None, :]
+        K_nn = jnp.where(pair_mask, K_nn,
+                         jnp.eye(self.m, dtype=self.dtype)[None, :, :])
+        k_ni = jnp.where(mask, k_ni, 0.0)
+
+        L = jnp.linalg.cholesky(K_nn)                       # (n, m, m)
+        A = jax.vmap(lambda Li, ki: jsl.cho_solve((Li, True), ki))(L, k_ni)
+        diag_c = v + (0.0 if latent else 1.0)
+        D = diag_c - jnp.sum(A * k_ni, axis=1)
+        return A, D
+
+    def _build_jitted(self):
+        n = self.n
+
+        def quad_logdet(theta_log, y):
+            A, D = self._bd(theta_log)
+            z = y - jnp.sum(A * y[self._nn_idx], axis=1)    # (B y)_i
+            quad = jnp.sum(z * z / D)
+            logdet = jnp.sum(jnp.log(D))
+            return quad, logdet
+
+        def nll_parts(theta_log, sigma2, y):
+            quad, logdet = quad_logdet(theta_log, y)
+            nll = 0.5 * (quad / sigma2 + logdet + n * jnp.log(sigma2)
+                         + n * math.log(2.0 * math.pi))
+            return nll, quad
+
+        def nll_scalar(theta_log, sigma2, y):
+            return nll_parts(theta_log, sigma2, y)[0]
+
+        def nll_full(u, y):
+            return nll_scalar(u[1:], jnp.exp(u[0]), y)
+
+        dt = self.dtype
+
+        def _cast(*args):
+            return tuple(jnp.asarray(a, dt) for a in args)
+
+        self.nll_parts = jax.jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
+        self.grad_profiled = jax.jit(
+            lambda t, s, y: jax.value_and_grad(nll_scalar)(*_cast(t, s, y)))
+        self.vag_full = jax.jit(
+            lambda u, y: jax.value_and_grad(nll_full)(*_cast(u, y)))
+        self.hess_full = jax.jit(lambda u, y: jax.hessian(nll_full)(*_cast(u, y)))
+
+        def nll_profiled(theta_log, y):
+            quad, logdet = quad_logdet(theta_log, y)
+            return 0.5 * (logdet + n * jnp.log(quad / n) + n
+                          + n * math.log(2.0 * math.pi)), quad
+
+        self.nll_profiled_vag = jax.jit(
+            lambda t, y: jax.value_and_grad(nll_profiled, has_aux=True)(*_cast(t, y)))
+
+        def nll_orig(log_pars_orig, y):
+            theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(log_pars_orig))
+            return nll_scalar(theta_log, sigma2, y)
+
+        self.nll_orig_vag = jax.jit(
+            lambda lp, y: jax.value_and_grad(nll_orig)(*_cast(lp, y)))
+
+        def B_apply(A, V):
+            """(B V) for V (n, k): gather-only, no scatter (TPU-friendly)."""
+            return V - jnp.einsum("nm,nmk->nk", A, V[self._nn_idx])
+
+        def wls_coef(theta_log, y, X):
+            """GLS coefs via X'Psi~^-1 X = (BX)' D^-1 (BX) — scatter-free."""
+            A, D = self._bd(theta_log)
+            U = B_apply(A, X)
+            By = B_apply(A, y[:, None])[:, 0]
+            Ac = U.T @ (U / D[:, None])
+            rhs = U.T @ (By / D)
+            Lc = jnp.linalg.cholesky(Ac)
+            return jsl.cho_solve((Lc, True), rhs)
+
+        self.wls_coef = jax.jit(wls_coef)
+
+        def coef_grad(theta_log, sigma2, resid, X):
+            A, D = self._bd(theta_log)
+            U = B_apply(A, X)
+            Br = B_apply(A, resid[:, None])[:, 0]
+            return -(U.T @ (Br / D)) / sigma2
+
+        self.coef_grad = jax.jit(coef_grad)
+
+        def fisher_transformed(u, include_error_var=True):
+            raise NotImplementedError(
+                "fisher_scoring is not supported with gp_approx='vecchia'; "
+                "use gradient_descent or lbfgs")
+
+        self.fisher_transformed = fisher_transformed
+
+    def _orig_to_internal_jnp(self, pars_orig):
+        from .gaussian_gp import _range_to_transformed_jnp
+        sigma2 = pars_orig[0]
+        v = pars_orig[1]
+        rho = pars_orig[2: 1 + self.num_theta]
+        alpha = _range_to_transformed_jnp(self.comp, rho)
+        return jnp.concatenate([jnp.log(v / sigma2)[None], jnp.log(alpha)]), sigma2
+
+    # ------------------------------------------------------------------
+    # transforms shared with the dense engine semantics
+    def transform_pars(self, pars_orig):
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        out = [sigma2, pars_orig[1] / sigma2]
+        if self.num_theta > 1:
+            out.extend(np.atleast_1d(
+                self.comp.cov_fn.range_to_transformed(pars_orig[2:])))
+        return np.asarray(out)
+
+    def back_transform_pars(self, pars_internal):
+        t = np.asarray(pars_internal, dtype=np.float64)
+        out = [t[0], t[1] * t[0]]
+        if self.num_theta > 1:
+            out.extend(np.atleast_1d(
+                self.comp.cov_fn.range_from_transformed(t[2:])))
+        return np.asarray(out)
+
+    def total_re_variance_original(self, pars_orig):
+        return float(pars_orig[1])
+
+    def apply_nugget_lower_bound(self, pars_internal):
+        r = 1e-10
+        orig = self.back_transform_pars(pars_internal)
+        other_var = self.total_re_variance_original(orig)
+        if not np.isfinite(other_var) or other_var <= 0:
+            return pars_internal
+        nugget_min = r / (1.0 - r) * other_var
+        if np.isfinite(nugget_min) and orig[0] < nugget_min:
+            orig[0] = nugget_min
+            return self.transform_pars(orig)
+        return pars_internal
+
+    def neg_log_likelihood(self, pars_orig, y):
+        t = self.transform_pars(pars_orig)
+        y_ord = np.asarray(y, dtype=np.float64)[self.perm]
+        nll, _ = self.nll_parts(jnp.asarray(np.log(t[1:]), self.dtype),
+                                jnp.asarray(t[0], self.dtype),
+                                jnp.asarray(y_ord, self.dtype))
+        return float(nll)
+
+    def fisher_original(self, pars_orig):
+        """Std-error Fisher information; uses the dense (exact) FI as a proxy
+        for moderate n — the Vecchia-specific FI lands with iterative methods."""
+        if self.n > 4000:
+            return jnp.full((self.num_cov_par, self.num_cov_par), jnp.nan)
+        from .gaussian_gp import DenseGaussianEngine
+        dense = DenseGaussianEngine([self.comp], self.n)
+        return dense.fisher_original(pars_orig)
+
+    # ------------------------------------------------------------------
+    def predict(self, pars_orig, y_resid, pred_data, predict_var=False,
+                predict_cov_mat=False, predict_response=False,
+                vecchia_pred_type="order_obs_first_cond_obs_only",
+                num_neighbors_pred=None):
+        """Vecchia predictions (CalcPredVecchiaObservedFirstOrder)."""
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        t = self.transform_pars(pars_orig)
+        theta_log = jnp.asarray(np.log(t[1:]), self.dtype)
+        y_ord = np.asarray(y_resid, dtype=np.float64)[self.perm]
+        coords_pred = np.asarray(pred_data["comps"][0]["coords_pred"],
+                                 dtype=np.float64)
+        if coords_pred.ndim == 1:
+            coords_pred = coords_pred[:, None]
+        n_pred = len(coords_pred)
+        mp = num_neighbors_pred or self.m
+        v = t[1]
+        alphas = np.atleast_1d(np.exp(np.asarray(theta_log)[1:]))
+
+        def corr(dist):
+            return np.asarray(self.comp.cov_fn.corr_from_dist(
+                jnp.asarray(dist, self.dtype), alphas[0]))
+
+        if vecchia_pred_type in ("order_obs_first_cond_obs_only",
+                                 "order_pred_first"):
+            # each prediction point conditions on its mp nearest observed pts
+            d2 = ((coords_pred[:, None, :] - self.coords_ord[None, :, :]) ** 2
+                  ).sum(-1)
+            k = min(mp, self.n)
+            nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            mu = np.zeros(n_pred)
+            var = np.zeros(n_pred)
+            for i in range(n_pred):
+                ni = nn[i]
+                cn = self.coords_ord[ni]
+                dnn = np.sqrt(((cn[:, None] - cn[None, :]) ** 2).sum(-1))
+                dni = np.sqrt(((cn - coords_pred[i]) ** 2).sum(-1))
+                Knn = v * corr(dnn) + np.eye(k)
+                kni = v * corr(dni)
+                a = np.linalg.solve(Knn, kni)
+                mu[i] = a @ y_ord[ni]
+                var[i] = (v + 1.0) - a @ kni
+            cov = np.diag(var) if predict_cov_mat else None
+        elif vecchia_pred_type in ("order_obs_first_cond_all", "latent_order_obs_first_cond_all"):
+            # joint Vecchia over [obs; pred]
+            all_coords = np.vstack([self.coords_ord, coords_pred])
+            mp_eff = min(mp, self.n + n_pred - 1)
+            B_rows_idx = []
+            B_rows_a = []
+            D_p = np.zeros(n_pred)
+            for i in range(n_pred):
+                gi = self.n + i
+                d2 = ((all_coords[:gi] - coords_pred[i]) ** 2).sum(-1)
+                k = min(mp_eff, gi)
+                ni = np.argpartition(d2, k - 1)[:k] if k < gi else np.arange(gi)
+                cn = all_coords[ni]
+                dnn = np.sqrt(((cn[:, None] - cn[None, :]) ** 2).sum(-1))
+                dni = np.sqrt(d2[ni])
+                Knn = v * corr(dnn) + np.eye(k)
+                kni = v * corr(dni)
+                a = np.linalg.solve(Knn, kni)
+                B_rows_idx.append(ni)
+                B_rows_a.append(a)
+                D_p[i] = (v + 1.0) - a @ kni
+            # Lam_pp and Lam_po from pred rows of B
+            Bp = np.zeros((n_pred, self.n + n_pred))
+            for i in range(n_pred):
+                Bp[i, self.n + i] = 1.0
+                Bp[i, B_rows_idx[i]] -= B_rows_a[i]
+            Bpo = Bp[:, :self.n]
+            Bpp = Bp[:, self.n:]
+            Dinv = 1.0 / D_p
+            Lam_pp = Bpp.T @ (Dinv[:, None] * Bpp)
+            Lam_po = Bpp.T @ (Dinv[:, None] * Bpo)
+            cov = np.linalg.inv(Lam_pp)
+            mu = -cov @ (Lam_po @ y_ord)
+            var = np.diagonal(cov).copy()
+        else:
+            raise ValueError(f"vecchia_pred_type '{vecchia_pred_type}'")
+
+        # mu needs no scaling (sigma2 cancels in C_po C_oo^-1); covariances were
+        # computed on the nugget-scaled parameterization -> multiply by sigma2
+        var = var * sigma2
+        if cov is not None:
+            cov = cov * sigma2
+        if not predict_response:
+            var = var - sigma2
+            if cov is not None:
+                cov = cov - sigma2 * np.eye(n_pred)
+        out = {"mu": mu}
+        if predict_cov_mat:
+            out["cov"] = cov
+        if predict_var:
+            out["var"] = var
+        return out

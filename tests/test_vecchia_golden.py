@@ -1,0 +1,87 @@
+"""Golden-value parity tests for the Vecchia approximation (Gaussian).
+
+Expected numbers from test_GPModel_gaussian_process.R:1090-1312.
+"""
+
+import numpy as np
+import pytest
+
+from gpboost_tpu import GPModel, fitGPModel
+
+from conftest import TOLERANCE_STRICT, TOLERANCE_MEDIUM, TOLERANCE_LOOSE
+
+
+class TestVecchiaGaussian:
+    def test_nll_full_neighbors_equals_exact(self, gp_sim_data):
+        y = gp_sim_data["y"]
+        m = GPModel(gp_coords=gp_sim_data["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=99,
+                    vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < TOLERANCE_STRICT
+
+    def test_nll_30_neighbors(self, gp_sim_data):
+        y = gp_sim_data["y"]
+        m = GPModel(gp_coords=gp_sim_data["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=30,
+                    vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2252524) < TOLERANCE_STRICT
+
+    def test_estimation_full_neighbors(self, gp_sim_data):
+        """n-1 neighbors: estimates equal the exact dense model's
+        (test_GPModel_gaussian_process.R:1174-1187)."""
+        y = gp_sim_data["y"]
+        iu = np.triu_indices(100, k=1)
+        init = [np.var(y, ddof=1) / 2, np.var(y, ddof=1) / 2,
+                np.mean(gp_sim_data["D"][iu]) / 3]
+        m = fitGPModel(gp_coords=gp_sim_data["coords"],
+                       cov_function="exponential", gp_approx="vecchia",
+                       num_neighbors=99, vecchia_ordering="none", y=y,
+                       params=dict(optimizer_cov="gradient_descent", lr_cov=0.1,
+                                   use_nesterov_acc=True, acc_rate_cov=0.5,
+                                   delta_rel_conv=1e-6,
+                                   convergence_criterion="relative_change_in_parameters",
+                                   init_cov_pars=init, std_dev=True))
+        expected = np.array([0.03276547, 1.07617676, 0.11352557])
+        # medium, not strict: the 382-iteration reference trajectory tail runs
+        # at the linear-algebra noise floor (see test_gp_gaussian_golden.py)
+        assert np.sum(np.abs(m.get_cov_pars(std_err=False) - expected)) \
+            < TOLERANCE_MEDIUM
+        assert abs(m.get_current_neg_log_likelihood() - 122.7752664) \
+            < TOLERANCE_MEDIUM
+
+    def test_prediction_cond_all(self, gp_sim_data):
+        y = gp_sim_data["y"]
+        m = GPModel(gp_coords=gp_sim_data["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=99,
+                    vecchia_ordering="none")
+        m.set_prediction_data(vecchia_pred_type="order_obs_first_cond_all",
+                              num_neighbors_pred=102)
+        coord_test = np.column_stack([[0.1, 0.2, 0.7], [0.9, 0.4, 0.55]])
+        pred = m.predict(y=y, gp_coords_pred=coord_test, cov_pars=[0.02, 1.2, 0.9],
+                         predict_cov_mat=True, predict_response=True)
+        exp_mu = np.array([0.08704577, 1.63875604, 0.48513581])
+        exp_cov = np.array(
+            [1.189093e-01, 1.171632e-05, -4.172444e-07, 1.171632e-05,
+             7.427727e-02, 1.492859e-06, -4.172444e-07, 1.492859e-06,
+             8.107455e-02])
+        assert np.sum(np.abs(pred["mu"] - exp_mu)) < TOLERANCE_STRICT
+        assert np.sum(np.abs(pred["cov"].ravel() - exp_cov)) < TOLERANCE_STRICT
+        # latent scale removes the nugget from the diagonal
+        pred_lat = m.predict(y=y, gp_coords_pred=coord_test,
+                             cov_pars=[0.02, 1.2, 0.9], predict_cov_mat=True,
+                             predict_response=False)
+        exp_lat = exp_cov.copy()
+        exp_lat[[0, 4, 8]] -= 0.02
+        assert np.sum(np.abs(pred_lat["cov"].ravel() - exp_lat)) \
+            < TOLERANCE_STRICT
+
+    def test_random_ordering_full_neighbors(self, gp_sim_data):
+        """With n-1 neighbors the ordering is irrelevant: still exact."""
+        y = gp_sim_data["y"]
+        m = GPModel(gp_coords=gp_sim_data["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=99,
+                    vecchia_ordering="random")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        assert abs(nll - 124.2549533) < TOLERANCE_STRICT
