@@ -21,9 +21,13 @@ __version__ = "0.1.0"
 
 from .gp_model import GPModel  # noqa: E402
 from .sklearn_utils import fitGPModel  # noqa: E402
+from .boosting import Dataset, Booster, train  # noqa: E402
 
 __all__ = [
     "GPModel",
     "fitGPModel",
+    "Dataset",
+    "Booster",
+    "train",
     "__version__",
 ]

@@ -1,0 +1,345 @@
+"""GBDT boosting loop with the GPBoost / LaGaBoost hooks.
+
+Reference: src/LightGBM/boosting/gbdt.cpp:293 (Train), :412 (TrainOneIter)
+with the GP hooks of objective/regression_objective.hpp:153-201:
+
+  Gaussian (GPBoost algorithm):
+    resid = F - y; gp_model.OptimCovPar(y=resid) re-estimates covariance
+    parameters EVERY iteration (warm-started); grad = Psi_tilde^-1 resid;
+    hess = 1; trees fit -grad.
+  Non-Gaussian (LaGaBoost):
+    gp_model.OptimCovPar(fixed_effects=F); grad = d nll_Laplace / dF at the
+    mode; hess = 1. Init score via FindInitialValueBoosting.
+
+Standalone (no gp_model) objectives reuse the likelihood registry: grad/hess
+are the autodiff d1/d2 of the per-sample log density — "regression" (L2),
+"binary" (bernoulli logit), "poisson", "gamma", ...
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .dataset import Dataset
+from .tree import Tree
+from .tree_learner import SerialTreeLearner
+from ..likelihoods import get_likelihood
+
+_OBJ_ALIASES = {
+    "regression": "gaussian", "regression_l2": "gaussian", "l2": "gaussian",
+    "mean_squared_error": "gaussian", "mse": "gaussian",
+    "binary": "bernoulli_logit", "binary_logloss": "bernoulli_logit",
+    "poisson": "poisson", "gamma": "gamma",
+}
+
+_BOOST_PARAM_DEFAULTS = dict(
+    learning_rate=0.1, num_leaves=31, max_depth=-1, min_data_in_leaf=20,
+    lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3, min_gain_to_split=0.0,
+    objective="regression", train_gp_model_cov_pars=True,
+    use_gp_model_for_validation=True, leaves_newton_update=False,
+    verbose=1, max_bin=255,
+    # warm-started per-iteration refits need few optimizer steps (analogue of
+    # the reference's reuse_learning_rates_gp_model, config.h:181)
+    maxit_gp=10,
+)
+
+_PARAM_ALIASES = {
+    "shrinkage_rate": "learning_rate", "eta": "learning_rate",
+    "num_leaf": "num_leaves", "min_data": "min_data_in_leaf",
+    "min_data_per_leaf": "min_data_in_leaf",
+    "min_child_samples": "min_data_in_leaf",
+    "lambda": "lambda_l2", "reg_lambda": "lambda_l2",
+    "min_split_gain": "min_gain_to_split",
+    "num_iterations": "num_boost_round", "num_trees": "num_boost_round",
+    "n_estimators": "num_boost_round", "num_round": "num_boost_round",
+}
+
+
+class Booster:
+    """Gradient-boosting model, optionally combined with a GPModel
+    (basic.py:2315 Booster; c_api.cpp:1667 LGBM_GPBoosterCreate)."""
+
+    def __init__(self, params=None, train_set=None, gp_model=None,
+                 model_file=None, model_dict=None):
+        if model_file is not None or model_dict is not None:
+            self._load(model_file, model_dict)
+            return
+        raw = dict(params or {})
+        p = dict(_BOOST_PARAM_DEFAULTS)
+        for k, v in raw.items():
+            k = _PARAM_ALIASES.get(k, k)
+            p[k] = v
+        self.params = p
+        self.train_set = train_set
+        self.gp_model = gp_model
+        train_set.construct()
+        self.n = train_set.num_data
+        self.y = train_set.get_label()
+        if self.y is None:
+            raise ValueError("train_set has no label")
+
+        self.learner = SerialTreeLearner(
+            train_set, num_leaves=int(p["num_leaves"]),
+            max_depth=int(p["max_depth"]),
+            min_data_in_leaf=int(p["min_data_in_leaf"]),
+            lambda_l2=float(p["lambda_l2"]),
+            min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
+            min_gain_to_split=float(p["min_gain_to_split"]))
+
+        if gp_model is not None:
+            self.objective_name = gp_model.likelihood
+        else:
+            self.objective_name = _OBJ_ALIASES.get(
+                p["objective"], p["objective"])
+        if gp_model is None and self.objective_name != "gaussian":
+            self._lik = get_likelihood(self.objective_name)
+            self._lik.check_y(self.y)
+            self._aux = jnp.asarray(self._lik.init_aux(self.y))
+        else:
+            self._lik = None
+
+        self.trees = []
+        self.init_score = self._boost_from_average()
+        self.F = np.full(self.n, self.init_score)
+        self._gp_init_pars = None
+        self.current_iteration_ = 0
+
+    # ------------------------------------------------------------------
+    def _boost_from_average(self):
+        """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283)."""
+        if self.gp_model is not None:
+            if self.gp_model.likelihood == "gaussian":
+                return float(np.mean(self.y))
+            lik = self.gp_model._likelihood_obj
+            tot_var = 1.0
+            return lik.init_intercept(self.y, tot_var)
+        if self._lik is not None:
+            return self._lik.init_intercept(self.y, 1.0)
+        return float(np.mean(self.y))
+
+    # ------------------------------------------------------------------
+    def _gradients(self):
+        """(grad, hess) at the current score F."""
+        gp = self.gp_model
+        if gp is None:
+            if self.objective_name == "gaussian":
+                return self.F - self.y, np.ones(self.n)
+            Fd = jnp.asarray(self.F)
+            yd = jnp.asarray(self.y)
+            g = -np.asarray(self._lik.d1(yd, Fd, self._aux))
+            h = -np.asarray(self._lik.d2(yd, Fd, self._aux))
+            return g, np.maximum(h, 1e-12)
+
+        train_cov = self.params["train_gp_model_cov_pars"]
+        if gp.likelihood == "gaussian":
+            resid = self.F - self.y
+            if train_cov:
+                gp.fit(y=resid, params={
+                    "init_cov_pars": self._gp_init_pars,
+                    "maxit": int(self.params["maxit_gp"])})
+                self._gp_init_pars = gp._fit_result.cov_pars
+            elif not gp.model_has_been_fitted:
+                gp.fit(y=resid)
+                self._gp_init_pars = gp._fit_result.cov_pars
+            # grad = Psi_tilde^-1 resid on the nugget-scaled parameterization
+            eng = gp._engine
+            t = eng.transform_pars(gp._fit_result.cov_pars)
+            grad = _psi_tilde_inv_apply(eng, t, resid)
+            return grad, np.ones(self.n)
+        else:
+            # LaGaBoost: estimate cov/aux pars given F, gradient wrt F
+            if train_cov or not gp.model_has_been_fitted:
+                gp.fit(y=self.y, offset=self.F, params={
+                    "init_cov_pars": self._gp_init_pars,
+                    "maxit": int(self.params["maxit_gp"])})
+                self._gp_init_pars = gp._fit_result.cov_pars
+            eng = gp._engine
+            r = gp._fit_result
+            u = np.log(eng.transform_pars(r.cov_pars))
+            if eng.num_aux:
+                u = np.concatenate([u, np.log(r.aux_pars)])
+            _, _, gF, _ = eng.laplace_vag_F(
+                u, jnp.asarray(self.y), jnp.asarray(self.F),
+                r.mode_state if r.mode_state is not None else eng.zero_mode())
+            return np.asarray(gF), np.ones(self.n)
+
+    # ------------------------------------------------------------------
+    def update(self, train_set=None, fobj=None):
+        """One boosting iteration (gbdt.cpp:412 TrainOneIter)."""
+        grad, hess = self._gradients()
+        tree, slot_of_row, leaf_value_of_slot = self.learner.train(grad, hess)
+        lr = float(self.params["learning_rate"])
+        tree.shrinkage(lr)
+        self.F = self.F + lr * leaf_value_of_slot[slot_of_row]
+        self.trees.append(tree)
+        self.current_iteration_ = len(self.trees)
+        return False
+
+    # ------------------------------------------------------------------
+    def predict(self, data, start_iteration=0, num_iteration=None,
+                raw_score=False, pred_latent=False,
+                group_data_pred=None, group_rand_coef_data_pred=None,
+                gp_coords_pred=None, gp_rand_coef_data_pred=None,
+                cluster_ids_pred=None, predict_var=False,
+                predict_cov_mat=False, ignore_gp_model=False, **kwargs):
+        """Combined fixed-effect + random-effect prediction
+        (basic.py:3455/3628-3770)."""
+        X = np.asarray(data, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[:, None]
+        F_pred = np.full(len(X), self.init_score)
+        ntrees = num_iteration if num_iteration else len(self.trees)
+        for tree in self.trees[start_iteration:start_iteration + ntrees]:
+            F_pred = F_pred + tree.predict_raw(X)
+
+        gp = self.gp_model
+        if gp is None or ignore_gp_model:
+            if raw_score or self._lik is None:
+                return F_pred
+            return np.asarray(self._lik.cond_mean(jnp.asarray(F_pred), self._aux))
+
+        if gp.likelihood == "gaussian":
+            resid = self.y - self.F
+            pred = gp.predict(
+                y=resid, group_data_pred=group_data_pred,
+                group_rand_coef_data_pred=group_rand_coef_data_pred,
+                gp_coords_pred=gp_coords_pred,
+                gp_rand_coef_data_pred=gp_rand_coef_data_pred,
+                cluster_ids_pred=cluster_ids_pred,
+                predict_var=predict_var, predict_cov_mat=predict_cov_mat,
+                predict_response=not pred_latent)
+            out = {"fixed_effect": F_pred, "random_effect_mean": pred["mu"],
+                   "random_effect_cov": pred.get("cov"),
+                   "random_effect_var": pred.get("var"),
+                   "response_mean": F_pred + pred["mu"]}
+            return out
+        else:
+            pred = gp.predict(
+                y=self.y, offset=self.F,
+                group_data_pred=group_data_pred,
+                group_rand_coef_data_pred=group_rand_coef_data_pred,
+                gp_coords_pred=gp_coords_pred,
+                gp_rand_coef_data_pred=gp_rand_coef_data_pred,
+                cluster_ids_pred=cluster_ids_pred,
+                predict_var=predict_var, predict_cov_mat=predict_cov_mat,
+                predict_response=not pred_latent,
+                fixed_effects_pred=F_pred)
+            out = {"fixed_effect": F_pred, "random_effect_mean": pred["mu"],
+                   "random_effect_cov": pred.get("cov"),
+                   "random_effect_var": pred.get("var")}
+            if not pred_latent:
+                out["response_mean"] = pred["mu"]
+                out["response_var"] = pred.get("var")
+            return out
+
+    def num_trees(self):
+        return len(self.trees)
+
+    def current_iteration(self):
+        return self.current_iteration_
+
+    def eval_train(self):
+        grad = self.F - self.y if self.objective_name == "gaussian" else None
+        if grad is not None:
+            return [("training", "l2", float(np.mean(grad ** 2)), False)]
+        return []
+
+    # ------------------------------------------------------------------
+    def model_to_dict(self):
+        d = {
+            "init_score": self.init_score,
+            "objective": self.objective_name,
+            "params": {k: v for k, v in self.params.items()
+                       if isinstance(v, (int, float, str, bool))},
+            "trees": [t.to_dict() for t in self.trees],
+            "has_gp_model": 1 if self.gp_model is not None else 0,
+        }
+        if self.gp_model is not None and self.gp_model.model_has_been_fitted:
+            d["gp_model"] = self.gp_model.model_to_dict()
+            d["residual_or_y"] = (self.y - self.F).tolist() \
+                if self.gp_model.likelihood == "gaussian" else self.y.tolist()
+            d["fixed_effect_train"] = self.F.tolist()
+        return d
+
+    def save_model(self, filename, **kwargs):
+        import json
+        with open(filename, "w") as f:
+            json.dump(self.model_to_dict(), f)
+        return self
+
+    def _load(self, model_file, model_dict):
+        import json
+        if model_dict is None:
+            with open(model_file) as f:
+                model_dict = json.load(f)
+        d = model_dict
+        self.init_score = d["init_score"]
+        self.objective_name = d["objective"]
+        self.params = dict(_BOOST_PARAM_DEFAULTS)
+        self.params.update(d.get("params", {}))
+        self.trees = [Tree.from_dict(td) for td in d["trees"]]
+        self.current_iteration_ = len(self.trees)
+        self.gp_model = None
+        self._lik = None if self.objective_name == "gaussian" \
+            else get_likelihood(self.objective_name)
+        self._aux = None if self._lik is None \
+            else jnp.asarray(np.asarray(self._lik.default_aux))
+        if d.get("has_gp_model"):
+            from ..gp_model import GPModel
+            self.gp_model = GPModel(model_dict=d["gp_model"])
+            self.y = np.asarray(d["residual_or_y"])
+            self.F = np.asarray(d["fixed_effect_train"])
+            if self.gp_model.likelihood == "gaussian":
+                self.y = self.F + np.asarray(d["residual_or_y"])
+
+
+def _psi_tilde_inv_apply(eng, t, resid):
+    """Psi_tilde^-1 resid for whichever Gaussian engine the GPModel holds."""
+    import jax.scipy.linalg as jsl
+    theta_log = jnp.asarray(np.log(t[1:]))
+    r = jnp.asarray(resid)
+    kind = type(eng).__name__
+    if kind == "DenseGaussianEngine":
+        M = eng.psi_tilde(theta_log)
+        L = jnp.linalg.cholesky(M)
+        return np.asarray(jsl.cho_solve((L, True), r))
+    if kind == "WoodburyGaussianEngine":
+        A = np.asarray(eng._A_fn(theta_log))
+        import scipy.linalg as sla
+        cho = sla.cho_factor(A, lower=True)
+        Ztr = eng._zt(np.asarray(resid))
+        w = sla.cho_solve(cho, Ztr)
+        out = np.asarray(resid).copy()
+        for j in range(eng.num_theta):
+            out -= eng._w[j] * w[eng._idx[j]]
+        return out
+    if kind == "VecchiaGaussianEngine":
+        A, D = eng._bd(theta_log)
+        A = np.asarray(A); D = np.asarray(D)
+        idx = np.asarray(eng._nn_idx)
+        rp = np.asarray(resid)[eng.perm]
+        z = rp - (A * rp[idx]).sum(1)
+        w = z / D
+        out = w.copy()
+        np.subtract.at(out, idx.reshape(-1), (A * w[:, None]).reshape(-1))
+        inv = np.empty_like(out)
+        inv[eng.perm] = out
+        return inv
+    raise AssertionError(kind)
+
+
+def train(params, train_set, num_boost_round=100, gp_model=None,
+          valid_sets=None, valid_names=None, callbacks=None,
+          early_stopping_rounds=None, verbose_eval=False, init_model=None,
+          keep_training_booster=False, evals_result=None, **kwargs):
+    """Train a (GP)Boost model (engine.py:22 train)."""
+    raw = dict(params or {})
+    nbr = num_boost_round
+    for k in list(raw):
+        kk = _PARAM_ALIASES.get(k, k)
+        if kk == "num_boost_round":
+            nbr = int(raw.pop(k))
+    booster = Booster(params=raw, train_set=train_set, gp_model=gp_model)
+    for it in range(nbr):
+        booster.update()
+    booster.best_iteration = -1
+    return booster

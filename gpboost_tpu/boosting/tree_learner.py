@@ -1,0 +1,215 @@
+"""Leaf-wise histogram tree learner — whole-tree growth in ONE jitted program.
+
+Reference: src/LightGBM/treelearner/serial_tree_learner.cpp:159 (Train loop:
+ConstructHistograms -> FindBestSplits -> SplitInner), feature_histogram.hpp
+(per-bin gain with L2), the histogram-subtraction trick.
+
+TPU-first design: the reference drives each split from the host with dynamic
+row partitions; here the ENTIRE leaf-wise growth of a tree is a single
+jax.lax.fori_loop compiled once — zero host round-trips per split:
+
+  state: node_of_row (n,), per-leaf histograms (L, p, 3, B [grad,hess,count]),
+         per-leaf best-split arrays, split records.
+  step:  argmax leaf gain -> masked partition update -> ONE histogram over the
+         full data for the left child -> sibling via subtraction -> re-evaluate
+         both leaves.
+
+Histograms use the Pallas kernel (ops/histogram.py) on TPU — the one-hot
+expansion lives only in VMEM — and a blocked einsum elsewhere. The tree
+structure is rebuilt on the host from the recorded split sequence.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .tree import Tree
+from ..ops.histogram import hist_pallas
+
+
+def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block):
+    """(p, 3, B) histogram via blocked one-hot einsum (non-TPU backends)."""
+    p, n = bins_T.shape
+    nb = n // row_block
+    bins_r = bins_T.reshape(p, nb, row_block)
+    stats_r = stats_T.reshape(3, nb, row_block)
+    node_r = node.reshape(nb, row_block)
+    bvals = jnp.arange(num_bins, dtype=bins_T.dtype)
+
+    def body(acc, i):
+        b = jax.lax.dynamic_index_in_dim(bins_r, i, axis=1, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(stats_r, i, axis=1, keepdims=False)
+        l = jax.lax.dynamic_index_in_dim(node_r, i, axis=0, keepdims=False)
+        w = (l == target).astype(s.dtype)
+        onehot = (b[:, :, None] == bvals[None, None, :]).astype(s.dtype)
+        acc = acc + jnp.einsum("cr,prb->pcb", s * w[None, :], onehot)
+        return acc, None
+
+    init = jnp.zeros((p, 3, num_bins), stats_T.dtype)
+    hist, _ = jax.lax.scan(body, init, jnp.arange(nb))
+    return hist
+
+
+def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain):
+    """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
+    hist (p, 3, B). gain = GL^2/(HL+l2) + GR^2/(HR+l2) - G^2/(H+l2)."""
+    G = jnp.sum(hist[:, 0, :], axis=1, keepdims=True)
+    H = jnp.sum(hist[:, 1, :], axis=1, keepdims=True)
+    C = jnp.sum(hist[:, 2, :], axis=1, keepdims=True)
+    GL = jnp.cumsum(hist[:, 0, :], axis=1)
+    HL = jnp.cumsum(hist[:, 1, :], axis=1)
+    CL = jnp.cumsum(hist[:, 2, :], axis=1)
+    gain = (GL * GL / (HL + lambda_l2) + (G - GL) ** 2 / (H - HL + lambda_l2)
+            - G * G / (H + lambda_l2))
+    valid = ((CL >= min_data) & (C - CL >= min_data)
+             & (HL >= min_hess) & (H - HL >= min_hess))
+    gain = jnp.where(valid & (gain > min_gain), gain, -jnp.inf)
+    flat = jnp.argmax(gain)
+    p, B = gain.shape
+    return gain.reshape(-1)[flat], flat // B, flat % B
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
+               use_pallas, row_block, feat_chunk,
+               lambda_l2, min_data, min_hess, min_gain):
+    """Grow one leaf-wise tree; returns (split records, leaf values, rows)."""
+    p, n = bins_T.shape
+    L = num_leaves
+
+    def hist_fn(node, target):
+        if use_pallas:
+            return hist_pallas(bins_T, node[None, :], stats_T, target,
+                               num_bins, feat_chunk, row_block)
+        return _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block)
+
+    hist0 = hist_fn(node0, jnp.int32(0))
+    g0, f0, b0 = _best_split_of_hist(hist0, lambda_l2, min_data, min_hess,
+                                     min_gain)
+
+    leaf_hist = jnp.zeros((L, p, 3, num_bins), hist0.dtype).at[0].set(hist0)
+    leaf_gain = jnp.full((L,), -jnp.inf).at[0].set(g0)
+    leaf_feat = jnp.zeros((L,), jnp.int32).at[0].set(f0.astype(jnp.int32))
+    leaf_bin = jnp.zeros((L,), jnp.int32).at[0].set(b0.astype(jnp.int32))
+    leaf_depth = jnp.zeros((L,), jnp.int32)
+    rec = jnp.full((L - 1, 4), -1, jnp.int32)   # (parent_slot, feat, bin, ok)
+
+    def split_step(s, carry):
+        node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec = carry
+        l = jnp.argmax(leaf_gain).astype(jnp.int32)
+        ok = jnp.isfinite(leaf_gain[l])
+        f = leaf_feat[l]
+        b = leaf_bin[l]
+        new_slot = jnp.int32(s + 1)
+
+        def do_split(args):
+            node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec = args
+            feat_col = jnp.take(bins_T, f, axis=0)           # (n,)
+            in_leaf = node == l
+            node2 = jnp.where(in_leaf & (feat_col > b), new_slot, node)
+            hist_left = hist_fn(node2, l)
+            hist_right = leaf_hist[l] - hist_left
+            d = leaf_depth[l] + 1
+            gl, fl, bl = _best_split_of_hist(hist_left, lambda_l2, min_data,
+                                             min_hess, min_gain)
+            gr, fr, br = _best_split_of_hist(hist_right, lambda_l2, min_data,
+                                             min_hess, min_gain)
+            depth_ok = d < max_depth
+            gl = jnp.where(depth_ok, gl, -jnp.inf)
+            gr = jnp.where(depth_ok, gr, -jnp.inf)
+            leaf_hist = leaf_hist.at[l].set(hist_left).at[new_slot].set(hist_right)
+            leaf_gain = leaf_gain.at[l].set(gl).at[new_slot].set(gr)
+            leaf_feat = leaf_feat.at[l].set(fl.astype(jnp.int32)) \
+                                 .at[new_slot].set(fr.astype(jnp.int32))
+            leaf_bin = leaf_bin.at[l].set(bl.astype(jnp.int32)) \
+                               .at[new_slot].set(br.astype(jnp.int32))
+            leaf_depth = leaf_depth.at[l].set(d).at[new_slot].set(d)
+            rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
+            return (node2, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+                    leaf_depth, rec2)
+
+        return jax.lax.cond(ok, do_split, lambda a: a,
+                            (node, leaf_hist, leaf_gain, leaf_feat,
+                             leaf_bin, leaf_depth, rec))
+
+    carry = (node0, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec)
+    carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
+    node, leaf_hist, *_, rec = carry
+    # totals from one feature's bins (every feature's bins sum to the totals)
+    Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
+    Hs = jnp.sum(leaf_hist[:, 0, 1, :], axis=1)
+    Cs = jnp.sum(leaf_hist[:, 0, 2, :], axis=1)
+    leaf_values = jnp.where(Cs > 0, -Gs / (Hs + lambda_l2), 0.0)
+    return rec, leaf_values, node
+
+
+class SerialTreeLearner:
+    """Leaf-wise growth; one compiled program per tree."""
+
+    def __init__(self, dataset, num_leaves=31, max_depth=-1,
+                 min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
+                 min_gain_to_split=0.0, row_block=None, feat_chunk=8):
+        dataset.construct()
+        self.ds = dataset
+        n, p = dataset.bins.shape
+        import jax as _jax
+        self.use_pallas = _jax.default_backend() == "tpu"
+        if row_block is None:
+            row_block = 2048 if self.use_pallas else 8192
+        self.row_block = int(min(row_block, max(n, 256)))
+        self.feat_chunk = min(feat_chunk, max(p, 1))
+        n_pad = -(-n // self.row_block) * self.row_block
+        p_pad = -(-p // self.feat_chunk) * self.feat_chunk
+        bins_T = np.zeros((p_pad, n_pad), dtype=np.int32)
+        bins_T[:p, :n] = dataset.bins.T
+        self.n, self.p, self.n_pad, self.p_pad = n, p, n_pad, p_pad
+        self.bins_T = jnp.asarray(bins_T)
+        self.num_bins = int(dataset.num_bins)
+        self.num_leaves = int(num_leaves)
+        self.max_depth = max_depth if max_depth and max_depth > 0 else 10 ** 6
+        self.min_data_in_leaf = float(min_data_in_leaf)
+        self.lambda_l2 = float(lambda_l2)
+        self.min_sum_hessian = float(min_sum_hessian_in_leaf)
+        self.min_gain = float(min_gain_to_split)
+
+    def train(self, grad, hess):
+        n, n_pad = self.n, self.n_pad
+        stats_T = np.zeros((3, n_pad), dtype=np.float32)
+        stats_T[0, :n] = grad
+        stats_T[1, :n] = hess
+        stats_T[2, :n] = 1.0
+        node0 = np.zeros(n_pad, dtype=np.int32)
+        node0[n:] = self.num_leaves + 7   # sentinel: padded rows in no leaf
+
+        rec, leaf_values, node = _grow_tree(
+            self.bins_T, jnp.asarray(node0), jnp.asarray(stats_T),
+            self.num_bins, self.num_leaves, self.max_depth,
+            self.use_pallas, self.row_block, self.feat_chunk,
+            jnp.float32(self.lambda_l2), jnp.float32(self.min_data_in_leaf),
+            jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain))
+        rec = np.asarray(rec)
+        leaf_values = np.asarray(leaf_values, dtype=np.float64)
+        slot_of_row = np.asarray(node)[:n]
+
+        # host-side tree reconstruction from the split records
+        tree = Tree(2 * self.num_leaves)
+        tree.leaf_value[0] = leaf_values[0]
+        slot_to_node = {0: 0}
+        for s in range(self.num_leaves - 1):
+            parent_slot, f, b, ok = rec[s]
+            if ok != 1:
+                break
+            node_id = slot_to_node[int(parent_slot)]
+            thr = self.ds.mappers[int(f)].bin_to_threshold(int(b))
+            li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0)
+            slot_to_node[int(parent_slot)] = li
+            slot_to_node[s + 1] = ri
+        for slot, node_id in slot_to_node.items():
+            tree.leaf_value[node_id] = leaf_values[slot]
+        leaf_value_of_slot = np.zeros(self.num_leaves + 8)
+        for slot, node_id in slot_to_node.items():
+            leaf_value_of_slot[slot] = tree.leaf_value[node_id]
+        return tree, slot_of_row, leaf_value_of_slot

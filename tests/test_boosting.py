@@ -1,0 +1,153 @@
+"""Boosting engine tests: tree learner, GBDT loop, GPBoost combination.
+
+Functional tests (the reference's boosting golden values pin LightGBM's exact
+binning/tie-breaking, which this rebuild does not replicate bit-for-bit;
+GPBoost-algorithm parity is asserted at the behavioral level instead).
+"""
+
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def reg_data():
+    rng = np.random.RandomState(1)
+    n, p = 800, 8
+    X = rng.rand(n, p)
+    f_true = 3 * X[:, 0] + np.sin(8 * X[:, 1]) + (X[:, 2] > 0.5)
+    y = f_true + 0.3 * rng.randn(n)
+    return X, y, f_true
+
+
+class TestTreeLearner:
+    def test_single_tree_reduces_loss(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.Booster(params={"num_leaves": 15, "learning_rate": 1.0},
+                          train_set=ds)
+        mse0 = np.mean((bst.F - y) ** 2)
+        bst.update()
+        mse1 = np.mean((bst.F - y) ** 2)
+        assert mse1 < 0.7 * mse0
+
+    def test_min_data_in_leaf(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.Booster(params={"num_leaves": 31, "min_data_in_leaf": 100},
+                          train_set=ds)
+        bst.update()
+        tree = bst.trees[0]
+        slots, counts = np.unique(
+            bst.learner.train(bst.F - y, np.ones(len(y)))[1],
+            return_counts=True)
+        assert counts.min() >= 100
+
+    def test_max_depth(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.Booster(params={"num_leaves": 31, "max_depth": 2},
+                          train_set=ds)
+        bst.update()
+        assert bst.trees[0].num_leaves <= 4
+
+    def test_train_predict_consistency(self, reg_data):
+        """Raw-feature prediction must match the binned training-path score."""
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"num_leaves": 31}, ds, num_boost_round=10)
+        pred = bst.predict(X)
+        assert np.allclose(pred, bst.F, atol=1e-10)
+
+
+class TestGBDT:
+    def test_regression_fits(self, reg_data):
+        X, y, f_true = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 31},
+                        ds, num_boost_round=80)
+        pred = bst.predict(X)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.9
+        # closer to truth than to noise
+        assert np.sqrt(np.mean((pred - f_true) ** 2)) < 0.3
+
+    def test_binary(self, reg_data):
+        X, _, f_true = reg_data
+        rng = np.random.RandomState(3)
+        yb = (rng.rand(len(X)) < 1 / (1 + np.exp(-(f_true - f_true.mean())))
+              ).astype(float)
+        ds = gpb.Dataset(X, label=yb)
+        bst = gpb.train({"objective": "binary", "num_leaves": 15},
+                        ds, num_boost_round=40)
+        p = bst.predict(X)
+        assert np.all((p > 0) & (p < 1))
+        logloss = -np.mean(yb * np.log(p) + (1 - yb) * np.log(1 - p))
+        base = -np.mean(yb * np.log(yb.mean()) + (1 - yb) * np.log(1 - yb.mean()))
+        assert logloss < 0.8 * base
+
+    def test_save_load_roundtrip(self, reg_data, tmp_path):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"num_leaves": 15}, ds, num_boost_round=10)
+        f = str(tmp_path / "model.json")
+        bst.save_model(f)
+        bst2 = gpb.Booster(model_file=f)
+        assert np.allclose(bst.predict(X), bst2.predict(X))
+
+
+class TestGPBoostAlgorithm:
+    """The combined tree-boosting + random effects algorithm (SURVEY §3.2)."""
+
+    def test_gaussian_gpboost(self):
+        rng = np.random.RandomState(7)
+        n, p = 500, 5
+        X = rng.rand(n, p)
+        f_true = 2 * X[:, 0] + np.sin(6 * X[:, 1])
+        group = rng.randint(0, 25, size=n)
+        b = 0.8 * rng.randn(25)
+        y = f_true + b[group] + 0.2 * rng.randn(n)
+
+        gp = gpb.GPModel(group_data=group)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 15,
+                         "min_data_in_leaf": 10},
+                        ds, num_boost_round=40, gp_model=gp)
+        # variance components recovered
+        cov = gp.get_cov_pars()
+        assert abs(cov[0] - 0.04) < 0.05        # nugget = 0.2^2
+        assert abs(cov[1] - 0.64) < 0.5         # group var = 0.8^2
+        # combined prediction beats trees-only
+        pred = bst.predict(X, group_data_pred=group)
+        resid_comb = y - pred["response_mean"]
+        bst_only = gpb.train({"learning_rate": 0.1, "num_leaves": 15,
+                              "min_data_in_leaf": 10},
+                             gpb.Dataset(X, label=y), num_boost_round=40)
+        resid_trees = y - bst_only.predict(X)
+        assert np.mean(resid_comb ** 2) < np.mean(resid_trees ** 2)
+        # fixed effect tracks f_true (up to a constant)
+        fe = pred["fixed_effect"]
+        assert np.corrcoef(fe, f_true)[0, 1] > 0.9
+
+    def test_lagaboost_binary(self):
+        rng = np.random.RandomState(11)
+        n, p = 500, 5
+        X = rng.rand(n, p)
+        f_true = 2.0 * (X[:, 0] - 0.5) + np.sin(6 * X[:, 1]) - 0.5
+        group = rng.randint(0, 20, size=n)
+        b = 0.8 * rng.randn(20)
+        lp = f_true + b[group]
+        y = (rng.rand(n) < 1 / (1 + np.exp(-lp))).astype(float)
+
+        gp = gpb.GPModel(group_data=group, likelihood="bernoulli_logit")
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 7,
+                         "min_data_in_leaf": 20, "maxit_gp": 20},
+                        ds, num_boost_round=20, gp_model=gp)
+        pred = bst.predict(X, group_data_pred=group)
+        p_hat = pred["response_mean"]
+        assert np.all((p_hat >= 0) & (p_hat <= 1))
+        logloss = -np.mean(y * np.log(p_hat + 1e-9)
+                           + (1 - y) * np.log(1 - p_hat + 1e-9))
+        base = -np.mean(y * np.log(y.mean()) + (1 - y) * np.log(1 - y.mean()))
+        assert logloss < base
