@@ -22,6 +22,9 @@ __version__ = "0.1.0"
 from .gp_model import GPModel  # noqa: E402
 from .sklearn_utils import fitGPModel  # noqa: E402
 from .boosting import Dataset, Booster, train  # noqa: E402
+from .engine import cv, grid_search_tune_parameters  # noqa: E402
+from .sklearn import (GPBoostModel, GPBoostRegressor,  # noqa: E402
+                      GPBoostClassifier)
 
 __all__ = [
     "GPModel",
@@ -29,5 +32,10 @@ __all__ = [
     "Dataset",
     "Booster",
     "train",
+    "cv",
+    "grid_search_tune_parameters",
+    "GPBoostModel",
+    "GPBoostRegressor",
+    "GPBoostClassifier",
     "__version__",
 ]

@@ -36,10 +36,9 @@ class BinMapper:
 
     def transform(self, values):
         v = np.asarray(values, dtype=np.float64)
-        bins = np.searchsorted(self.upper_bounds[:-1], v, side="left")
-        if self.has_nan:
-            bins = np.where(np.isfinite(v), bins, self.nan_bin)
-        return bins.astype(np.int32)
+        from ..native import bin_column
+        return bin_column(v, self.upper_bounds,
+                          nan_bin=self.nan_bin if self.has_nan else -1)
 
     def bin_to_threshold(self, b):
         """Real-valued threshold for 'go left if x <= t' at bin boundary b."""

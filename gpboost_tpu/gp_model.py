@@ -17,6 +17,7 @@ from .models.gaussian_gp import DenseGaussianEngine
 from .models.grouped_re import WoodburyGaussianEngine
 from .models.laplace import LaplaceDenseEngine
 from .models.vecchia import VecchiaGaussianEngine
+from .models.fitc import FITCGaussianEngine
 from .models.optimize import (OptimConfig, OptimResult, optimize_gaussian,
                               optimize_laplace)
 
@@ -168,20 +169,27 @@ class GPModel:
         self._vecchia = gp_approx in ("vecchia",)
         self.vecchia_pred_type = "order_obs_first_cond_obs_only"
         self.num_neighbors_pred = None
-        if gp_approx not in ("none", "vecchia"):
+        if gp_approx not in ("none", "vecchia", "fitc"):
             raise NotImplementedError(
                 f"gp_approx '{gp_approx}' is not implemented yet "
-                "(currently: 'none', 'vecchia')")
-        if self._vecchia:
+                "(currently: 'none', 'vecchia', 'fitc')")
+        if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
                 raise NotImplementedError(
-                    "gp_approx='vecchia' with non-Gaussian likelihoods lands "
-                    "with the Vecchia-Laplace engine")
-            self._engine = VecchiaGaussianEngine(
-                self.components, self.num_data,
-                num_neighbors=num_neighbors if num_neighbors else 20,
-                vecchia_ordering=vecchia_ordering, seed=seed,
-                dtype=self._dtype)
+                    f"gp_approx='{gp_approx}' with non-Gaussian likelihoods "
+                    "lands with the Vecchia-Laplace / FITC-Laplace engines")
+            if gp_approx == "vecchia":
+                self._engine = VecchiaGaussianEngine(
+                    self.components, self.num_data,
+                    num_neighbors=num_neighbors if num_neighbors else 20,
+                    vecchia_ordering=vecchia_ordering, seed=seed,
+                    dtype=self._dtype)
+            else:
+                self._engine = FITCGaussianEngine(
+                    self.components, self.num_data,
+                    num_ind_points=num_ind_points,
+                    ind_points_selection=ind_points_selection, seed=seed,
+                    dtype=self._dtype)
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None

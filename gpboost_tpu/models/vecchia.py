@@ -104,7 +104,16 @@ class VecchiaGaussianEngine:
             raise ValueError(f"vecchia_ordering '{vecchia_ordering}'")
         self.perm = perm
         self.coords_ord = comp.coords[perm]
-        idx, mask = nearest_preceding_neighbors(self.coords_ord, self.m)
+        idx = mask = None
+        if self.n >= 20000 and self.coords_ord.shape[1] == 2:
+            # native cell-bucketed search (the reference's fast-heuristic
+            # analogue, Vecchia_utils.h:238): ~20x faster, >99% same neighbors
+            from ..native import nn_preceding_2d
+            res = nn_preceding_2d(self.coords_ord, self.m)
+            if res is not None:
+                idx, mask = res
+        if idx is None:
+            idx, mask = nearest_preceding_neighbors(self.coords_ord, self.m)
         self._nn_idx = jnp.asarray(idx)
         self._nn_mask = jnp.asarray(mask)
         self._coords_d = jnp.asarray(self.coords_ord, dtype=dtype)
