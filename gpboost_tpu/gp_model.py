@@ -175,9 +175,25 @@ class GPModel:
                 "(currently: 'none', 'vecchia', 'fitc')")
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
-                raise NotImplementedError(
-                    f"gp_approx='{gp_approx}' with non-Gaussian likelihoods "
-                    "lands with the Vecchia-Laplace / FITC-Laplace engines")
+                if gp_approx != "vecchia":
+                    raise NotImplementedError(
+                        "gp_approx='fitc' with non-Gaussian likelihoods lands "
+                        "with the FITC-Laplace engine")
+                from .models.vecchia_laplace import VecchiaLaplaceEngine
+                self._likelihood_obj = get_likelihood(
+                    likelihood, likelihood_additional_param)
+                self._engine = VecchiaLaplaceEngine(
+                    self.components, self.num_data, self._likelihood_obj,
+                    num_neighbors=num_neighbors if num_neighbors else 20,
+                    vecchia_ordering=vecchia_ordering, seed=seed,
+                    dtype=self._dtype)
+                self.num_cov_par = self._engine.num_cov_par
+                self.params = OptimConfig()
+                self._fit_result = None
+                self.y = None
+                self.X = None
+                self.model_has_been_fitted = False
+                return
             if gp_approx == "vecchia":
                 self._engine = VecchiaGaussianEngine(
                     self.components, self.num_data,
@@ -339,8 +355,11 @@ class GPModel:
             return np.vstack([r.cov_pars, r.std_dev_cov_pars])
         return r.cov_pars.copy()
 
-    def get_coef(self):
-        return self._require_fit().coef
+    def get_coef(self, std_err=None):
+        r = self._require_fit()
+        if std_err and r.std_dev_coef is not None:
+            return np.vstack([r.coef, r.std_dev_coef])
+        return r.coef
 
     def get_num_optim_iter(self):
         return self._require_fit().num_it
@@ -440,16 +459,16 @@ class GPModel:
         pred_data = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
             gp_rand_coef_data_pred, cluster_ids_pred)
-        F_pred = None
-        if predict_response:
-            n_pred = pred_data["n_pred"]
-            F_pred = np.zeros(n_pred)
-            if offset_pred is not None:
-                F_pred = F_pred + np.asarray(offset_pred, dtype=np.float64)
-            if fixed_effects_pred is not None:
-                F_pred = F_pred + np.asarray(fixed_effects_pred, dtype=np.float64)
-            if coef is not None and X_pred is not None:
-                F_pred = F_pred + np.asarray(X_pred, dtype=np.float64) @ coef
+        # the predicted latent location parameter includes the fixed effects
+        # (basic.py:3701-3770: F enters both latent and response predictions)
+        n_pred = pred_data["n_pred"]
+        F_pred = np.zeros(n_pred)
+        if offset_pred is not None:
+            F_pred = F_pred + np.asarray(offset_pred, dtype=np.float64)
+        if fixed_effects_pred is not None:
+            F_pred = F_pred + np.asarray(fixed_effects_pred, dtype=np.float64)
+        if coef is not None and X_pred is not None:
+            F_pred = F_pred + np.asarray(X_pred, dtype=np.float64) @ coef
         out = self._engine.predict(
             cov_pars, aux_pars, y, F, pred_data, a_init=a_init,
             predict_var=predict_var, predict_cov_mat=predict_cov_mat,

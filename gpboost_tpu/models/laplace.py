@@ -312,7 +312,8 @@ class LaplaceDenseEngine:
             if predict_var or predict_cov_mat:
                 out["var"] = np.asarray(v)
         else:
-            out["mu"] = np.asarray(mu)
+            mu_out = mu if F_pred is None else mu + jnp.asarray(F_pred, self.dtype)
+            out["mu"] = np.asarray(mu_out)
             if predict_cov_mat:
                 out["cov"] = np.asarray(cov)
             if predict_var:

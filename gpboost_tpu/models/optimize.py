@@ -113,6 +113,14 @@ def optimize_gaussian(engine, y, config: OptimConfig,
         except np.linalg.LinAlgError:
             pass
         res.std_dev_cov_pars = std
+        if X is not None and res.coef is not None and hasattr(engine, "psi_tilde"):
+            # CalcStdDevCoef (re_model_template.h:10753): sqrt diag (X'Psi^-1 X)^-1
+            import scipy.linalg as sla
+            t = engine.transform_pars(res.cov_pars)
+            M = np.asarray(engine.psi_tilde(jnp.asarray(np.log(t[1:]))))
+            Xn = np.asarray(X, dtype=np.float64)
+            XtPX = Xn.T @ sla.cho_solve(sla.cho_factor(M, lower=True), Xn) / t[0]
+            res.std_dev_coef = np.sqrt(np.diagonal(np.linalg.inv(XtPX)))
     return res
 
 
