@@ -331,7 +331,15 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
           valid_sets=None, valid_names=None, callbacks=None,
           early_stopping_rounds=None, verbose_eval=False, init_model=None,
           keep_training_booster=False, evals_result=None, **kwargs):
-    """Train a (GP)Boost model (engine.py:22 train)."""
+    """Train a (GP)Boost model (engine.py:22 train).
+
+    valid_sets: Dataset(s) with labels for per-iteration validation; with
+    early_stopping_rounds, training stops when the first validation metric has
+    not improved for that many rounds (gbdt.cpp:587 EvalAndCheckEarlyStopping).
+    Validation predictions route through the GP model when
+    use_gp_model_for_validation (config.h:187) and the valid Dataset carries
+    the prediction inputs in .gp_valid_data (dict of predict kwargs).
+    """
     raw = dict(params or {})
     nbr = num_boost_round
     for k in list(raw):
@@ -339,7 +347,54 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
         if kk == "num_boost_round":
             nbr = int(raw.pop(k))
     booster = Booster(params=raw, train_set=train_set, gp_model=gp_model)
+
+    vsets = []
+    if valid_sets is not None:
+        vsets = valid_sets if isinstance(valid_sets, (list, tuple)) \
+            else [valid_sets]
+        vsets = [v for v in vsets if v is not train_set]
+    names = valid_names or [f"valid_{i}" for i in range(len(vsets))]
+
+    def _metric(y, p):
+        if booster.objective_name == "gaussian":
+            return "l2", float(np.mean((y - p) ** 2))
+        if "bernoulli" in booster.objective_name:
+            pc = np.clip(p, 1e-15, 1 - 1e-15)
+            return "binary_logloss", float(-np.mean(
+                y * np.log(pc) + (1 - y) * np.log(1 - pc)))
+        return "rmse", float(np.sqrt(np.mean((y - p) ** 2)))
+
+    best_score = np.inf
+    best_iter = -1
+    rounds_no_improve = 0
+    if evals_result is not None:
+        for nm in names:
+            evals_result.setdefault(nm, {})
     for it in range(nbr):
         booster.update()
-    booster.best_iteration = -1
+        if vsets:
+            for v, nm in zip(vsets, names):
+                pk = dict(getattr(v, "gp_valid_data", None) or {})
+                use_gp = (gp_model is not None
+                          and booster.params["use_gp_model_for_validation"]
+                          and pk)
+                pred = booster.predict(v.data, ignore_gp_model=not use_gp, **pk)
+                if isinstance(pred, dict):
+                    pred = pred.get("response_mean",
+                                    pred["fixed_effect"]
+                                    + pred["random_effect_mean"])
+                mname, score = _metric(v.get_label(), pred)
+                if evals_result is not None:
+                    evals_result[nm].setdefault(mname, []).append(score)
+                if nm == names[0]:
+                    if score < best_score - 1e-15:
+                        best_score = score
+                        best_iter = it + 1
+                        rounds_no_improve = 0
+                    else:
+                        rounds_no_improve += 1
+            if early_stopping_rounds and rounds_no_improve >= early_stopping_rounds:
+                break
+    booster.best_iteration = best_iter if vsets else -1
+    booster.best_score = best_score if vsets else None
     return booster

@@ -381,8 +381,59 @@ class GPModel:
                 cluster_ids_pred=None, X_pred=None,
                 predict_cov_mat=False, predict_var=False, cov_pars=None,
                 predict_response=True, offset=None, offset_pred=None,
-                fixed_effects=None, fixed_effects_pred=None):
-        """Posterior predictions (basic.py:6187 GPModel.predict)."""
+                fixed_effects=None, fixed_effects_pred=None,
+                sample_posterior=False, sample_prior=False,
+                num_post_samples=100, num_prior_samples=None, seed=None):
+        """Posterior predictions (basic.py:6187 GPModel.predict).
+
+        sample_posterior / sample_prior draw joint Gaussian samples at the
+        prediction points (Gaussian likelihood; Sample_Posterior_LaplaceApprox
+        for non-Gaussian lands later): 'posterior_samples' / 'prior_samples'
+        of shape (n_pred, num_samples)."""
+        if sample_prior:
+            n_s = num_prior_samples or num_post_samples
+            pd = self._build_pred_data(group_data_pred,
+                                       group_rand_coef_data_pred,
+                                       gp_coords_pred, gp_rand_coef_data_pred,
+                                       cluster_ids_pred)
+            cov_pars_s = np.asarray(
+                cov_pars if cov_pars is not None
+                else self._require_fit().cov_pars, dtype=np.float64)
+            from .models.gaussian_gp import assemble_pred_covs
+            t = self._engine.transform_pars(cov_pars_s)
+            _, K_pred = assemble_pred_covs(
+                self.components, self._engine.par_offsets,
+                [cov_pars_s[1 + off] for off in self._engine.par_offsets],
+                jnp.asarray(np.log(t[1:])), pd, self.num_data, jnp.float64)
+            K = np.asarray(K_pred)
+            if predict_response and self.likelihood == "gaussian":
+                K = K + cov_pars_s[0] * np.eye(len(K))
+            rng = np.random.RandomState(seed)
+            L = np.linalg.cholesky(K + 1e-10 * np.eye(len(K)))
+            samples = L @ rng.standard_normal((len(K), n_s))
+            return {"mu": np.zeros(len(K)), "cov": K, "var": np.diagonal(K),
+                    "prior_samples": samples}
+        if sample_posterior:
+            out = self.predict(
+                y=y, group_data_pred=group_data_pred,
+                group_rand_coef_data_pred=group_rand_coef_data_pred,
+                gp_coords_pred=gp_coords_pred,
+                gp_rand_coef_data_pred=gp_rand_coef_data_pred,
+                cluster_ids_pred=cluster_ids_pred, X_pred=X_pred,
+                predict_cov_mat=True, cov_pars=cov_pars,
+                predict_response=predict_response, offset=offset,
+                offset_pred=offset_pred, fixed_effects=fixed_effects,
+                fixed_effects_pred=fixed_effects_pred)
+            rng = np.random.RandomState(seed)
+            cov = out["cov"]
+            L = np.linalg.cholesky(cov + 1e-10 * np.eye(len(cov)))
+            out["posterior_samples"] = out["mu"][:, None] \
+                + L @ rng.standard_normal((len(cov), num_post_samples))
+            if predict_var and out.get("var") is None:
+                out["var"] = np.diagonal(cov).copy()
+            if not predict_cov_mat:
+                out["cov"] = None
+            return out
         if cov_pars is None:
             cov_pars = self._require_fit().cov_pars
         cov_pars = self._check_cov_pars(cov_pars)

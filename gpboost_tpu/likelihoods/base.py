@@ -50,8 +50,16 @@ class Likelihood:
         return np.asarray(y, dtype=np.float64)
 
     def init_aux(self, y):
-        """Data-driven initial aux parameters."""
+        """Data-driven initial aux parameters (INTERNAL positive scale)."""
         return np.asarray(self.default_aux, dtype=np.float64)
+
+    # aux parameters live on a positive internal scale for the optimizer;
+    # most likelihoods use the identity transform (tweedie transforms p)
+    def aux_to_internal(self, aux_orig):
+        return np.asarray(aux_orig, dtype=np.float64)
+
+    def aux_from_internal(self, aux_internal):
+        return np.asarray(aux_internal, dtype=np.float64)
 
     # ------------------------------------------------------------------
     def init_intercept(self, y, tot_var, F=None):
@@ -401,6 +409,99 @@ class LogNormal(Likelihood):
         return (jnp.exp(aux[0]) - 1.0) * mu * mu
 
 
+class Tweedie(Likelihood):
+    """Compound Poisson-gamma Tweedie, 1 < p < 2 (likelihoods.h:64-67,
+    tweedie_utils.h): mu = exp(f), Var = phi * mu^p.
+
+    Internal aux = [phi, tau] with p = (2 tau + 1) / (tau + 1) so both live on
+    a positive scale ("a positive transformed power", likelihoods.h:26-28).
+    Density via the Dunn-Smyth series with a fixed 200-term logsumexp; the
+    series weights do not depend on mu, so autodiff derivatives wrt the
+    location are exact despite the truncation.
+    """
+
+    name = "tweedie"
+    link = "log"
+    num_aux = 2
+    aux_names = ("dispersion", "power")
+    default_aux = (1.0, 1.0)          # internal: phi=1, tau=1 -> p=1.5
+    _J = 200
+
+    def _p_of(self, aux):
+        tau = aux[1]
+        return (2.0 * tau + 1.0) / (tau + 1.0)
+
+    def log_lik(self, y, f, aux):
+        phi = aux[0]
+        p = self._p_of(aux)
+        mu = jnp.exp(f)
+        kappa = mu ** (2.0 - p) / (2.0 - p)
+        theta_y = y * mu ** (1.0 - p) / (1.0 - p)
+        exponent = (theta_y - kappa) / phi
+        alpha = (2.0 - p) / (p - 1.0)
+        j = jnp.arange(1, self._J + 1, dtype=f.dtype)
+        y_safe = jnp.where(y > 0, y, 1.0)
+        logW = (j[None, :] * alpha * jnp.log(y_safe[:, None])
+                - j[None, :] * alpha * jnp.log(p - 1.0)
+                - j[None, :] * (1.0 + alpha) * jnp.log(phi)
+                - j[None, :] * jnp.log(2.0 - p)
+                - gammaln(j[None, :] + 1.0)
+                - gammaln(j[None, :] * alpha))
+        log_series = jax.scipy.special.logsumexp(logW, axis=1)
+        log_pos = -jnp.log(y_safe) + exponent + log_series
+        return jnp.where(y > 0, log_pos, -kappa / phi)
+
+    def check_y(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        if np.any(y < 0):
+            raise ValueError("Response variable data needs to be >= 0 "
+                             "for likelihood tweedie")
+        return y
+
+    def init_aux(self, y):
+        return np.asarray([1.0, 1.0])  # phi=1, p=1.5
+
+    def aux_to_internal(self, aux_orig):
+        phi, p = np.asarray(aux_orig, dtype=np.float64)
+        if not (1.0 < p < 2.0):
+            raise ValueError("tweedie power p must be in (1, 2)")
+        return np.asarray([phi, (p - 1.0) / (2.0 - p)])
+
+    def aux_from_internal(self, aux_internal):
+        phi, tau = np.asarray(aux_internal, dtype=np.float64)
+        return np.asarray([phi, (2.0 * tau + 1.0) / (tau + 1.0)])
+
+    def cond_mean(self, f, aux):
+        return jnp.exp(f)
+
+    def cond_var(self, f, aux):
+        return aux[0] * jnp.exp(f) ** self._p_of(aux)
+
+
+class TweedieFixedP(Tweedie):
+    """tweedie_fixed_p: fixed variance power, only phi estimated."""
+
+    name = "tweedie_fixed_p"
+    num_aux = 1
+    aux_names = ("dispersion",)
+    default_aux = (1.0,)
+
+    def __init__(self, p=1.5):
+        self.p = p
+
+    def _p_of(self, aux):
+        return self.p
+
+    def init_aux(self, y):
+        return np.asarray([1.0])
+
+    def aux_to_internal(self, aux_orig):
+        return np.asarray(aux_orig, dtype=np.float64)
+
+    def aux_from_internal(self, aux_internal):
+        return np.asarray(aux_internal, dtype=np.float64)
+
+
 class GaussianLatent(Likelihood):
     """Gaussian response handled through the non-Gaussian (latent) code path
     (gp_approx='vecchia_latent' and likelihood='gaussian_latent' in the
@@ -431,10 +532,11 @@ class GaussianLatent(Likelihood):
 
 _REGISTRY = {}
 for _cls in (BernoulliProbit, BernoulliLogit, Poisson, Gamma, NegativeBinomial,
-             NegativeBinomial1, Beta, StudentT, LogNormal, GaussianLatent):
+             NegativeBinomial1, Beta, StudentT, LogNormal, GaussianLatent,
+             Tweedie):
     _REGISTRY[_cls.name] = _cls
 
-SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + ("t_fix_df", "gaussian")
+SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + ("t_fix_df", "tweedie_fixed_p", "gaussian")
 
 _ALIASES = {
     "binary": "bernoulli_probit",
@@ -452,6 +554,8 @@ def get_likelihood(name, additional_param=None):
     name = _ALIASES.get(name, name)
     if name == "t_fix_df":
         return TFixDf(df=additional_param if additional_param is not None else 2.0)
+    if name == "tweedie_fixed_p":
+        return TweedieFixedP(p=additional_param if additional_param is not None else 1.5)
     if name not in _REGISTRY:
         raise ValueError(
             f"likelihood '{name}' is not (yet) supported. "

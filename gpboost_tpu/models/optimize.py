@@ -480,7 +480,8 @@ def _laplace_u0(engine, y, config):
     u = np.log(t)
     if engine.num_aux:
         if getattr(config, "init_aux_pars", None) is not None:
-            aux0 = np.asarray(config.init_aux_pars, dtype=np.float64)
+            aux0 = engine.likelihood.aux_to_internal(
+                np.asarray(config.init_aux_pars, dtype=np.float64))
         else:
             aux0 = engine.likelihood.init_aux(np.asarray(y))
         u = np.concatenate([u, np.log(aux0)])
@@ -659,7 +660,8 @@ def _laplace_result(engine, u, nll, num_it, converged, beta, a_state):
         converged=converged,
     )
     result.coef = beta
-    result.aux_pars = np.exp(u[p_cov:]) if engine.num_aux else None
+    result.aux_pars = engine.likelihood.aux_from_internal(np.exp(u[p_cov:])) \
+        if engine.num_aux else None
     result.mode_state = a_state
     return result
 

@@ -226,6 +226,8 @@ class VecchiaLaplaceEngine:
         if self.num_aux:
             if aux_pars is None:
                 aux_pars = self.likelihood.init_aux(np.asarray(y))
+            else:
+                aux_pars = self.likelihood.aux_to_internal(aux_pars)
             u = np.concatenate([u, np.log(np.asarray(aux_pars, dtype=np.float64))])
         F = np.zeros(self.n) if fixed_effects is None else fixed_effects
         nll, _ = self.laplace_nll(u, y, F, self.zero_mode())
@@ -243,6 +245,8 @@ class VecchiaLaplaceEngine:
         if self.num_aux:
             if aux_pars is None:
                 aux_pars = self.likelihood.init_aux(np.asarray(y))
+            else:
+                aux_pars = self.likelihood.aux_to_internal(aux_pars)
             u = np.concatenate([u, np.log(np.asarray(aux_pars, dtype=np.float64))])
         aux_d = jnp.exp(jnp.asarray(u[self.num_theta:], self.dtype))
         theta_log = jnp.asarray(u[:self.num_theta], self.dtype)
