@@ -132,16 +132,28 @@ class Booster:
         train_cov = self.params["train_gp_model_cov_pars"]
         if gp.likelihood == "gaussian":
             resid = self.F - self.y
+            eng = gp._engine
             if train_cov:
-                gp.fit(y=resid, params={
-                    "init_cov_pars": self._gp_init_pars,
-                    "maxit": int(self.params["maxit_gp"])})
-                self._gp_init_pars = gp._fit_result.cov_pars
+                # whole inner optimizer on device: one call per boosting round,
+                # warm-started parameters AND learning rate (the reference's
+                # reuse_learning_rates_gp_model, config.h:181)
+                from ..models.jit_gd import gd_fit_engine
+                if self._gp_init_pars is None:
+                    gp.fit(y=resid)   # first round: full fit with defaults
+                    self._gp_init_pars = gp._fit_result.cov_pars
+                    self._gp_lr = 0.1
+                else:
+                    pars, nll, lr, it = gd_fit_engine(
+                        eng, self._gp_init_pars, resid, lr0=self._gp_lr,
+                        max_iter=int(self.params["maxit_gp"]))
+                    self._gp_lr = min(max(lr, 1e-8) * 2.0, 0.1)  # lr re-increase
+                    self._gp_init_pars = pars
+                    gp._fit_result.cov_pars = pars
+                    gp._fit_result.neg_log_likelihood = nll
             elif not gp.model_has_been_fitted:
                 gp.fit(y=resid)
                 self._gp_init_pars = gp._fit_result.cov_pars
             # grad = Psi_tilde^-1 resid on the nugget-scaled parameterization
-            eng = gp._engine
             t = eng.transform_pars(gp._fit_result.cov_pars)
             grad = _psi_tilde_inv_apply(eng, t, resid)
             return grad, np.ones(self.n)
@@ -303,8 +315,12 @@ def _psi_tilde_inv_apply(eng, t, resid):
         L = jnp.linalg.cholesky(M)
         return np.asarray(jsl.cho_solve((L, True), r))
     if kind == "WoodburyGaussianEngine":
-        A = np.asarray(eng._A_fn(theta_log))
         import scipy.linalg as sla
+        if not hasattr(eng, "_G_np"):
+            eng._G_np = np.asarray(eng._G)
+            eng._block_np = np.asarray(eng._block_id_np)
+        vt = np.exp(np.asarray(np.log(t[1:]), dtype=np.float64))
+        A = eng._G_np + np.diag(1.0 / vt[eng._block_np])
         cho = sla.cho_factor(A, lower=True)
         Ztr = eng._zt(np.asarray(resid))
         w = sla.cho_solve(cho, Ztr)

@@ -123,6 +123,8 @@ class FITCGaussianEngine:
         def _cast(*args):
             return tuple(jnp.asarray(a, dt) for a in args)
 
+        self.nll_parts_raw = lambda t, s2, y: nll_parts(*_cast(t, s2, y))
+        self.prep_y_gd = lambda y: jnp.asarray(np.asarray(y, dtype=np.float64), dt)
         self.nll_parts = jax.jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
         self.grad_profiled = jax.jit(
             lambda t, s, y: jax.value_and_grad(nll_scalar)(*_cast(t, s, y)))

@@ -201,6 +201,8 @@ class DenseGaussianEngine:
         def nll_full(u, y):
             return nll_scalar(u[1:], jnp.exp(u[0]), y)
 
+        self.nll_parts_raw = nll_parts       # pure closure for jitted GD
+        self.prep_y_gd = lambda y: jnp.asarray(np.asarray(y, dtype=np.float64))
         self.nll_parts = jax.jit(nll_parts)
         self.grad_profiled = jax.jit(
             lambda theta_log, sigma2, y:

@@ -139,6 +139,8 @@ class WoodburyGaussianEngine:
         def nll_full_i(u, Zty, yty):
             return nll_scalar_i(u[1:], jnp.exp(u[0]), Zty, yty)
 
+        self.nll_parts_raw = lambda t, s2, stats: nll_parts_i(t, s2, *stats)
+        self.prep_y_gd = lambda y: self._stats_y(np.asarray(y, dtype=np.float64))
         _nll_parts = jax.jit(nll_parts_i)
         _grad_prof = jax.jit(lambda t, s, Zty, yty:
                              jax.value_and_grad(nll_scalar_i)(t, s, Zty, yty))
