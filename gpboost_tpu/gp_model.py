@@ -230,7 +230,8 @@ class GPModel:
                     for comp in self.components:
                         comp.refine_by_cluster(self.cluster_ids)
                 self._engine = WoodburyGaussianEngine(
-                    self.components, self.num_data, dtype=self._dtype)
+                    self.components, self.num_data, dtype=self._dtype,
+                    matrix_inversion_method=matrix_inversion_method)
             else:
                 self._engine = DenseGaussianEngine(
                     self.components, self.num_data,

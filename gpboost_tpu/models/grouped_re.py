@@ -33,11 +33,17 @@ import jax.scipy.linalg as jsl
 class WoodburyGaussianEngine:
     """Marginal NLL / gradients / FI / prediction for grouped-RE-only models."""
 
-    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64):
+    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64,
+                 matrix_inversion_method="cholesky", num_rand_vec_trace=200,
+                 seed_rand_vec_trace=1, cg_max_num_it=1000):
         self.components = list(components)
         assert all(c.kind == "grouped" for c in self.components)
         self.n = int(num_data)
         self.dtype = dtype
+        self.matrix_inversion_method = matrix_inversion_method
+        self.num_rand_vec_trace = num_rand_vec_trace
+        self.seed_rand_vec_trace = seed_rand_vec_trace
+        self.cg_max_num_it = cg_max_num_it
         self.num_theta = len(self.components)
         self.num_cov_par = self.num_theta + 1
         self.par_offsets = list(range(self.num_theta))
@@ -118,14 +124,36 @@ class WoodburyGaussianEngine:
     def _build_jitted(self):
         n = self.n
 
-        def core(theta_log, Zty, yty):
-            A = self._A_fn(theta_log)
-            L = jnp.linalg.cholesky(A)
-            AinvZty = jsl.cho_solve((L, True), Zty)
-            quad = yty - Zty @ AinvZty
-            logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-                      + jnp.sum(self._m_sizes * theta_log))
-            return quad, logdet
+        if self.matrix_inversion_method == "iterative":
+            # CG solves + stochastic-Lanczos-quadrature log-dets over the
+            # q x q system (CG_utils.h:977 CGRandomEffects, :384
+            # LogDetStochTridiag); custom VJPs keep autodiff working
+            from ..ops.iterative import make_cg_solve, make_slq_logdet
+
+            def matvec(theta_log, v):
+                vt = jnp.exp(theta_log)
+                return self._G @ v + v * (self._oneh @ (1.0 / vt))
+
+            cg_solve = make_cg_solve(matvec, tol=1e-8, maxit=self.cg_max_num_it)
+            slq = make_slq_logdet(matvec, self.q, rank=min(self.q, 100),
+                                  num_probes=self.num_rand_vec_trace,
+                                  seed=self.seed_rand_vec_trace,
+                                  dtype=self.dtype)
+
+            def core(theta_log, Zty, yty):
+                AinvZty = cg_solve(theta_log, Zty)
+                quad = yty - Zty @ AinvZty
+                logdet = slq(theta_log) + jnp.sum(self._m_sizes * theta_log)
+                return quad, logdet
+        else:
+            def core(theta_log, Zty, yty):
+                A = self._A_fn(theta_log)
+                L = jnp.linalg.cholesky(A)
+                AinvZty = jsl.cho_solve((L, True), Zty)
+                quad = yty - Zty @ AinvZty
+                logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+                          + jnp.sum(self._m_sizes * theta_log))
+                return quad, logdet
 
         def nll_parts_i(theta_log, sigma2, Zty, yty):
             quad, logdet = core(theta_log, Zty, yty)

@@ -1,0 +1,153 @@
+"""Iterative methods: preconditioned CG and stochastic Lanczos quadrature.
+
+Reference: include/GPBoost/CG_utils.h — preconditioned CG solvers specialized
+per structure (:42-1078), CG-tridiagonal (Lanczos) for stochastic log-dets
+(:81-384), Rademacher probe vectors (:351-370). The TPU rebuild expresses all
+of it over an abstract SPD matvec inside jitted lax.while_loop/scan:
+
+  * pcg:        Jacobi/SSOR-style preconditioned conjugate gradients
+  * slq_logdet: log|A| ~= mean_z ||z||^2 e1' log(T_k) e1 over Rademacher
+                probes z, T_k the Lanczos tridiagonal of A in K_k(A, z)
+
+Both carry custom VJPs so they compose with the autodiff-driven optimizers:
+d(A^-1 b) uses one extra CG solve (adjoint), and d log|A| uses the saved probe
+solves for an unbiased stochastic trace tr(A^-1 dA) — the same estimator the
+reference uses for its iterative gradients (CG_utils.h:399 CalcOptimalC).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def pcg(matvec, b, precond=None, tol=1e-6, maxit=1000, x0=None):
+    """Solve A x = b for SPD A given matvec; optionally M^-1 via precond."""
+    if precond is None:
+        precond = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+
+    def cond(carry):
+        x, r, p, rz, it = carry
+        return jnp.logical_and(jnp.linalg.norm(r) > tol * bnorm, it < maxit)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x
+
+
+def lanczos_tridiag(matvec, z, rank):
+    """Lanczos tridiagonalization of A restricted to K_rank(A, z).
+
+    Returns (alphas (rank,), betas (rank-1,)) of the tridiagonal T.
+    """
+    q = z / jnp.linalg.norm(z)
+
+    def step(carry, _):
+        q, q_prev, beta_prev = carry
+        w = matvec(q) - beta_prev * q_prev
+        alpha = jnp.vdot(q, w)
+        w = w - alpha * q
+        beta = jnp.linalg.norm(w)
+        q_next = jnp.where(beta > 1e-12, w / jnp.maximum(beta, 1e-300), q)
+        return (q_next, q, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        step, (q, jnp.zeros_like(q), jnp.asarray(0.0, z.dtype)),
+        None, length=rank)
+    return alphas, betas[:-1]
+
+
+def _slq_logdet_value(matvec, n, rank, probes):
+    """Stochastic Lanczos quadrature estimate of log|A| (CG_utils.h:384)."""
+
+    def one(z):
+        alphas, betas = lanczos_tridiag(matvec, z, rank)
+        T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-300)
+        weights = evecs[0, :] ** 2
+        return jnp.vdot(z, z) * jnp.sum(weights * jnp.log(evals))
+
+    return jnp.mean(jax.vmap(one)(probes))
+
+
+def make_slq_logdet(matvec_of_theta, n, rank=50, num_probes=50, seed=0,
+                    dtype=jnp.float64):
+    """Build logdet(theta) ~= log|A(theta)| with a custom VJP.
+
+    matvec_of_theta(theta, v) -> A(theta) v must be pure jax and
+    differentiable in theta. Probes are fixed Rademacher vectors
+    (reuse_rand_vec_trace semantics: the same probes across optimizer
+    iterations make the objective a smooth deterministic function).
+    """
+    rng = np.random.RandomState(seed)
+    probes = jnp.asarray(
+        rng.randint(0, 2, size=(num_probes, n)) * 2.0 - 1.0, dtype)
+
+    @jax.custom_vjp
+    def logdet(theta):
+        return _slq_logdet_value(lambda v: matvec_of_theta(theta, v), n, rank,
+                                 probes)
+
+    def fwd(theta):
+        val = logdet(theta)
+        return val, theta
+
+    def bwd(theta, ct):
+        # d log|A| = tr(A^-1 dA) ~= mean_z (A^-1 z)' dA z  (same probes)
+        def solve_one(z):
+            return pcg(lambda v: matvec_of_theta(theta, v), z,
+                       tol=1e-6, maxit=1000)
+
+        Ainv_z = jax.vmap(solve_one)(probes)
+
+        def trace_fn(th):
+            Az = jax.vmap(lambda z: matvec_of_theta(th, z))(probes)
+            return jnp.mean(jnp.sum(Ainv_z * Az, axis=1))
+
+        g = jax.grad(trace_fn)(theta)
+        return (g * ct,)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
+def make_cg_solve(matvec_of_theta, tol=1e-6, maxit=1000):
+    """Build solve(theta, b) = A(theta)^-1 b with implicit-diff custom VJP."""
+
+    @jax.custom_vjp
+    def solve(theta, b):
+        return pcg(lambda v: matvec_of_theta(theta, v), b, tol=tol, maxit=maxit)
+
+    def fwd(theta, b):
+        x = solve(theta, b)
+        return x, (theta, x)
+
+    def bwd(res, ct):
+        theta, x = res
+        lam = pcg(lambda v: matvec_of_theta(theta, v), ct, tol=tol, maxit=maxit)
+        # d theta: -lam' dA x
+        def quad(th):
+            return -jnp.vdot(lam, matvec_of_theta(th, x))
+        g_theta = jax.grad(quad)(theta)
+        return (g_theta, lam)
+
+    solve.defvjp(fwd, bwd)
+    return solve
