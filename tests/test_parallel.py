@@ -38,6 +38,32 @@ def test_sharded_lmm_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_vecchia_step_matches_engine_nll():
+    from gpboost_tpu.models.components import GPComponent
+    from gpboost_tpu.ops.cov_fcts import CovarianceFunction
+    from gpboost_tpu.models.vecchia import VecchiaGaussianEngine
+    from gpboost_tpu.parallel import (make_mesh, make_sharded_vecchia_gd_step,
+                                      shard_vecchia_inputs)
+    rng = np.random.RandomState(0)
+    n, m = 256, 8
+    coords = rng.rand(n, 2)
+    y = rng.randn(n)
+    eng = VecchiaGaussianEngine(
+        [GPComponent(coords, CovarianceFunction("exponential"))], n,
+        num_neighbors=m, vecchia_ordering="none")
+    d_nn, d_ni, mask, y_ord, y_nbr, rv, n_eff = shard_vecchia_inputs(eng, y, 8)
+    step = make_sharded_vecchia_gd_step(
+        make_mesh(8), eng.comp.cov_fn.corr_from_dist, n_eff, m, lr=0.1)
+    u = jnp.asarray(np.log([1.0, 5.0]))
+    _, nll_sharded = step(u, jnp.asarray(d_nn), jnp.asarray(d_ni),
+                          jnp.asarray(mask), jnp.asarray(y_ord),
+                          jnp.asarray(y_nbr), jnp.asarray(rv))
+    # reference value: the engine's own profiled NLL at the same parameters
+    (nll_ref, _), _ = eng.nll_profiled_vag(u, jnp.asarray(y_ord[:n]))
+    assert abs(float(nll_sharded) - float(nll_ref)) < 1e-8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
