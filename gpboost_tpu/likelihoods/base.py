@@ -346,6 +346,12 @@ class StudentT(Likelihood):
     def init_aux(self, y):
         return np.asarray([float(np.std(y)), 2.0])
 
+    def fisher_W(self, y, loc, aux):
+        # FI of the t location: (nu+1)/((nu+3) sigma^2) — positive everywhere,
+        # unlike the observed Hessian (the t density is not log-concave)
+        sigma, nu = aux[0], aux[1]
+        return jnp.full_like(loc, (nu + 1.0) / ((nu + 3.0) * sigma * sigma))
+
     def cond_mean(self, f, aux):
         return f
 
@@ -368,6 +374,10 @@ class TFixDf(StudentT):
 
     def init_aux(self, y):
         return np.asarray([float(np.std(y))])
+
+    def fisher_W(self, y, loc, aux):
+        nu = self.df
+        return jnp.full_like(loc, (nu + 1.0) / ((nu + 3.0) * aux[0] * aux[0]))
 
     def cond_mean(self, f, aux):
         return f
@@ -502,6 +512,47 @@ class TweedieFixedP(Tweedie):
         return np.asarray(aux_internal, dtype=np.float64)
 
 
+class AsymmetricLaplace(Likelihood):
+    """Asymmetric Laplace / quantile regression (likelihoods.h:126-131):
+    f(y) = q(1-q)/sigma * exp( (y - loc)/sigma * (1{y < loc} - q) ).
+    Fisher-Laplace curvature q(1-q)/sigma^2 (the density is kinked at the
+    mode, so the observed Hessian is zero a.e. — reference default is
+    Fisher-Laplace)."""
+
+    name = "asymmetric_laplace"
+    link = "identity_median"
+    num_aux = 1
+    aux_names = ("scale",)
+    default_aux = (1.0,)
+
+    def __init__(self, quantile=0.5):
+        self.q = quantile
+
+    def log_lik(self, y, f, aux):
+        sigma = aux[0]
+        q = self.q
+        z = (y - f) / sigma
+        return (math.log(q * (1.0 - q)) - jnp.log(sigma)
+                - z * (q - jnp.where(y < f, 1.0, 0.0)))
+
+    def fisher_W(self, y, loc, aux):
+        sigma = aux[0]
+        return jnp.full_like(loc, self.q * (1.0 - self.q) / (sigma * sigma))
+
+    def init_aux(self, y):
+        return np.asarray([max(float(np.std(y)), 1e-6)])
+
+    def cond_mean(self, f, aux):
+        q = self.q
+        return f + aux[0] * (1.0 - 2.0 * q) / (q * (1.0 - q))
+
+    def cond_var(self, f, aux):
+        q = self.q
+        s = aux[0]
+        return jnp.full_like(f, s * s * (1.0 - 2.0 * q + 2.0 * q * q)
+                             / (q * q * (1.0 - q) ** 2))
+
+
 class GaussianLatent(Likelihood):
     """Gaussian response handled through the non-Gaussian (latent) code path
     (gp_approx='vecchia_latent' and likelihood='gaussian_latent' in the
@@ -533,7 +584,7 @@ class GaussianLatent(Likelihood):
 _REGISTRY = {}
 for _cls in (BernoulliProbit, BernoulliLogit, Poisson, Gamma, NegativeBinomial,
              NegativeBinomial1, Beta, StudentT, LogNormal, GaussianLatent,
-             Tweedie):
+             Tweedie, AsymmetricLaplace):
     _REGISTRY[_cls.name] = _cls
 
 SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + ("t_fix_df", "tweedie_fixed_p", "gaussian")
@@ -556,6 +607,9 @@ def get_likelihood(name, additional_param=None):
         return TFixDf(df=additional_param if additional_param is not None else 2.0)
     if name == "tweedie_fixed_p":
         return TweedieFixedP(p=additional_param if additional_param is not None else 1.5)
+    if name == "asymmetric_laplace":
+        return AsymmetricLaplace(
+            quantile=additional_param if additional_param is not None else 0.5)
     if name not in _REGISTRY:
         raise ValueError(
             f"likelihood '{name}' is not (yet) supported. "

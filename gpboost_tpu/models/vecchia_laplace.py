@@ -82,6 +82,12 @@ class VecchiaLaplaceEngine:
             return jax.grad(lambda l: _loglik(y, l, aux))(loc)
 
         def _W(y, loc, aux):
+            # Fisher-Laplace: likelihoods with non-log-concave or kinked
+            # densities provide their (quasi-)Fisher curvature instead of the
+            # observed Hessian (likelihoods.h:246-258 alias parsing, t / 
+            # asymmetric_laplace defaults)
+            if hasattr(lik, "fisher_W"):
+                return lik.fisher_W(y, loc, aux)
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
 
         def _mode_solve(Q, aux, y, F, b_init):
