@@ -120,14 +120,19 @@ class Booster:
     def _gradients(self):
         """(grad, hess) at the current score F."""
         gp = self.gp_model
+        w = self.train_set.weight if self.train_set is not None else None
         if gp is None:
             if self.objective_name == "gaussian":
-                return self.F - self.y, np.ones(self.n)
-            Fd = jnp.asarray(self.F)
-            yd = jnp.asarray(self.y)
-            g = -np.asarray(self._lik.d1(yd, Fd, self._aux))
-            h = -np.asarray(self._lik.d2(yd, Fd, self._aux))
-            return g, np.maximum(h, 1e-12)
+                g, h = self.F - self.y, np.ones(self.n)
+            else:
+                Fd = jnp.asarray(self.F)
+                yd = jnp.asarray(self.y)
+                g = -np.asarray(self._lik.d1(yd, Fd, self._aux))
+                h = np.maximum(-np.asarray(self._lik.d2(yd, Fd, self._aux)),
+                               1e-12)
+            if w is not None:
+                g, h = g * w, h * w
+            return g, h
 
         train_cov = self.params["train_gp_model_cov_pars"]
         if gp.likelihood == "gaussian":

@@ -68,6 +68,7 @@ class GPModel:
                  model_dict=None,
                  likelihood_learning_rate=1.0,
                  dtype="float64",
+                 weights=None,
                  ):
         """dtype: computation precision ("float64" default for reference
         parity; "float32" runs natively on the TPU MXU/VPU and is the right
@@ -159,6 +160,11 @@ class GPModel:
         self.num_data = (len(self.group_data) if self.group_data is not None
                          else len(self.gp_coords))
         self.cluster_ids = None if cluster_ids is None else np.asarray(cluster_ids)
+        self.weights = None if weights is None else np.asarray(
+            weights, dtype=np.float64)
+        if self.weights is not None and gp_approx not in ("none",):
+            raise NotImplementedError(
+                "weights are currently supported for gp_approx='none' only")
 
         # Engine selection (analogue of the reference's matrix-format dispatch,
         # re_model.cpp:77-89): grouped-REs-only Gaussian models get the q-sized
@@ -218,7 +224,8 @@ class GPModel:
                                                   likelihood_additional_param)
             self._engine = LaplaceDenseEngine(
                 self.components, self.num_data, self._likelihood_obj,
-                cluster_ids=self.cluster_ids, dtype=self._dtype)
+                cluster_ids=self.cluster_ids, dtype=self._dtype,
+                weights=self.weights)
         else:
             self._use_woodbury = all(c.kind == "grouped"
                                      for c in self.components)
@@ -231,11 +238,13 @@ class GPModel:
                         comp.refine_by_cluster(self.cluster_ids)
                 self._engine = WoodburyGaussianEngine(
                     self.components, self.num_data, dtype=self._dtype,
-                    matrix_inversion_method=matrix_inversion_method)
+                    matrix_inversion_method=matrix_inversion_method,
+                    weights=self.weights)
             else:
                 self._engine = DenseGaussianEngine(
                     self.components, self.num_data,
-                    cluster_ids=self.cluster_ids, dtype=self._dtype)
+                    cluster_ids=self.cluster_ids, dtype=self._dtype,
+                    weights=self.weights)
 
         self.num_cov_par = self._engine.num_cov_par
 

@@ -184,6 +184,39 @@ class BernoulliLogit(Likelihood):
         return p * (1.0 - p)
 
 
+class BinomialLogit(BernoulliLogit):
+    """binomial_logit: y = successes/trials in [0, 1], trials supplied as
+    per-sample weights (likelihoods.h beta_binomial/binomial conventions)."""
+
+    name = "binomial_logit"
+
+    def check_y(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        if np.any(y < 0) or np.any(y > 1):
+            raise ValueError("Response variable data needs to be in [0, 1] "
+                             "(successes / trials) for likelihood "
+                             "binomial_logit; pass trials via weights")
+        return y
+
+
+class BinomialProbit(BernoulliProbit):
+    """binomial_probit: y = successes/trials in [0, 1], trials as weights."""
+
+    name = "binomial_probit"
+
+    def log_lik(self, y, f, aux):
+        # y log Phi(f) + (1-y) log Phi(-f), fractional y
+        return y * log_ndtr(f) + (1.0 - y) * log_ndtr(-f)
+
+    def check_y(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        if np.any(y < 0) or np.any(y > 1):
+            raise ValueError("Response variable data needs to be in [0, 1] "
+                             "(successes / trials) for likelihood "
+                             "binomial_probit; pass trials via weights")
+        return y
+
+
 class Poisson(Likelihood):
     name = "poisson"
     integer_response = True
@@ -582,9 +615,9 @@ class GaussianLatent(Likelihood):
 
 
 _REGISTRY = {}
-for _cls in (BernoulliProbit, BernoulliLogit, Poisson, Gamma, NegativeBinomial,
-             NegativeBinomial1, Beta, StudentT, LogNormal, GaussianLatent,
-             Tweedie, AsymmetricLaplace):
+for _cls in (BernoulliProbit, BernoulliLogit, BinomialLogit, BinomialProbit,
+             Poisson, Gamma, NegativeBinomial, NegativeBinomial1, Beta,
+             StudentT, LogNormal, GaussianLatent, Tweedie, AsymmetricLaplace):
     _REGISTRY[_cls.name] = _cls
 
 SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + ("t_fix_df", "tweedie_fixed_p", "gaussian")

@@ -144,7 +144,10 @@ class DenseSigmaAssembly:
 class DenseGaussianEngine:
     """Marginal NLL, gradients, Fisher information, prediction — dense path."""
 
-    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64):
+    def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64,
+                 weights=None):
+        self.weights = None if weights is None else np.asarray(
+            weights, dtype=np.float64)
         self._assembly = DenseSigmaAssembly(components, num_data,
                                             cluster_ids=cluster_ids, dtype=dtype)
         self.components = self._assembly.components
@@ -160,8 +163,13 @@ class DenseGaussianEngine:
 
     # ------------------------------------------------------------------
     def psi_tilde(self, theta_log):
-        """Scaled covariance I + sum_j v_tilde_j (W_j ∘ K_j)."""
-        return jnp.eye(self.n, dtype=self.dtype) + self._assembly.sigma(theta_log)
+        """Scaled covariance diag(1/w) + sum_j v_tilde_j (W_j ∘ K_j)
+        (weighted Gaussian data: nugget variance sigma2 / w_i)."""
+        if self.weights is None:
+            eye = jnp.eye(self.n, dtype=self.dtype)
+        else:
+            eye = jnp.diag(jnp.asarray(1.0 / self.weights, self.dtype))
+        return eye + self._assembly.sigma(theta_log)
 
     def psi_original(self, pars_orig):
         """Unscaled covariance sigma2*I + sum v_j (W_j ∘ K_j(rho_j)) from original pars."""

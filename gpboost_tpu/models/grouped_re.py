@@ -35,7 +35,9 @@ class WoodburyGaussianEngine:
 
     def __init__(self, components, num_data, cluster_ids=None, dtype=jnp.float64,
                  matrix_inversion_method="cholesky", num_rand_vec_trace=200,
-                 seed_rand_vec_trace=1, cg_max_num_it=1000):
+                 seed_rand_vec_trace=1, cg_max_num_it=1000, weights=None):
+        self.weights = None if weights is None else np.asarray(
+            weights, dtype=np.float64)
         self.components = list(components)
         assert all(c.kind == "grouped" for c in self.components)
         self.n = int(num_data)
@@ -62,12 +64,15 @@ class WoodburyGaussianEngine:
         self._idx = np.stack(idx)            # (ncomp, n)
         self._w = np.stack(w)                # (ncomp, n)
 
-        # static Z'Z (q, q)
+        # static Z' W Z (q, q) with W = diag(weights) (identity if none)
+        wvec = np.ones(self.n) if self.weights is None else self.weights
+        self._wvec = wvec
+        self._logdet_R = float(-np.sum(np.log(wvec)))   # log|diag(1/w)|
         G = np.zeros((self.q, self.q))
         for j in range(self.num_theta):
             for k in range(self.num_theta):
                 np.add.at(G, (self._idx[j], self._idx[k]),
-                          self._w[j] * self._w[k])
+                          wvec * self._w[j] * self._w[k])
         self._G = jnp.asarray(G, dtype=dtype)
         # block membership: one-hot (q, ncomp) for scatter-free block reductions
         block_id = np.concatenate([
@@ -86,10 +91,11 @@ class WoodburyGaussianEngine:
     # ------------------------------------------------------------------
     # host-side sufficient statistics
     def _zt(self, v):
-        """Z'v on the host (numpy scatter)."""
+        """Z' W v on the host (numpy scatter; W = diag(weights))."""
         out = np.zeros(self.q)
+        wv = v if self.weights is None else self.weights * v
         for j in range(self.num_theta):
-            np.add.at(out, self._idx[j], self._w[j] * v)
+            np.add.at(out, self._idx[j], self._w[j] * wv)
         return out
 
     def _stats_y(self, y):
@@ -98,8 +104,9 @@ class WoodburyGaussianEngine:
         if hit == key:
             return self._y_cache["val"]
         yn = np.asarray(y, dtype=np.float64)
+        yty = float(yn @ (yn if self.weights is None else self.weights * yn))
         val = (jnp.asarray(self._zt(yn), self.dtype),
-               jnp.asarray(float(yn @ yn), self.dtype))
+               jnp.asarray(yty, self.dtype))
         # keep a strong ref to y so its id() can't be recycled while cached
         self._y_cache = {"key": key, "val": val, "ref": y}
         return val
@@ -143,7 +150,8 @@ class WoodburyGaussianEngine:
             def core(theta_log, Zty, yty):
                 AinvZty = cg_solve(theta_log, Zty)
                 quad = yty - Zty @ AinvZty
-                logdet = slq(theta_log) + jnp.sum(self._m_sizes * theta_log)
+                logdet = slq(theta_log) + jnp.sum(self._m_sizes * theta_log) \
+                    + self._logdet_R
                 return quad, logdet
         else:
             def core(theta_log, Zty, yty):
@@ -152,7 +160,8 @@ class WoodburyGaussianEngine:
                 AinvZty = jsl.cho_solve((L, True), Zty)
                 quad = yty - Zty @ AinvZty
                 logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-                          + jnp.sum(self._m_sizes * theta_log))
+                          + jnp.sum(self._m_sizes * theta_log)
+                          + self._logdet_R)
                 return quad, logdet
 
         def nll_parts_i(theta_log, sigma2, Zty, yty):

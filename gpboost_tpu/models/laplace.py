@@ -44,7 +44,9 @@ class LaplaceDenseEngine:
     is_gaussian = False
 
     def __init__(self, components, num_data, likelihood, cluster_ids=None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, weights=None):
+        self.weights = None if weights is None else jnp.asarray(
+            np.asarray(weights, dtype=np.float64), dtype)
         self._assembly = DenseSigmaAssembly(components, num_data,
                                             cluster_ids=cluster_ids, dtype=dtype)
         self.components = self._assembly.components
@@ -64,8 +66,11 @@ class LaplaceDenseEngine:
         lik = self.likelihood
         sigma_fn = self._assembly.sigma
 
+        w = self.weights
+
         def _loglik(y, loc, aux):
-            return jnp.sum(lik.log_lik(y, loc, aux))
+            ll = lik.log_lik(y, loc, aux)
+            return jnp.sum(ll if w is None else w * ll)
 
         def _d1(y, loc, aux):
             return jax.grad(lambda l: _loglik(y, l, aux))(loc)
