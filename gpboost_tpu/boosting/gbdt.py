@@ -36,7 +36,12 @@ _BOOST_PARAM_DEFAULTS = dict(
     lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3, min_gain_to_split=0.0,
     objective="regression", train_gp_model_cov_pars=True,
     use_gp_model_for_validation=True, leaves_newton_update=False,
+    line_search_step_length=False,
     verbose=1, max_bin=255,
+    # stochastic sampling (config.h: bagging_fraction, bagging_freq,
+    # feature_fraction and their seeds)
+    bagging_fraction=1.0, bagging_freq=0, feature_fraction=1.0,
+    bagging_seed=3, feature_fraction_seed=2,
     # warm-started per-iteration refits need few optimizer steps (analogue of
     # the reference's reuse_learning_rates_gp_model, config.h:181)
     maxit_gp=10,
@@ -51,6 +56,9 @@ _PARAM_ALIASES = {
     "min_split_gain": "min_gain_to_split",
     "num_iterations": "num_boost_round", "num_trees": "num_boost_round",
     "n_estimators": "num_boost_round", "num_round": "num_boost_round",
+    "sub_row": "bagging_fraction", "subsample": "bagging_fraction",
+    "bagging": "bagging_fraction", "subsample_freq": "bagging_freq",
+    "sub_feature": "feature_fraction", "colsample_bytree": "feature_fraction",
 }
 
 
@@ -102,6 +110,9 @@ class Booster:
         self.F = np.full(self.n, self.init_score)
         self._gp_init_pars = None
         self.current_iteration_ = 0
+        self._bag_rng = np.random.RandomState(int(p["bagging_seed"]))
+        self._feat_rng = np.random.RandomState(int(p["feature_fraction_seed"]))
+        self._row_mask = None
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
@@ -180,10 +191,77 @@ class Booster:
             return np.asarray(gF), np.ones(self.n)
 
     # ------------------------------------------------------------------
+    def _sampling_masks(self):
+        """(row_mask, feat_mask) for this iteration, or (None, None).
+
+        Bagging (gbdt.cpp Bagging): every bagging_freq iterations resample a
+        bagging_fraction subset; trees are fit on the subset but ALL rows get
+        score updates. feature_fraction: fresh column subset per tree."""
+        p = self.params
+        row_mask = None
+        bf = float(p["bagging_fraction"])
+        freq = int(p["bagging_freq"])
+        if bf < 1.0 and freq > 0:
+            if self._row_mask is None or self.current_iteration_ % freq == 0:
+                k = max(1, int(round(bf * self.n)))
+                sel = self._bag_rng.choice(self.n, size=k, replace=False)
+                m = np.zeros(self.n, dtype=np.float32)
+                m[sel] = 1.0
+                self._row_mask = m
+            row_mask = self._row_mask
+        feat_mask = None
+        ff = float(p["feature_fraction"])
+        pfeat = self.train_set.num_features
+        if ff < 1.0 and pfeat > 1:
+            k = max(1, int(round(ff * pfeat)))
+            sel = self._feat_rng.choice(pfeat, size=k, replace=False)
+            feat_mask = np.zeros(pfeat, dtype=np.float32)
+            feat_mask[sel] = 1.0
+        return row_mask, feat_mask
+
     def update(self, train_set=None, fobj=None):
         """One boosting iteration (gbdt.cpp:412 TrainOneIter)."""
         grad, hess = self._gradients()
-        tree, slot_of_row, leaf_value_of_slot = self.learner.train(grad, hess)
+        row_mask, feat_mask = self._sampling_masks()
+        tree, slot_of_row, leaf_value_of_slot = self.learner.train(
+            grad, hess, row_mask=row_mask, feat_mask=feat_mask)
+
+        gp = self.gp_model
+        if gp is not None and gp.likelihood == "gaussian" and (
+                self.params["leaves_newton_update"]
+                or self.params["line_search_step_length"]):
+            eng = gp._engine
+            t = eng.transform_pars(gp._fit_result.cov_pars)
+            resid = self.y - self.F
+            if self.params["leaves_newton_update"]:
+                # joint GLS re-solve of leaf values given the found structure:
+                # a* = (H' Psi~^-1 H)^-1 H' Psi~^-1 (y - F)
+                # (re_model_template.h:4947 NewtonUpdateLeafValues)
+                slots = np.unique(slot_of_row)
+                H = (slot_of_row[:, None] == slots[None, :]).astype(np.float64)
+                PiH = _psi_tilde_inv_mat(eng, t, H)
+                HtPiH = H.T @ PiH
+                vals = np.linalg.solve(
+                    HtPiH + 1e-12 * np.eye(len(slots)), PiH.T @ resid)
+                for s_, v_ in zip(slots, vals):
+                    leaf_value_of_slot[int(s_)] = v_
+                    node = tree.slot_to_node.get(int(s_))
+                    if node is not None:
+                        tree.leaf_value[node] = v_
+            if self.params["line_search_step_length"]:
+                # optimal step length for the Gaussian GPBoost algorithm: the
+                # 1-D GLS optimum alpha = h' Psi~^-1 r / h' Psi~^-1 h (the
+                # reference finds the same optimum iteratively via
+                # OptimLinRegrCoefCovPar with the tree output as covariate,
+                # re_model.cpp:697 LineSearchLearningRate)
+                h = leaf_value_of_slot[slot_of_row]
+                Pih = _psi_tilde_inv_apply(eng, t, h)
+                denom = float(h @ Pih)
+                if denom > 1e-300:
+                    alpha = min(max(float(resid @ Pih) / denom, 0.0), 10.0)
+                    tree.shrinkage(alpha)
+                    leaf_value_of_slot = leaf_value_of_slot * alpha
+
         lr = float(self.params["learning_rate"])
         tree.shrinkage(lr)
         self.F = self.F + lr * leaf_value_of_slot[slot_of_row]
@@ -309,16 +387,16 @@ class Booster:
                 self.y = self.F + np.asarray(d["residual_or_y"])
 
 
-def _psi_tilde_inv_apply(eng, t, resid):
-    """Psi_tilde^-1 resid for whichever Gaussian engine the GPModel holds."""
+def _psi_tilde_inv_mat(eng, t, M):
+    """Psi_tilde^-1 M for an (n, L) matrix (Newton leaf updates / line search,
+    re_model_template.h:4947 NewtonUpdateLeafValues)."""
     import jax.scipy.linalg as jsl
     theta_log = jnp.asarray(np.log(t[1:]))
-    r = jnp.asarray(resid)
     kind = type(eng).__name__
     if kind == "DenseGaussianEngine":
-        M = eng.psi_tilde(theta_log)
-        L = jnp.linalg.cholesky(M)
-        return np.asarray(jsl.cho_solve((L, True), r))
+        Psi = eng.psi_tilde(theta_log)
+        L = jnp.linalg.cholesky(Psi)
+        return np.asarray(jsl.cho_solve((L, True), jnp.asarray(M)))
     if kind == "WoodburyGaussianEngine":
         import scipy.linalg as sla
         if not hasattr(eng, "_G_np"):
@@ -327,25 +405,32 @@ def _psi_tilde_inv_apply(eng, t, resid):
         vt = np.exp(np.asarray(np.log(t[1:]), dtype=np.float64))
         A = eng._G_np + np.diag(1.0 / vt[eng._block_np])
         cho = sla.cho_factor(A, lower=True)
-        Ztr = eng._zt(np.asarray(resid))
-        w = sla.cho_solve(cho, Ztr)
-        out = np.asarray(resid).copy()
+        ZtM = np.column_stack([eng._zt(M[:, l]) for l in range(M.shape[1])])
+        w = sla.cho_solve(cho, ZtM)                       # (q, L)
+        out = M.copy() if eng.weights is None else M * eng.weights[:, None]
         for j in range(eng.num_theta):
-            out -= eng._w[j] * w[eng._idx[j]]
+            out -= (eng._w[j][:, None] if eng.weights is None
+                    else (eng._w[j] * eng.weights)[:, None]) * w[eng._idx[j]]
         return out
     if kind == "VecchiaGaussianEngine":
         A, D = eng._bd(theta_log)
         A = np.asarray(A); D = np.asarray(D)
         idx = np.asarray(eng._nn_idx)
-        rp = np.asarray(resid)[eng.perm]
-        z = rp - (A * rp[idx]).sum(1)
-        w = z / D
-        out = w.copy()
-        np.subtract.at(out, idx.reshape(-1), (A * w[:, None]).reshape(-1))
+        Mp = np.asarray(M)[eng.perm]                      # (n, L)
+        z = Mp - np.einsum("nm,nml->nl", A, Mp[idx])      # B M
+        w = z / D[:, None]                                 # D^-1 B M
+        out = w.copy()                                     # B' D^-1 B M
+        np.subtract.at(out, idx.reshape(-1),
+                       (A[:, :, None] * w[:, None, :]).reshape(-1, M.shape[1]))
         inv = np.empty_like(out)
         inv[eng.perm] = out
         return inv
     raise AssertionError(kind)
+
+
+def _psi_tilde_inv_apply(eng, t, resid):
+    """Psi_tilde^-1 resid for whichever Gaussian engine the GPModel holds."""
+    return _psi_tilde_inv_mat(eng, t, np.asarray(resid)[:, None])[:, 0]
 
 
 def train(params, train_set, num_boost_round=100, gp_model=None,

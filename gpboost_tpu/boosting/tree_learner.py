@@ -53,7 +53,8 @@ def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block):
     return hist
 
 
-def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain):
+def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
+                        feat_mask=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = GL^2/(HL+l2) + GR^2/(HR+l2) - G^2/(H+l2)."""
     G = jnp.sum(hist[:, 0, :], axis=1, keepdims=True)
@@ -66,6 +67,8 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain):
             - G * G / (H + lambda_l2))
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
+    if feat_mask is not None:
+        valid = valid & (feat_mask[:, None] > 0)
     gain = jnp.where(valid & (gain > min_gain), gain, -jnp.inf)
     flat = jnp.argmax(gain)
     p, B = gain.shape
@@ -75,8 +78,11 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain):
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
-               lambda_l2, min_data, min_hess, min_gain):
-    """Grow one leaf-wise tree; returns (split records, leaf values, rows)."""
+               lambda_l2, min_data, min_hess, min_gain, feat_mask):
+    """Grow one leaf-wise tree; returns (split records, leaf values, rows).
+
+    feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
+    masked features get -inf split gains."""
     p, n = bins_T.shape
     L = num_leaves
 
@@ -86,9 +92,12 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                                num_bins, feat_chunk, row_block)
         return _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block)
 
+    def best_of(hist):
+        return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
+                                   min_gain, feat_mask)
+
     hist0 = hist_fn(node0, jnp.int32(0))
-    g0, f0, b0 = _best_split_of_hist(hist0, lambda_l2, min_data, min_hess,
-                                     min_gain)
+    g0, f0, b0 = best_of(hist0)
 
     leaf_hist = jnp.zeros((L, p, 3, num_bins), hist0.dtype).at[0].set(hist0)
     leaf_gain = jnp.full((L,), -jnp.inf).at[0].set(g0)
@@ -113,10 +122,8 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             hist_left = hist_fn(node2, l)
             hist_right = leaf_hist[l] - hist_left
             d = leaf_depth[l] + 1
-            gl, fl, bl = _best_split_of_hist(hist_left, lambda_l2, min_data,
-                                             min_hess, min_gain)
-            gr, fr, br = _best_split_of_hist(hist_right, lambda_l2, min_data,
-                                             min_hess, min_gain)
+            gl, fl, bl = best_of(hist_left)
+            gr, fr, br = best_of(hist_right)
             depth_ok = d < max_depth
             gl = jnp.where(depth_ok, gl, -jnp.inf)
             gr = jnp.where(depth_ok, gr, -jnp.inf)
@@ -175,12 +182,26 @@ class SerialTreeLearner:
         self.min_sum_hessian = float(min_sum_hessian_in_leaf)
         self.min_gain = float(min_gain_to_split)
 
-    def train(self, grad, hess):
+    def train(self, grad, hess, row_mask=None, feat_mask=None):
+        """row_mask (n,) 0/1: bagging — out-of-bag rows contribute nothing to
+        histograms (grad/hess/count zeroed) but keep their leaf assignment so
+        training scores update for every row (LightGBM bagging semantics,
+        src/LightGBM/boosting/gbdt.cpp Bagging).
+        feat_mask (p,) 0/1: per-tree column sampling (feature_fraction)."""
         n, n_pad = self.n, self.n_pad
         stats_T = np.zeros((3, n_pad), dtype=np.float32)
-        stats_T[0, :n] = grad
-        stats_T[1, :n] = hess
-        stats_T[2, :n] = 1.0
+        if row_mask is None:
+            stats_T[0, :n] = grad
+            stats_T[1, :n] = hess
+            stats_T[2, :n] = 1.0
+        else:
+            rm = np.asarray(row_mask, dtype=np.float32)
+            stats_T[0, :n] = grad * rm
+            stats_T[1, :n] = hess * rm
+            stats_T[2, :n] = rm
+        fm = np.zeros(self.p_pad, dtype=np.float32)
+        fm[:self.p] = 1.0 if feat_mask is None else \
+            np.asarray(feat_mask, dtype=np.float32)
         node0 = np.zeros(n_pad, dtype=np.int32)
         node0[n:] = self.num_leaves + 7   # sentinel: padded rows in no leaf
 
@@ -189,7 +210,8 @@ class SerialTreeLearner:
             self.num_bins, self.num_leaves, self.max_depth,
             self.use_pallas, self.row_block, self.feat_chunk,
             jnp.float32(self.lambda_l2), jnp.float32(self.min_data_in_leaf),
-            jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain))
+            jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain),
+            jnp.asarray(fm))
         rec = np.asarray(rec)
         leaf_values = np.asarray(leaf_values, dtype=np.float64)
         slot_of_row = np.asarray(node)[:n]
@@ -212,4 +234,5 @@ class SerialTreeLearner:
         leaf_value_of_slot = np.zeros(self.num_leaves + 8)
         for slot, node_id in slot_to_node.items():
             leaf_value_of_slot[slot] = tree.leaf_value[node_id]
+        tree.slot_to_node = dict(slot_to_node)   # for Newton leaf updates
         return tree, slot_of_row, leaf_value_of_slot

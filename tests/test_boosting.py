@@ -96,6 +96,48 @@ class TestGBDT:
         assert np.allclose(bst.predict(X), bst2.predict(X))
 
 
+class TestSampling:
+    """bagging_fraction / bagging_freq / feature_fraction (config.h)."""
+
+    def test_bagging_still_fits(self, reg_data):
+        X, y, f_true = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 31,
+                         "bagging_fraction": 0.5, "bagging_freq": 1},
+                        ds, num_boost_round=80)
+        pred = bst.predict(X)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.85
+
+    def test_bagging_changes_trees(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        b1 = gpb.train({"num_leaves": 15}, ds, num_boost_round=5)
+        b2 = gpb.train({"num_leaves": 15, "bagging_fraction": 0.5,
+                        "bagging_freq": 1}, ds, num_boost_round=5)
+        assert not np.allclose(b1.predict(X), b2.predict(X))
+
+    def test_feature_fraction_masks_features(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        # with 1 of 8 features per tree, single-tree splits use ONE feature
+        bst = gpb.Booster(params={"num_leaves": 15,
+                                  "feature_fraction": 1.0 / 8.0},
+                          train_set=ds)
+        bst.update()
+        t = bst.trees[0]
+        feats = {int(t.split_feature[i]) for i in range(t.num_nodes)
+                 if not t.is_leaf[i]}
+        assert len(feats) <= 1
+
+    def test_feature_fraction_still_fits(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 31,
+                         "feature_fraction": 0.6}, ds, num_boost_round=80)
+        pred = bst.predict(X)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.85
+
+
 class TestGPBoostAlgorithm:
     """The combined tree-boosting + random effects algorithm (SURVEY §3.2)."""
 
@@ -128,6 +170,46 @@ class TestGPBoostAlgorithm:
         # fixed effect tracks f_true (up to a constant)
         fe = pred["fixed_effect"]
         assert np.corrcoef(fe, f_true)[0, 1] > 0.9
+
+    def test_leaves_newton_update(self):
+        """leaves_newton_update: joint GLS re-solve of leaf values must lower
+        the marginal objective vs plain gradient leaves after few rounds
+        (re_model_template.h:4947)."""
+        rng = np.random.RandomState(5)
+        n = 400
+        X = rng.rand(n, 4)
+        f_true = np.sin(6 * X[:, 0]) + X[:, 1]
+        group = rng.randint(0, 20, size=n)
+        y = f_true + 0.7 * rng.randn(20)[group] + 0.2 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y)
+
+        def run(newton):
+            gp = gpb.GPModel(group_data=group)
+            bst = gpb.train({"learning_rate": 0.3, "num_leaves": 7,
+                             "leaves_newton_update": newton},
+                            ds, num_boost_round=8, gp_model=gp)
+            t = gp._engine.transform_pars(gp._fit_result.cov_pars)
+            r = y - bst.F
+            from gpboost_tpu.boosting.gbdt import _psi_tilde_inv_apply
+            return float(r @ _psi_tilde_inv_apply(gp._engine, t, r))
+
+        assert run(True) < run(False)
+
+    def test_line_search_step_length(self):
+        """line_search_step_length: optimal per-tree step, still converges
+        (re_model.cpp:697)."""
+        rng = np.random.RandomState(9)
+        n = 400
+        X = rng.rand(n, 4)
+        group = rng.randint(0, 20, size=n)
+        y = np.sin(6 * X[:, 0]) + 0.5 * rng.randn(20)[group] + 0.2 * rng.randn(n)
+        gp = gpb.GPModel(group_data=group)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 7,
+                         "line_search_step_length": True},
+                        ds, num_boost_round=30, gp_model=gp)
+        pred = bst.predict(X, group_data_pred=group)
+        assert np.mean((y - pred["response_mean"]) ** 2) < 0.25 * np.var(y)
 
     def test_lagaboost_binary(self):
         rng = np.random.RandomState(11)
