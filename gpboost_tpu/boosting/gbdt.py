@@ -326,6 +326,21 @@ class Booster:
                 out["response_var"] = pred.get("var")
             return out
 
+    def predict_training_data_random_effects(self, predict_var=False):
+        """Per-component random-effect estimates at the training points,
+        with the current tree ensemble as fixed effects (basic.py:3407)."""
+        if self.gp_model is None:
+            raise ValueError("predict_training_data_random_effects: "
+                             "Booster has no gp_model")
+        if self.gp_model.likelihood == "gaussian":
+            # the Gaussian hook works on residuals; refresh them to the
+            # CURRENT ensemble (gp.y only holds the first-round residual)
+            self.gp_model.y = self.y - self.F
+            return self.gp_model.predict_training_data_random_effects(
+                predict_var=predict_var)
+        return self.gp_model.predict_training_data_random_effects(
+            predict_var=predict_var, offset=self.F)
+
     def num_trees(self):
         return len(self.trees)
 

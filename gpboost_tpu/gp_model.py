@@ -341,6 +341,63 @@ class GPModel:
             y = y - np.asarray(fixed_effects, dtype=np.float64)
         return self._engine.neg_log_likelihood(cov_pars, y)
 
+    def predict_training_data_random_effects(self, predict_var=False,
+                                              offset=None):
+        """Predict ("estimate") the random effects AT the training points,
+        one column per random-effect component (basic.py:6780
+        predict_training_data_random_effects; re_model_template.h:4420).
+
+        Returns a pandas DataFrame (n, num_comps) of posterior means — plus
+        '<name>_var' columns when predict_var=True (Gaussian dense/grouped
+        engines only). For random-coefficient components the column holds the
+        latent coefficient (the slope itself), matching the reference.
+
+        offset: fixed effects F for the training data; required when the
+        model is driven by the GPBoost algorithm (the Booster passes it).
+        """
+        import pandas as pd
+        r = self._require_fit()
+        eng = self._engine
+        if not hasattr(eng, "training_re"):
+            raise ValueError(
+                "predict_training_data_random_effects is not implemented for "
+                f"engine {type(eng).__name__}; use predict() instead")
+        if self.likelihood == "gaussian":
+            resid = np.asarray(self.y, dtype=np.float64).copy()
+            if offset is not None:
+                resid = resid - np.asarray(offset, dtype=np.float64)
+            if r.coef is not None and self.X is not None:
+                resid = resid - self.X @ r.coef
+            means, vs = eng.training_re(r.cov_pars, resid,
+                                        predict_var=predict_var)
+        else:
+            u = np.log(eng.transform_pars(r.cov_pars))
+            if eng.num_aux:
+                aux_int = self._likelihood_obj.aux_to_internal(r.aux_pars)
+                u = np.concatenate([u, np.log(np.asarray(aux_int,
+                                                         dtype=np.float64))])
+            a_state = r.mode_state
+            if offset is not None or a_state is None:
+                F = np.zeros(self.num_data) if offset is None \
+                    else np.asarray(offset, dtype=np.float64)
+                if r.coef is not None and self.X is not None:
+                    F = F + self.X @ r.coef
+                _, a_state = eng.laplace_nll(
+                    u, jnp.asarray(self.y), jnp.asarray(F),
+                    a_state if a_state is not None else eng.zero_mode())
+            means, vs = eng.training_re(u, a_state, predict_var=predict_var)
+        names = []
+        for i, comp in enumerate(self.components):
+            kind = "Group" if comp.kind == "grouped" else "GP"
+            tag = "_rand_coef" if comp.z is not None else ""
+            names.append(f"{kind}_{i + 1}{tag}")
+        names = names[: means.shape[1]]
+        df = pd.DataFrame(means, columns=names)
+        if predict_var and vs is not None:
+            for j, nm in enumerate(names):
+                df[nm + "_var"] = vs[:, j]
+        return df
+
     def get_aux_pars(self):
         r = self._require_fit()
         return None if r.aux_pars is None else r.aux_pars.copy()
@@ -538,23 +595,6 @@ class GPModel:
             if k not in out:
                 out[k] = None
         return out
-
-    def predict_training_data_random_effects(self, predict_var=False):
-        """Posterior means (and variances) of random effects at the training
-        points (basic.py:6780); equals predict() at the training inputs for
-        the total random-effect part."""
-        r = self._require_fit()
-        pred = self.predict(
-            y=self.y,
-            group_data_pred=None if self.group_data is None else self.group_data,
-            gp_coords_pred=None if self.gp_coords is None else self.gp_coords,
-            group_rand_coef_data_pred=self.group_rand_coef_data,
-            gp_rand_coef_data_pred=self.gp_rand_coef_data,
-            cluster_ids_pred=self.cluster_ids,
-            predict_var=predict_var, predict_response=False)
-        if predict_var:
-            return np.column_stack([pred["mu"], pred["var"]])
-        return pred["mu"][:, None]
 
     def _build_pred_data(self, group_data_pred, group_rand_coef_data_pred,
                          gp_coords_pred, gp_rand_coef_data_pred, cluster_ids_pred):

@@ -141,6 +141,38 @@ class DenseSigmaAssembly:
         return M
 
 
+def report_matrices(assembly, theta_log):
+    """Per-component reporting covariances R_j (n, n): row i = Cov of the
+    REPORTED latent value of component j at observation i with the total
+    random effect at each data point, divided by sigma2.
+
+    For plain components the reported value is the component's contribution
+    (R_j = v_j W_j ∘ K_j); for random-coefficient components the reference
+    reports the LATENT coefficient (the slope itself, not slope * covariate),
+    so only the column side carries the covariate
+    (re_model_template.h:4420 PredictTrainingDataRandomEffects)."""
+    out = []
+    n = assembly.n
+    cl = assembly._cluster_mask
+    for comp, static, off in zip(assembly.components, assembly._comp_static,
+                                 assembly.par_offsets):
+        v = jnp.exp(theta_log[off])
+        if comp.kind == "grouped":
+            R = jnp.asarray(comp.same_group_mask(), assembly.dtype)
+        else:
+            alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
+            if static["D"] is not None:
+                R = comp.cov_fn.corr_from_dist(static["D"], alphas[0])
+            else:
+                R = comp.corr(None, alphas)
+        if cl is not None:
+            R = R * jnp.asarray(cl, assembly.dtype)
+        if comp.z is not None:
+            R = R * jnp.asarray(comp.z, assembly.dtype)[None, :]
+        out.append(v * R)
+    return out
+
+
 class DenseGaussianEngine:
     """Marginal NLL, gradients, Fisher information, prediction — dense path."""
 
@@ -394,3 +426,27 @@ class DenseGaussianEngine:
             if predict_var:
                 out["var"] = np.asarray(jnp.diagonal(cov)).copy()
         return out
+
+    # ------------------------------------------------------------------
+    def training_re(self, pars_orig, y_resid, predict_var=False):
+        """Per-component posterior means (and variances) of the random
+        effects AT the training points: mean_j = R_j Psi~^-1 resid,
+        var_j = sigma2 (v~_j - diag(R_j Psi~^-1 R_j'))
+        (re_model_template.h:4420 PredictTrainingDataRandomEffects)."""
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        t = self.transform_pars(pars_orig)
+        theta_log = jnp.asarray(np.log(t[1:]), dtype=self.dtype)
+        L = jnp.linalg.cholesky(self.psi_tilde(theta_log))
+        y_aux = jsl.cho_solve((L, True), jnp.asarray(y_resid, self.dtype))
+        Rs = report_matrices(self._assembly, theta_log)
+        means = np.column_stack([np.asarray(R @ y_aux) for R in Rs])
+        if not predict_var:
+            return means, None
+        vs = np.empty((self.n, len(Rs)))
+        for j, (R, off) in enumerate(zip(Rs, self.par_offsets)):
+            PiRt = jsl.cho_solve((L, True), R.T)
+            vt = np.exp(float(np.log(t[1 + off])))
+            vs[:, j] = sigma2 * (vt - np.asarray(
+                jnp.sum(R * PiRt.T, axis=1)))
+        return means, vs

@@ -337,6 +337,30 @@ class WoodburyGaussianEngine:
         return float(nll)
 
     # ------------------------------------------------------------------
+    def training_re(self, pars_orig, y_resid, predict_var=False):
+        """Per-component posterior means/variances of the random effects at
+        the training points: column j = bhat_j[codes_j] with
+        bhat = A^-1 Z'W resid, Var(b|y) = sigma2 A^-1
+        (re_model_template.h:4420 PredictTrainingDataRandomEffects; random
+        coefficients report the latent slope, not slope * covariate)."""
+        import scipy.linalg as sla
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        sigma2 = pars_orig[0]
+        t = self.transform_pars(pars_orig)
+        theta_log = jnp.asarray(np.log(t[1:]), self.dtype)
+        A = np.asarray(self._A_fn(theta_log))
+        cho = sla.cho_factor(A, lower=True)
+        bhat = sla.cho_solve(cho, self._zt(np.asarray(y_resid, np.float64)))
+        means = np.column_stack([bhat[self._idx[j]]
+                                 for j in range(self.num_theta)])
+        if not predict_var:
+            return means, None
+        Ainv_diag = np.diagonal(sla.cho_solve(cho, np.eye(self.q)))
+        vs = np.column_stack([sigma2 * Ainv_diag[self._idx[j]]
+                              for j in range(self.num_theta)])
+        return means, vs
+
+    # ------------------------------------------------------------------
     def predict(self, pars_orig, y_resid, pred_data, predict_var=False,
                 predict_cov_mat=False, predict_response=False):
         """Posterior mean/cov at prediction incidences.

@@ -282,6 +282,22 @@ class LaplaceDenseEngine:
                 out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(alphas)))
         return np.asarray(out)
 
+    def training_re(self, u, a_state, predict_var=False):
+        """Per-component posterior (Laplace) means of the random effects at
+        the training points. At the mode, a = Sigma^-1 b_total, so component
+        j's contribution is R_j a with the reporting covariance R_j
+        (re_model_template.h:4420, non-Gaussian branch; variances via the
+        Laplace posterior are left to predict())."""
+        if predict_var:
+            raise ValueError("predict_training_data_random_effects with "
+                             "predict_var=True is not implemented for "
+                             "non-Gaussian likelihoods; use predict()")
+        from .gaussian_gp import report_matrices
+        theta_log = jnp.asarray(u[: self.num_theta], self.dtype)
+        a = jnp.asarray(a_state, self.dtype)
+        Rs = report_matrices(self._assembly, theta_log)
+        return np.column_stack([np.asarray(R @ a) for R in Rs]), None
+
     def predict(self, pars_orig, aux_pars, y, F, pred_data, a_init=None,
                 predict_var=False, predict_cov_mat=False, predict_response=False,
                 F_pred=None):

@@ -316,6 +316,33 @@ class VecchiaGaussianEngine:
         return dense.fisher_original(pars_orig)
 
     # ------------------------------------------------------------------
+    def training_re(self, pars_orig, y_resid, predict_var=False):
+        """Posterior mean of the GP at the training points. With the
+        response-scale Vecchia factors, Sigma~ = Psi~ - I, so
+        mean = Sigma~ Psi~^-1 r = r - Psi~^-1 r — no dense K needed
+        (re_model_template.h:4420; variance not implemented for Vecchia,
+        matching the reference's restriction)."""
+        if predict_var:
+            raise ValueError("predict_training_data_random_effects with "
+                             "predict_var=True is not implemented for "
+                             "gp_approx='vecchia'; use predict() instead")
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        t = self.transform_pars(pars_orig)
+        theta_log = jnp.asarray(np.log(t[1:]), self.dtype)
+        A, D = self._bd(theta_log)
+        A = np.asarray(A); D = np.asarray(D)
+        idx = np.asarray(self._nn_idx)
+        rn = np.asarray(y_resid, dtype=np.float64)
+        rp = rn[self.perm]
+        z = rp - (A * rp[idx]).sum(1)
+        w = z / D
+        out = w.copy()
+        np.subtract.at(out, idx.reshape(-1), (A * w[:, None]).reshape(-1))
+        inv = np.empty_like(out)
+        inv[self.perm] = out                    # Psi~^-1 r
+        return (rn - inv)[:, None], None
+
+    # ------------------------------------------------------------------
     def predict(self, pars_orig, y_resid, pred_data, predict_var=False,
                 predict_cov_mat=False, predict_response=False,
                 vecchia_pred_type="order_obs_first_cond_obs_only",

@@ -240,6 +240,18 @@ class VecchiaLaplaceEngine:
         return nll
 
     # ------------------------------------------------------------------
+    def training_re(self, u, a_state, predict_var=False):
+        """Posterior (Laplace) mean of the GP at the training points: the
+        mode itself, un-permuted (single-GP Vecchia-Laplace model)."""
+        if predict_var:
+            raise ValueError("predict_training_data_random_effects with "
+                             "predict_var=True is not implemented for "
+                             "gp_approx='vecchia' non-Gaussian; use predict()")
+        b = np.asarray(a_state)
+        out = np.empty(self.n)
+        out[self.perm] = b
+        return out[:, None], None
+
     def predict(self, pars_orig, aux_pars, y, F, pred_data, a_init=None,
                 predict_var=False, predict_cov_mat=False,
                 predict_response=False, F_pred=None, **kwargs):
