@@ -271,16 +271,35 @@ class Booster:
 
     # ------------------------------------------------------------------
     def predict(self, data, start_iteration=0, num_iteration=None,
-                raw_score=False, pred_latent=False,
+                raw_score=False, pred_latent=False, pred_contrib=False,
                 group_data_pred=None, group_rand_coef_data_pred=None,
                 gp_coords_pred=None, gp_rand_coef_data_pred=None,
                 cluster_ids_pred=None, predict_var=False,
                 predict_cov_mat=False, ignore_gp_model=False, **kwargs):
         """Combined fixed-effect + random-effect prediction
-        (basic.py:3455/3628-3770)."""
+        (basic.py:3455/3628-3770).
+
+        pred_contrib=True returns exact TreeSHAP feature attributions of the
+        tree ensemble, shape (n, p+1) with the expected value (bias) in the
+        last column; rows sum to the raw fixed-effect prediction
+        (basic.py predict(..., pred_contrib); Lundberg et al. 2018)."""
         X = np.asarray(data, dtype=np.float64)
         if X.ndim == 1:
             X = X[:, None]
+        needed = self._min_num_features()
+        if X.shape[1] < needed:
+            raise ValueError(
+                f"data has {X.shape[1]} feature(s) but the model's trees "
+                f"split on feature index {needed - 1}; pass a 2-D array "
+                f"with at least {needed} columns")
+        if pred_contrib:
+            from ..native import tree_shap
+            phi = np.zeros((len(X), X.shape[1] + 1))
+            phi[:, -1] += self.init_score
+            ntrees = num_iteration if num_iteration else len(self.trees)
+            for tree in self.trees[start_iteration:start_iteration + ntrees]:
+                tree_shap(tree, X, phi)
+            return phi
         F_pred = np.full(len(X), self.init_score)
         ntrees = num_iteration if num_iteration else len(self.trees)
         for tree in self.trees[start_iteration:start_iteration + ntrees]:
@@ -340,6 +359,17 @@ class Booster:
                 predict_var=predict_var)
         return self.gp_model.predict_training_data_random_effects(
             predict_var=predict_var, offset=self.F)
+
+    def _min_num_features(self):
+        """Highest feature index any tree splits on, + 1 (guards raw-X
+        prediction against too-narrow inputs)."""
+        needed = 0
+        for t in self.trees:
+            nn = t.num_nodes
+            internal = ~t.is_leaf[:nn]
+            if np.any(internal):
+                needed = max(needed, int(t.split_feature[:nn][internal].max()) + 1)
+        return needed
 
     def num_trees(self):
         return len(self.trees)

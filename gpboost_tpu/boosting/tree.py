@@ -16,6 +16,7 @@ class Tree:
         self.right = np.full(max_nodes, -1, dtype=np.int32)
         self.leaf_value = np.zeros(max_nodes)
         self.is_leaf = np.ones(max_nodes, dtype=bool)
+        self.cover = np.zeros(max_nodes)    # training rows through each node
         self.num_nodes = 1
         self.num_leaves = 1
         self.max_depth_used = 0
@@ -88,6 +89,7 @@ class Tree:
             "right": self.right[:n].tolist(),
             "leaf_value": self.leaf_value[:n].tolist(),
             "is_leaf": self.is_leaf[:n].tolist(),
+            "cover": self.cover[:n].tolist(),
         }
 
     @classmethod
@@ -103,5 +105,7 @@ class Tree:
         t.right[:n] = d["right"]
         t.leaf_value[:n] = d["leaf_value"]
         t.is_leaf[:n] = d["is_leaf"]
+        if "cover" in d:
+            t.cover[:n] = d["cover"]
         t.num_leaves = int(np.sum(t.is_leaf[:n]))
         return t

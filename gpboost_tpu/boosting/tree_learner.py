@@ -235,4 +235,13 @@ class SerialTreeLearner:
         for slot, node_id in slot_to_node.items():
             leaf_value_of_slot[slot] = tree.leaf_value[node_id]
         tree.slot_to_node = dict(slot_to_node)   # for Newton leaf updates
+        # per-node training covers (TreeSHAP); parents precede children in the
+        # node numbering, so one reversed pass aggregates internal nodes
+        cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
+        for slot, node_id in slot_to_node.items():
+            tree.cover[node_id] = max(float(cnt[slot]), 1e-9)
+        for i in range(tree.num_nodes - 1, -1, -1):
+            if not tree.is_leaf[i]:
+                tree.cover[i] = tree.cover[tree.left[i]] \
+                    + tree.cover[tree.right[i]]
         return tree, slot_of_row, leaf_value_of_slot

@@ -45,6 +45,12 @@ def _load():
             np.ctypeslib.ndpointer(np.float64), ctypes.c_longlong,
             ctypes.c_int, np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.uint8)]
+        lib.gpb_tree_shap.argtypes = [
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+            ctypes.c_longlong, ctypes.c_int, np.ctypeslib.ndpointer(np.float64)]
         _lib = lib
     except Exception:
         _lib = None
@@ -102,3 +108,99 @@ def nn_preceding_2d(coords, m):
     mask = np.empty((n, m), dtype=np.uint8)
     lib.gpb_nn_preceding_2d(coords, n, m, idx, mask)
     return idx, mask.astype(bool)
+
+
+def tree_shap(tree, X, phi):
+    """Accumulate one tree's exact TreeSHAP attributions into phi (n, p+1).
+
+    Native C++ fast path (gpb_tree_shap); pure-Python fallback implements the
+    same Lundberg et al. 2018 algorithm.
+    """
+    n_nodes = tree.num_nodes
+    sf = np.ascontiguousarray(tree.split_feature[:n_nodes], dtype=np.int32)
+    thr = np.ascontiguousarray(tree.threshold_real[:n_nodes], dtype=np.float64)
+    lc = np.ascontiguousarray(tree.left[:n_nodes], dtype=np.int32)
+    rc = np.ascontiguousarray(tree.right[:n_nodes], dtype=np.int32)
+    il = np.ascontiguousarray(tree.is_leaf[:n_nodes], dtype=np.uint8)
+    lv = np.ascontiguousarray(tree.leaf_value[:n_nodes], dtype=np.float64)
+    cov = np.ascontiguousarray(tree.cover[:n_nodes], dtype=np.float64)
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    n, p = X.shape
+    lib = _load()
+    if lib is not None:
+        lib.gpb_tree_shap(sf, thr, lc, rc, il, lv, cov, X, n, p, phi)
+        return
+
+    # ---------------- pure-Python fallback ----------------
+    import sys
+    sys.setrecursionlimit(10000)
+
+    def expected(j):
+        if il[j]:
+            return lv[j]
+        return (cov[lc[j]] * expected(lc[j])
+                + cov[rc[j]] * expected(rc[j])) / cov[j]
+
+    def extend(path, zf, of, fi):
+        path = path + [[fi, zf, of, 1.0 if not path else 0.0]]
+        ud = len(path) - 1
+        for i in range(ud - 1, -1, -1):
+            path[i + 1][3] += of * path[i][3] * (i + 1) / (ud + 1)
+            path[i][3] = zf * path[i][3] * (ud - i) / (ud + 1)
+        return path
+
+    def unwind(path, pi):
+        ud = len(path) - 1
+        of, zf = path[pi][2], path[pi][1]
+        next_one = path[ud][3]
+        path = [list(e) for e in path]
+        for i in range(ud - 1, -1, -1):
+            if of != 0:
+                tmp = path[i][3]
+                path[i][3] = next_one * (ud + 1) / ((i + 1) * of)
+                next_one = tmp - path[i][3] * zf * (ud - i) / (ud + 1)
+            else:
+                path[i][3] = path[i][3] * (ud + 1) / (zf * (ud - i))
+        for i in range(pi, ud):
+            path[i][:3] = path[i + 1][:3]
+        return path[:-1]
+
+    def unwound_sum(path, pi):
+        ud = len(path) - 1
+        of, zf = path[pi][2], path[pi][1]
+        next_one = path[ud][3]
+        total = 0.0
+        for i in range(ud - 1, -1, -1):
+            if of != 0:
+                tmp = next_one * (ud + 1) / ((i + 1) * of)
+                total += tmp
+                next_one = path[i][3] - tmp * zf * (ud - i) / (ud + 1)
+            else:
+                total += path[i][3] / zf / ((ud - i) / (ud + 1))
+        return total
+
+    def recurse(j, x, phi_row, path, pzf, pof, pfi):
+        path = extend([list(e) for e in path], pzf, pof, pfi)
+        if il[j]:
+            ud = len(path) - 1
+            for i in range(1, ud + 1):
+                w = unwound_sum(path, i)
+                phi_row[path[i][0]] += w * (path[i][2] - path[i][1]) * lv[j]
+            return
+        f = sf[j]
+        xv = x[f]
+        go_left = np.isfinite(xv) and xv <= thr[j]
+        hot, cold = (lc[j], rc[j]) if go_left else (rc[j], lc[j])
+        hzf, czf = cov[hot] / cov[j], cov[cold] / cov[j]
+        izf = iof = 1.0
+        pi = next((i for i, e in enumerate(path) if e[0] == f), None)
+        if pi is not None:
+            izf, iof = path[pi][1], path[pi][2]
+            path = unwind(path, pi)
+        recurse(hot, x, phi_row, path, hzf * izf, iof, f)
+        recurse(cold, x, phi_row, path, czf * izf, 0.0, f)
+
+    ev = expected(0)
+    for i in range(n):
+        phi[i, p] += ev
+        recurse(0, X[i], phi[i], [], 1.0, 1.0, -1)

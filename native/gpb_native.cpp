@@ -202,3 +202,157 @@ void gpb_nn_preceding_2d(const double* coords, long long n, int m,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TreeSHAP: exact Shapley value feature attributions for one decision tree
+// (polynomial-time algorithm of Lundberg et al. 2018; the reference exposes
+// this as Booster.predict(..., pred_contrib=True) via LightGBM's
+// src/treelearner/../treeshap code path).
+// Trees are the package's flat arrays: split_feature/threshold/left/right/
+// is_leaf/leaf_value plus per-node training covers.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PathElem {
+    int feature_index;
+    double zero_fraction;
+    double one_fraction;
+    double pweight;
+};
+
+void extend_path(PathElem* up, int ud, double zf, double of, int fi) {
+    up[ud].feature_index = fi;
+    up[ud].zero_fraction = zf;
+    up[ud].one_fraction = of;
+    up[ud].pweight = (ud == 0) ? 1.0 : 0.0;
+    for (int i = ud - 1; i >= 0; --i) {
+        up[i + 1].pweight += of * up[i].pweight * (i + 1) / (double)(ud + 1);
+        up[i].pweight = zf * up[i].pweight * (ud - i) / (double)(ud + 1);
+    }
+}
+
+void unwind_path(PathElem* up, int ud, int pi) {
+    const double of = up[pi].one_fraction;
+    const double zf = up[pi].zero_fraction;
+    double next_one = up[ud].pweight;
+    for (int i = ud - 1; i >= 0; --i) {
+        if (of != 0.0) {
+            const double tmp = up[i].pweight;
+            up[i].pweight = next_one * (ud + 1) / (double)((i + 1) * of);
+            next_one = tmp - up[i].pweight * zf * (ud - i) / (double)(ud + 1);
+        } else {
+            up[i].pweight = up[i].pweight * (ud + 1)
+                / (double)(zf * (ud - i));
+        }
+    }
+    for (int i = pi; i < ud; ++i) {
+        up[i].feature_index = up[i + 1].feature_index;
+        up[i].zero_fraction = up[i + 1].zero_fraction;
+        up[i].one_fraction = up[i + 1].one_fraction;
+    }
+}
+
+double unwound_path_sum(const PathElem* up, int ud, int pi) {
+    const double of = up[pi].one_fraction;
+    const double zf = up[pi].zero_fraction;
+    double next_one = up[ud].pweight;
+    double total = 0.0;
+    for (int i = ud - 1; i >= 0; --i) {
+        if (of != 0.0) {
+            const double tmp = next_one * (ud + 1) / (double)((i + 1) * of);
+            total += tmp;
+            next_one = up[i].pweight
+                - tmp * zf * ((ud - i) / (double)(ud + 1));
+        } else {
+            total += (up[i].pweight / zf)
+                / ((ud - i) / (double)(ud + 1));
+        }
+    }
+    return total;
+}
+
+struct TreeArrays {
+    const int* split_feature;
+    const double* threshold;
+    const int* lc;
+    const int* rc;
+    const unsigned char* is_leaf;
+    const double* leaf_value;
+    const double* cover;
+};
+
+void shap_recurse(const TreeArrays& t, const double* x, double* phi,
+                  int node, int ud, PathElem* parent_path,
+                  double pzf, double pof, int pfi) {
+    PathElem* up = parent_path + ud + 1;
+    std::copy(parent_path, parent_path + ud + 1, up);
+    extend_path(up, ud, pzf, pof, pfi);
+    if (t.is_leaf[node]) {
+        for (int i = 1; i <= ud; ++i) {
+            const double w = unwound_path_sum(up, ud, i);
+            phi[up[i].feature_index] +=
+                w * (up[i].one_fraction - up[i].zero_fraction)
+                * t.leaf_value[node];
+        }
+        return;
+    }
+    const int f = t.split_feature[node];
+    const double xv = x[f];
+    // NaN goes right, matching Tree.predict_raw
+    const bool go_left = (xv == xv) && (xv <= t.threshold[node]);
+    const int hot = go_left ? t.lc[node] : t.rc[node];
+    const int cold = go_left ? t.rc[node] : t.lc[node];
+    const double w = t.cover[node];
+    const double hot_zf = t.cover[hot] / w;
+    const double cold_zf = t.cover[cold] / w;
+    double izf = 1.0, iof = 1.0;
+    int pi = 0;
+    for (; pi <= ud; ++pi)
+        if (up[pi].feature_index == f) break;
+    if (pi != ud + 1) {
+        izf = up[pi].zero_fraction;
+        iof = up[pi].one_fraction;
+        unwind_path(up, ud, pi);
+        ud -= 1;
+    }
+    shap_recurse(t, x, phi, hot, ud + 1, up, hot_zf * izf, iof, f);
+    shap_recurse(t, x, phi, cold, ud + 1, up, cold_zf * izf, 0.0, f);
+}
+
+double tree_expected_value(const TreeArrays& t, int node) {
+    if (t.is_leaf[node]) return t.leaf_value[node];
+    const int l = t.lc[node], r = t.rc[node];
+    return (t.cover[l] * tree_expected_value(t, l)
+            + t.cover[r] * tree_expected_value(t, r)) / t.cover[node];
+}
+
+int tree_max_depth(const TreeArrays& t, int node) {
+    if (t.is_leaf[node]) return 1;
+    const int l = tree_max_depth(t, t.lc[node]);
+    const int r = tree_max_depth(t, t.rc[node]);
+    return 1 + (l > r ? l : r);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Accumulate one tree's SHAP values into phi (n, p+1) row-major; the last
+// column receives the tree's expected value (bias term).
+void gpb_tree_shap(const int* split_feature, const double* threshold,
+                   const int* lc, const int* rc, const unsigned char* is_leaf,
+                   const double* leaf_value, const double* cover,
+                   const double* X, long long n, int p, double* phi) {
+    TreeArrays t{split_feature, threshold, lc, rc, is_leaf, leaf_value, cover};
+    const double expected = tree_expected_value(t, 0);
+    const int D = tree_max_depth(t, 0) + 2;
+    std::vector<PathElem> buf((size_t)D * (D + 1));
+    for (long long i = 0; i < n; ++i) {
+        double* phi_row = phi + i * (p + 1);
+        phi_row[p] += expected;
+        shap_recurse(t, X + i * p, phi_row, 0, 0, buf.data(), 1.0, 1.0, -1);
+    }
+}
+
+}  // extern "C"
