@@ -360,6 +360,27 @@ class Booster:
         return self.gp_model.predict_training_data_random_effects(
             predict_var=predict_var, offset=self.F)
 
+    def feature_importance(self, importance_type="split", iteration=None):
+        """Per-feature importances over the ensemble (basic.py
+        Booster.feature_importance): 'split' counts how often a feature is
+        used; 'gain' sums the split gains."""
+        ntrees = iteration if iteration else len(self.trees)
+        p = self._min_num_features()
+        if getattr(self, "train_set", None) is not None:
+            p = max(p, self.train_set.num_features)
+        out = np.zeros(p)
+        for t in self.trees[:ntrees]:
+            nn = t.num_nodes
+            internal = np.where(~t.is_leaf[:nn])[0]
+            feats = t.split_feature[internal]
+            if importance_type == "split":
+                np.add.at(out, feats, 1.0)
+            elif importance_type == "gain":
+                np.add.at(out, feats, t.split_gain[internal])
+            else:
+                raise ValueError(f"unknown importance_type {importance_type!r}")
+        return out
+
     def _min_num_features(self):
         """Highest feature index any tree splits on, + 1 (guards raw-X
         prediction against too-narrow inputs)."""

@@ -17,6 +17,7 @@ class Tree:
         self.leaf_value = np.zeros(max_nodes)
         self.is_leaf = np.ones(max_nodes, dtype=bool)
         self.cover = np.zeros(max_nodes)    # training rows through each node
+        self.split_gain = np.zeros(max_nodes)
         self.num_nodes = 1
         self.num_leaves = 1
         self.max_depth_used = 0
@@ -90,6 +91,7 @@ class Tree:
             "leaf_value": self.leaf_value[:n].tolist(),
             "is_leaf": self.is_leaf[:n].tolist(),
             "cover": self.cover[:n].tolist(),
+            "split_gain": self.split_gain[:n].tolist(),
         }
 
     @classmethod
@@ -107,5 +109,7 @@ class Tree:
         t.is_leaf[:n] = d["is_leaf"]
         if "cover" in d:
             t.cover[:n] = d["cover"]
+        if "split_gain" in d:
+            t.split_gain[:n] = d["split_gain"]
         t.num_leaves = int(np.sum(t.is_leaf[:n]))
         return t

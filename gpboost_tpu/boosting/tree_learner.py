@@ -105,17 +105,22 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
     leaf_bin = jnp.zeros((L,), jnp.int32).at[0].set(b0.astype(jnp.int32))
     leaf_depth = jnp.zeros((L,), jnp.int32)
     rec = jnp.full((L - 1, 4), -1, jnp.int32)   # (parent_slot, feat, bin, ok)
+    rec_gain = jnp.zeros((L - 1,), hist0.dtype)  # split gains (importance)
 
     def split_step(s, carry):
-        node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec = carry
+        (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+         rec, rec_gain) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
         b = leaf_bin[l]
         new_slot = jnp.int32(s + 1)
 
+        gain_l = leaf_gain[l]
+
         def do_split(args):
-            node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec = args
+            (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+             rec, rec_gain) = args
             feat_col = jnp.take(bins_T, f, axis=0)           # (n,)
             in_leaf = node == l
             node2 = jnp.where(in_leaf & (feat_col > b), new_slot, node)
@@ -135,22 +140,24 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                                .at[new_slot].set(br.astype(jnp.int32))
             leaf_depth = leaf_depth.at[l].set(d).at[new_slot].set(d)
             rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
+            rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
             return (node2, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
-                    leaf_depth, rec2)
+                    leaf_depth, rec2, rec_gain2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (node, leaf_hist, leaf_gain, leaf_feat,
-                             leaf_bin, leaf_depth, rec))
+                             leaf_bin, leaf_depth, rec, rec_gain))
 
-    carry = (node0, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec)
+    carry = (node0, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+             rec, rec_gain)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    node, leaf_hist, *_, rec = carry
+    node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec, rec_gain = carry
     # totals from one feature's bins (every feature's bins sum to the totals)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
     Hs = jnp.sum(leaf_hist[:, 0, 1, :], axis=1)
     Cs = jnp.sum(leaf_hist[:, 0, 2, :], axis=1)
     leaf_values = jnp.where(Cs > 0, -Gs / (Hs + lambda_l2), 0.0)
-    return rec, leaf_values, node
+    return rec, leaf_values, node, rec_gain
 
 
 class SerialTreeLearner:
@@ -205,7 +212,7 @@ class SerialTreeLearner:
         node0 = np.zeros(n_pad, dtype=np.int32)
         node0[n:] = self.num_leaves + 7   # sentinel: padded rows in no leaf
 
-        rec, leaf_values, node = _grow_tree(
+        rec, leaf_values, node, rec_gain = _grow_tree(
             self.bins_T, jnp.asarray(node0), jnp.asarray(stats_T),
             self.num_bins, self.num_leaves, self.max_depth,
             self.use_pallas, self.row_block, self.feat_chunk,
@@ -213,6 +220,7 @@ class SerialTreeLearner:
             jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain),
             jnp.asarray(fm))
         rec = np.asarray(rec)
+        rec_gain = np.asarray(rec_gain, dtype=np.float64)
         leaf_values = np.asarray(leaf_values, dtype=np.float64)
         slot_of_row = np.asarray(node)[:n]
 
@@ -227,6 +235,7 @@ class SerialTreeLearner:
             node_id = slot_to_node[int(parent_slot)]
             thr = self.ds.mappers[int(f)].bin_to_threshold(int(b))
             li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0)
+            tree.split_gain[node_id] = rec_gain[s]
             slot_to_node[int(parent_slot)] = li
             slot_to_node[s + 1] = ri
         for slot, node_id in slot_to_node.items():

@@ -233,3 +233,18 @@ class TestGPBoostAlgorithm:
                            + (1 - y) * np.log(1 - p_hat + 1e-9))
         base = -np.mean(y * np.log(y.mean()) + (1 - y) * np.log(1 - y.mean()))
         assert logloss < base
+
+
+class TestFeatureImportance:
+    def test_split_and_gain(self, reg_data):
+        X, y, _ = reg_data
+        bst = gpb.train({"num_leaves": 15}, gpb.Dataset(X, label=y),
+                        num_boost_round=20)
+        fi_split = bst.feature_importance("split")
+        fi_gain = bst.feature_importance("gain")
+        assert fi_split.sum() == sum(t.num_leaves - 1 for t in bst.trees)
+        assert np.all(fi_gain >= 0)
+        # informative features 0..2 dominate the noise features
+        assert fi_gain[:3].sum() > 5 * fi_gain[3:].sum()
+        with pytest.raises(ValueError):
+            bst.feature_importance("nonsense")
