@@ -32,6 +32,9 @@ _OBJ_ALIASES = {
 }
 
 _BOOST_PARAM_DEFAULTS = dict(
+    boosting="gbdt",                       # gbdt | dart | goss
+    drop_rate=0.1, max_drop=50, skip_drop=0.5, drop_seed=4,    # DART
+    top_rate=0.2, other_rate=0.1,                              # GOSS
     learning_rate=0.1, num_leaves=31, max_depth=-1, min_data_in_leaf=20,
     lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3, min_gain_to_split=0.0,
     objective="regression", train_gp_model_cov_pars=True,
@@ -59,6 +62,7 @@ _PARAM_ALIASES = {
     "sub_row": "bagging_fraction", "subsample": "bagging_fraction",
     "bagging": "bagging_fraction", "subsample_freq": "bagging_freq",
     "sub_feature": "feature_fraction", "colsample_bytree": "feature_fraction",
+    "boosting_type": "boosting", "boost": "boosting",
 }
 
 
@@ -113,6 +117,9 @@ class Booster:
         self._bag_rng = np.random.RandomState(int(p["bagging_seed"]))
         self._feat_rng = np.random.RandomState(int(p["feature_fraction_seed"]))
         self._row_mask = None
+        self._drop_rng = np.random.RandomState(int(p["drop_seed"]))
+        if p["boosting"] not in ("gbdt", "gbrt", "dart", "goss"):
+            raise ValueError(f"unknown boosting type {p['boosting']!r}")
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
@@ -219,10 +226,63 @@ class Booster:
             feat_mask[sel] = 1.0
         return row_mask, feat_mask
 
+    def _dart_drop(self):
+        """DART dropout (dart.hpp:97 DroppingTrees, uniform mode): pick a
+        subset of existing trees, remove their contribution from the training
+        score; returns (indices, cached per-row contributions)."""
+        p = self.params
+        if self._drop_rng.rand() < float(p["skip_drop"]):
+            return [], []
+        drop_rate = float(p["drop_rate"])
+        max_drop = int(p["max_drop"])
+        if max_drop > 0:
+            drop_rate = min(drop_rate, max_drop / max(len(self.trees), 1.0))
+        drop_idx = [i for i in range(len(self.trees))
+                    if self._drop_rng.rand() < drop_rate]
+        if max_drop > 0:
+            drop_idx = drop_idx[:max_drop]
+        contribs = []
+        bins = self.train_set.bins
+        for i in drop_idx:
+            c = self.trees[i].predict_binned(bins)
+            self.F = self.F - c
+            contribs.append(c)
+        return drop_idx, contribs
+
+    def _goss_mask(self, grad, hess):
+        """Gradient-based one-side sampling (goss.hpp): keep the top_rate
+        fraction by |grad*hess|, sample other_rate of the rest and amplify
+        them by (1-a)/b. Warm-up: plain GBDT for the first 1/lr iterations."""
+        p = self.params
+        if self.current_iteration_ < int(1.0 / float(p["learning_rate"])):
+            return None
+        a, b = float(p["top_rate"]), float(p["other_rate"])
+        n = self.n
+        top_k = max(1, int(round(a * n)))
+        rest_k = max(1, int(round(b * n)))
+        order = np.argsort(-np.abs(grad * hess))
+        mask = np.zeros(n, dtype=np.float32)
+        mask[order[:top_k]] = 1.0
+        rest = order[top_k:]
+        if len(rest):
+            sel = self._bag_rng.choice(len(rest), size=min(rest_k, len(rest)),
+                                       replace=False)
+            mask[rest[sel]] = (1.0 - a) / b
+        return mask
+
     def update(self, train_set=None, fobj=None):
-        """One boosting iteration (gbdt.cpp:412 TrainOneIter)."""
+        """One boosting iteration (gbdt.cpp:412 TrainOneIter; dart.hpp for
+        boosting='dart', goss.hpp for boosting='goss')."""
+        boosting = self.params["boosting"]
+        drop_idx, drop_contrib = [], []
+        if boosting == "dart" and self.trees:
+            drop_idx, drop_contrib = self._dart_drop()
         grad, hess = self._gradients()
         row_mask, feat_mask = self._sampling_masks()
+        if boosting == "goss":
+            gm = self._goss_mask(grad, hess)
+            if gm is not None:
+                row_mask = gm
         tree, slot_of_row, leaf_value_of_slot = self.learner.train(
             grad, hess, row_mask=row_mask, feat_mask=feat_mask)
 
@@ -263,8 +323,18 @@ class Booster:
                     leaf_value_of_slot = leaf_value_of_slot * alpha
 
         lr = float(self.params["learning_rate"])
+        if boosting == "dart":
+            # dart.hpp:137: new tree weight lr/(k+1)
+            lr = lr / (1.0 + len(drop_idx))
         tree.shrinkage(lr)
         self.F = self.F + lr * leaf_value_of_slot[slot_of_row]
+        if drop_idx:
+            # dart.hpp:158 Normalize: dropped trees keep k/(k+1) of their
+            # weight; training score gets the rescaled contribution back
+            k = float(len(drop_idx))
+            for i, contrib in zip(drop_idx, drop_contrib):
+                self.trees[i].shrinkage(k / (k + 1.0))
+                self.F = self.F + contrib * (k / (k + 1.0))
         self.trees.append(tree)
         self.current_iteration_ = len(self.trees)
         return False

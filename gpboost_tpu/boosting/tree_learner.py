@@ -202,10 +202,12 @@ class SerialTreeLearner:
             stats_T[1, :n] = hess
             stats_T[2, :n] = 1.0
         else:
+            # row_mask may carry GOSS amplification weights (>1); the count
+            # statistic stays 0/1 so min_data_in_leaf keeps its meaning
             rm = np.asarray(row_mask, dtype=np.float32)
             stats_T[0, :n] = grad * rm
             stats_T[1, :n] = hess * rm
-            stats_T[2, :n] = rm
+            stats_T[2, :n] = (rm > 0).astype(np.float32)
         fm = np.zeros(self.p_pad, dtype=np.float32)
         fm[:self.p] = 1.0 if feat_mask is None else \
             np.asarray(feat_mask, dtype=np.float32)

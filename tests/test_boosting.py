@@ -248,3 +248,32 @@ class TestFeatureImportance:
         assert fi_gain[:3].sum() > 5 * fi_gain[3:].sum()
         with pytest.raises(ValueError):
             bst.feature_importance("nonsense")
+
+
+class TestDartGoss:
+    def test_dart_fits_and_training_score_consistent(self, reg_data):
+        """DART must fit well AND keep self.F == ensemble prediction after
+        all the drop/normalize bookkeeping (dart.hpp Normalize invariant)."""
+        X, y, _ = reg_data
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 15,
+                         "boosting": "dart", "drop_rate": 0.3,
+                         "skip_drop": 0.3},
+                        gpb.Dataset(X, label=y), num_boost_round=60)
+        pred = bst.predict(X)
+        assert np.allclose(pred, bst.F, atol=1e-8)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.8
+
+    def test_goss_fits(self, reg_data):
+        X, y, _ = reg_data
+        bst = gpb.train({"learning_rate": 0.1, "num_leaves": 15,
+                         "boosting": "goss"},
+                        gpb.Dataset(X, label=y), num_boost_round=60)
+        pred = bst.predict(X)
+        assert np.allclose(pred, bst.F, atol=1e-10)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.85
+
+    def test_unknown_boosting_raises(self, reg_data):
+        X, y, _ = reg_data
+        with pytest.raises(ValueError):
+            gpb.Booster(params={"boosting": "rf_like"},
+                        train_set=gpb.Dataset(X, label=y))
