@@ -597,7 +597,14 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
         vsets = [v for v in vsets if v is not train_set]
     names = valid_names or [f"valid_{i}" for i in range(len(vsets))]
 
+    chosen = raw.get("metric")
+    if isinstance(chosen, (list, tuple)):
+        chosen = chosen[0] if chosen else None
+
     def _metric(y, p):
+        if chosen:
+            from ..engine import _metric_fn
+            return chosen, _metric_fn(chosen)(y, p)
         if booster.objective_name == "gaussian":
             return "l2", float(np.mean((y - p) ** 2))
         if "bernoulli" in booster.objective_name:

@@ -13,8 +13,14 @@ from .gp_model import GPModel
 
 
 def _metric_fn(name):
-    name = {"l2": "l2", "mse": "l2", "rmse": "rmse",
-            "binary_logloss": "binary_logloss", "auc": "auc"}.get(name, name)
+    name = {"l2": "l2", "mse": "l2", "mean_squared_error": "l2",
+            "rmse": "rmse", "root_mean_squared_error": "rmse",
+            "l1": "mae", "mae": "mae", "mean_absolute_error": "mae",
+            "binary_logloss": "binary_logloss", "binary": "binary_logloss",
+            "auc": "auc"}.get(name, name)
+
+    if name == "mae":
+        return lambda y, p: float(np.mean(np.abs(y - p)))
 
     if name == "l2":
         return lambda y, p: float(np.mean((y - p) ** 2))
