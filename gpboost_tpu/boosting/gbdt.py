@@ -118,8 +118,21 @@ class Booster:
         self._feat_rng = np.random.RandomState(int(p["feature_fraction_seed"]))
         self._row_mask = None
         self._drop_rng = np.random.RandomState(int(p["drop_seed"]))
-        if p["boosting"] not in ("gbdt", "gbrt", "dart", "goss"):
+        if p["boosting"] not in ("gbdt", "gbrt", "dart", "goss", "rf",
+                                 "random_forest"):
             raise ValueError(f"unknown boosting type {p['boosting']!r}")
+        if p["boosting"] in ("rf", "random_forest"):
+            p["boosting"] = "rf"
+            if gp_model is not None:
+                raise ValueError("boosting='rf' cannot be combined with a "
+                                 "gp_model; use boosting='gbdt'")
+            if not (int(p["bagging_freq"]) > 0
+                    and 0.0 < float(p["bagging_fraction"]) < 1.0):
+                raise ValueError(
+                    "boosting='rf' requires bagging_freq > 0 and "
+                    "0 < bagging_fraction < 1 (rf.hpp Init)")
+        self._rf_grad = None
+        self._rf_sum = np.zeros(self.n)
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
@@ -277,7 +290,17 @@ class Booster:
         drop_idx, drop_contrib = [], []
         if boosting == "dart" and self.trees:
             drop_idx, drop_contrib = self._dart_drop()
-        grad, hess = self._gradients()
+        if boosting == "rf":
+            # random forest (rf.hpp): gradients are computed ONCE at the
+            # constant init score; every tree fits them on a fresh bag and
+            # the ensemble output is the AVERAGE of the trees
+            if self._rf_grad is None:
+                F_save, self.F = self.F, np.full(self.n, self.init_score)
+                self._rf_grad = self._gradients()
+                self.F = F_save
+            grad, hess = self._rf_grad
+        else:
+            grad, hess = self._gradients()
         row_mask, feat_mask = self._sampling_masks()
         if boosting == "goss":
             gm = self._goss_mask(grad, hess)
@@ -322,6 +345,12 @@ class Booster:
                     tree.shrinkage(alpha)
                     leaf_value_of_slot = leaf_value_of_slot * alpha
 
+        if boosting == "rf":
+            self._rf_sum = self._rf_sum + leaf_value_of_slot[slot_of_row]
+            self.trees.append(tree)
+            self.current_iteration_ = len(self.trees)
+            self.F = self.init_score + self._rf_sum / len(self.trees)
+            return False
         lr = float(self.params["learning_rate"])
         if boosting == "dart":
             # dart.hpp:137: new tree weight lr/(k+1)
@@ -365,15 +394,22 @@ class Booster:
         if pred_contrib:
             from ..native import tree_shap
             phi = np.zeros((len(X), X.shape[1] + 1))
-            phi[:, -1] += self.init_score
             ntrees = num_iteration if num_iteration else len(self.trees)
-            for tree in self.trees[start_iteration:start_iteration + ntrees]:
+            used = self.trees[start_iteration:start_iteration + ntrees]
+            for tree in used:
                 tree_shap(tree, X, phi)
+            if self.params.get("boosting") == "rf" and used:
+                phi /= len(used)
+            phi[:, -1] += self.init_score
             return phi
-        F_pred = np.full(len(X), self.init_score)
+        F_pred = np.zeros(len(X))
         ntrees = num_iteration if num_iteration else len(self.trees)
-        for tree in self.trees[start_iteration:start_iteration + ntrees]:
+        used = self.trees[start_iteration:start_iteration + ntrees]
+        for tree in used:
             F_pred = F_pred + tree.predict_raw(X)
+        if self.params.get("boosting") == "rf" and used:
+            F_pred = F_pred / len(used)     # rf.hpp: average_output_
+        F_pred = F_pred + self.init_score
 
         gp = self.gp_model
         if gp is None or ignore_gp_model:

@@ -277,3 +277,36 @@ class TestDartGoss:
         with pytest.raises(ValueError):
             gpb.Booster(params={"boosting": "rf_like"},
                         train_set=gpb.Dataset(X, label=y))
+
+
+class TestRandomForest:
+    def test_rf_fits_and_averages(self, reg_data):
+        X, y, _ = reg_data
+        bst = gpb.train({"boosting": "rf", "bagging_fraction": 0.6,
+                         "bagging_freq": 1, "num_leaves": 31,
+                         "min_data_in_leaf": 5},
+                        gpb.Dataset(X, label=y), num_boost_round=50)
+        pred = bst.predict(X)
+        assert np.allclose(pred, bst.F, atol=1e-10)
+        assert 1 - np.var(y - pred) / np.var(y) > 0.7
+        # averaging: prediction scale must not grow with tree count
+        p10 = gpb.train({"boosting": "rf", "bagging_fraction": 0.6,
+                         "bagging_freq": 1, "num_leaves": 31,
+                         "min_data_in_leaf": 5},
+                        gpb.Dataset(X, label=y), num_boost_round=10).predict(X)
+        assert abs(np.mean(pred) - np.mean(p10)) < 0.2
+
+    def test_rf_requires_bagging(self, reg_data):
+        X, y, _ = reg_data
+        with pytest.raises(ValueError):
+            gpb.Booster(params={"boosting": "rf"},
+                        train_set=gpb.Dataset(X, label=y))
+
+    def test_rf_rejects_gp_model(self, reg_data):
+        X, y, _ = reg_data
+        with pytest.raises(ValueError):
+            gpb.Booster(params={"boosting": "rf", "bagging_fraction": 0.5,
+                                "bagging_freq": 1},
+                        train_set=gpb.Dataset(X, label=y),
+                        gp_model=gpb.GPModel(
+                            group_data=np.arange(len(y)) % 5))
