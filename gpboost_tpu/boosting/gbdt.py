@@ -71,7 +71,7 @@ class Booster:
     (basic.py:2315 Booster; c_api.cpp:1667 LGBM_GPBoosterCreate)."""
 
     def __init__(self, params=None, train_set=None, gp_model=None,
-                 model_file=None, model_dict=None):
+                 model_file=None, model_dict=None, init_model=None):
         if model_file is not None or model_dict is not None:
             self._load(model_file, model_dict)
             return
@@ -133,6 +133,26 @@ class Booster:
                     "0 < bagging_fraction < 1 (rf.hpp Init)")
         self._rf_grad = None
         self._rf_sum = np.zeros(self.n)
+        if init_model is not None:
+            self._continue_from(init_model)
+
+    # ------------------------------------------------------------------
+    def _continue_from(self, init_model):
+        """Continued training (gbdt.cpp num_init_iteration_): adopt an
+        existing model's trees and init score, and resume boosting from its
+        training-data score."""
+        if isinstance(init_model, str):
+            init_model = Booster(model_file=init_model)
+        if self.params["boosting"] == "rf":
+            raise ValueError("init_model is not supported with boosting='rf'")
+        self.trees = [Tree.from_dict(t.to_dict()) for t in init_model.trees]
+        self.init_score = float(init_model.init_score)
+        X = np.asarray(self.train_set.data, dtype=np.float64)
+        F = np.full(self.n, self.init_score)
+        for t in self.trees:
+            F = F + t.predict_raw(X)
+        self.F = F
+        self.current_iteration_ = len(self.trees)
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
@@ -624,7 +644,8 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
         kk = _PARAM_ALIASES.get(k, k)
         if kk == "num_boost_round":
             nbr = int(raw.pop(k))
-    booster = Booster(params=raw, train_set=train_set, gp_model=gp_model)
+    booster = Booster(params=raw, train_set=train_set, gp_model=gp_model,
+                      init_model=init_model)
 
     vsets = []
     if valid_sets is not None:

@@ -310,3 +310,37 @@ class TestRandomForest:
                         train_set=gpb.Dataset(X, label=y),
                         gp_model=gpb.GPModel(
                             group_data=np.arange(len(y)) % 5))
+
+
+class TestContinuedTraining:
+    def test_init_model_continues(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        b1 = gpb.train({"num_leaves": 15, "learning_rate": 0.1}, ds,
+                       num_boost_round=20)
+        b2 = gpb.train({"num_leaves": 15, "learning_rate": 0.1}, ds,
+                       num_boost_round=20, init_model=b1)
+        assert len(b2.trees) == 40
+        mse1 = np.mean((y - b1.predict(X)) ** 2)
+        mse2 = np.mean((y - b2.predict(X)) ** 2)
+        assert mse2 < mse1
+        # continuing must not mutate the source model
+        assert np.isclose(np.mean((y - b1.predict(X)) ** 2), mse1)
+
+    def test_init_model_from_file(self, reg_data, tmp_path):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        b1 = gpb.train({"num_leaves": 15}, ds, num_boost_round=10)
+        f = str(tmp_path / "m.json")
+        b1.save_model(f)
+        b2 = gpb.train({"num_leaves": 15}, ds, num_boost_round=5, init_model=f)
+        assert len(b2.trees) == 15
+
+    def test_init_model_rejected_for_rf(self, reg_data):
+        X, y, _ = reg_data
+        ds = gpb.Dataset(X, label=y)
+        b1 = gpb.train({"num_leaves": 7}, ds, num_boost_round=2)
+        with pytest.raises(ValueError):
+            gpb.train({"boosting": "rf", "bagging_fraction": 0.5,
+                       "bagging_freq": 1}, ds, num_boost_round=2,
+                      init_model=b1)
