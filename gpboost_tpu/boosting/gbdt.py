@@ -133,6 +133,7 @@ class Booster:
                     "0 < bagging_fraction < 1 (rf.hpp Init)")
         self._rf_grad = None
         self._rf_sum = np.zeros(self.n)
+        self._num_init_iteration = 0
         if init_model is not None:
             self._continue_from(init_model)
 
@@ -153,6 +154,10 @@ class Booster:
             F = F + t.predict_raw(X)
         self.F = F
         self.current_iteration_ = len(self.trees)
+        # DART never drops adopted trees (dart.hpp DroppingTrees iterates
+        # over trees [num_init_iteration_, ...) only) — their contributions
+        # were computed on the ORIGINAL dataset's bins, not this one's
+        self._num_init_iteration = len(self.trees)
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
@@ -268,9 +273,10 @@ class Booster:
             return [], []
         drop_rate = float(p["drop_rate"])
         max_drop = int(p["max_drop"])
+        n_droppable = len(self.trees) - self._num_init_iteration
         if max_drop > 0:
-            drop_rate = min(drop_rate, max_drop / max(len(self.trees), 1.0))
-        drop_idx = [i for i in range(len(self.trees))
+            drop_rate = min(drop_rate, max_drop / max(n_droppable, 1.0))
+        drop_idx = [i for i in range(self._num_init_iteration, len(self.trees))
                     if self._drop_rng.rand() < drop_rate]
         if max_drop > 0:
             drop_idx = drop_idx[:max_drop]
@@ -670,7 +676,9 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                 y * np.log(pc) + (1 - y) * np.log(1 - pc)))
         return "rmse", float(np.sqrt(np.mean((y - p) ** 2)))
 
-    best_score = np.inf
+    from ..engine import metric_higher_better
+    maximize = metric_higher_better(chosen) if chosen else False
+    best_score = -np.inf if maximize else np.inf
     best_iter = -1
     rounds_no_improve = 0
     if evals_result is not None:
@@ -693,7 +701,9 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                 if evals_result is not None:
                     evals_result[nm].setdefault(mname, []).append(score)
                 if nm == names[0]:
-                    if score < best_score - 1e-15:
+                    improved = (score > best_score + 1e-15) if maximize \
+                        else (score < best_score - 1e-15)
+                    if improved:
                         best_score = score
                         best_iter = it + 1
                         rounds_no_improve = 0

@@ -11,13 +11,30 @@ import numpy as np
 from .boosting import Dataset, train
 from .gp_model import GPModel
 
+_METRIC_ALIASES = {
+    "l2": "l2", "mse": "l2", "mean_squared_error": "l2",
+    "regression": "l2", "regression_l2": "l2",
+    "rmse": "rmse", "root_mean_squared_error": "rmse",
+    "l1": "mae", "mae": "mae", "mean_absolute_error": "mae",
+    "binary_logloss": "binary_logloss", "binary": "binary_logloss",
+    "auc": "auc",
+    "binary_error": "binary_error",
+    "neg_log_likelihood": "neg_log_likelihood",
+    "approx_neg_marginal_log_likelihood": "neg_log_likelihood",
+    "test_neg_log_likelihood": "test_neg_log_likelihood",
+}
+
+# metrics where LARGER is better (the reference tracks a per-metric
+# greater_is_better flag; LightGBM metric headers)
+_MAXIMIZE_METRICS = {"auc"}
+
+
+def metric_higher_better(name):
+    return _METRIC_ALIASES.get(name, name) in _MAXIMIZE_METRICS
+
 
 def _metric_fn(name):
-    name = {"l2": "l2", "mse": "l2", "mean_squared_error": "l2",
-            "rmse": "rmse", "root_mean_squared_error": "rmse",
-            "l1": "mae", "mae": "mae", "mean_absolute_error": "mae",
-            "binary_logloss": "binary_logloss", "binary": "binary_logloss",
-            "auc": "auc"}.get(name, name)
+    name = _METRIC_ALIASES.get(name, name)
 
     if name == "mae":
         return lambda y, p: float(np.mean(np.abs(y - p)))
@@ -30,6 +47,8 @@ def _metric_fn(name):
         return lambda y, p: float(-np.mean(
             y * np.log(np.clip(p, 1e-15, 1)) +
             (1 - y) * np.log(np.clip(1 - p, 1e-15, 1))))
+    if name == "binary_error":
+        return lambda y, p: float(np.mean((p > 0.5).astype(int) != y))
     if name == "auc":
         def auc(y, p):
             order = np.argsort(p)
@@ -49,16 +68,28 @@ def _default_metric(gp_model, params):
     return "binary_logloss" if obj in ("binary", "bernoulli_logit") else "l2"
 
 
-def _make_folds(n, nfold, folds, seed):
+def _make_folds(y, nfold, folds, seed, stratified):
+    """Row-index folds; stratified folds keep per-class proportions for
+    binary labels (engine.py:575 cv stratified=True semantics)."""
+    n = len(y)
     if folds is not None:
         return [np.asarray(f, dtype=int) for f in folds]
     rng = np.random.RandomState(seed)
+    if stratified:
+        out = [[] for _ in range(nfold)]
+        for cls in np.unique(y):
+            idx = np.where(y == cls)[0]
+            idx = rng.permutation(idx)
+            for i in range(nfold):
+                out[i].extend(idx[i::nfold])
+        return [np.sort(np.asarray(f, dtype=int)) for f in out]
     perm = rng.permutation(n)
     return [perm[i::nfold] for i in range(nfold)]
 
 
 def _clone_gp_model(gp_model, idx):
-    """Rebuild the GPModel on a row subset."""
+    """Rebuild the GPModel on a row subset with ALL model structure
+    (weights, random-coefficient data, FITC settings) carried over."""
     if gp_model is None:
         return None
     kw = dict(likelihood=gp_model.likelihood,
@@ -66,70 +97,157 @@ def _clone_gp_model(gp_model, idx):
               cov_fct_shape=gp_model.cov_fct_shape,
               gp_approx=gp_model.gp_approx,
               num_neighbors=gp_model.num_neighbors,
-              vecchia_ordering=gp_model.vecchia_ordering)
+              vecchia_ordering=gp_model.vecchia_ordering,
+              seed=gp_model.seed,
+              matrix_inversion_method=gp_model.matrix_inversion_method)
+    for attr, key in (("num_ind_points", "num_ind_points"),
+                      ("ind_points_selection", "ind_points_selection"),
+                      ("likelihood_additional_param",
+                       "likelihood_additional_param"),
+                      ("cov_fct_taper_range", "cov_fct_taper_range"),
+                      ("cov_fct_taper_shape", "cov_fct_taper_shape")):
+        if getattr(gp_model, attr, None) is not None:
+            kw[key] = getattr(gp_model, attr)
     if gp_model.group_data is not None:
         kw["group_data"] = gp_model.group_data[idx]
+    if gp_model.group_rand_coef_data is not None:
+        kw["group_rand_coef_data"] = gp_model.group_rand_coef_data[idx]
+        kw["ind_effect_group_rand_coef"] = (
+            np.asarray(gp_model.ind_effect_group_rand_coef) + 1)
     if gp_model.gp_coords is not None:
         kw["gp_coords"] = gp_model.gp_coords[idx]
+    if gp_model.gp_rand_coef_data is not None:
+        kw["gp_rand_coef_data"] = gp_model.gp_rand_coef_data[idx]
     if gp_model.cluster_ids is not None:
         kw["cluster_ids"] = gp_model.cluster_ids[idx]
+    if getattr(gp_model, "weights", None) is not None:
+        kw["weights"] = gp_model.weights[idx]
     m = GPModel(**kw)
-    m.set_optim_params({k: v for k, v in gp_model.params.__dict__.items()
-                        if k in ("optimizer_cov", "maxit") and v is not None}
-                       if gp_model.params else {})
+    if gp_model.params:
+        keep = {}
+        from .models.optimize import OptimConfig
+        defaults = OptimConfig()
+        for k, v in gp_model.params.__dict__.items():
+            if k == "init_cov_pars":
+                continue    # data-dependent; let the clone re-derive
+            if v is not None and not np.all(
+                    np.asarray(v) == np.asarray(getattr(defaults, k, None))):
+                keep[k] = v
+        m.set_optim_params(keep)
     return m
+
+
+class CVBooster:
+    """Container for the per-fold boosters from cv(return_cvbooster=True)
+    (engine.py CVBooster)."""
+
+    def __init__(self, boosters):
+        self.boosters = boosters
+        self.best_iteration = -1
+
+    def predict(self, data, **kwargs):
+        return [b.predict(data, **kwargs) for b in self.boosters]
 
 
 def cv(params=None, train_set=None, num_boost_round=100, gp_model=None,
        use_gp_model_for_validation=True, folds=None, nfold=5, stratified=False,
        shuffle=True, metrics=None, seed=0, early_stopping_rounds=None,
        eval_train_metric=False, return_cvbooster=False, verbose_eval=False,
-       **kwargs):
+       fit_GP_cov_pars_OOS=False, **kwargs):
     """K-fold cross-validation for the (GP)Boost algorithm (engine.py:575).
 
-    Returns {"<metric>-mean": [...per iteration...], "<metric>-stdv": [...]}.
+    All folds advance one iteration per round; with early_stopping_rounds the
+    loop stops when the aggregated mean metric has not improved for that many
+    rounds (direction-aware: auc maximizes). Returns
+    {"<metric>-mean": [...], "<metric>-stdv": [...], "best_iter": int}
+    plus {"cvbooster": CVBooster} when return_cvbooster.
     """
     params = dict(params or {})
     X = train_set.data
     y = train_set.get_label()
     n = len(y)
-    fold_idx = _make_folds(n, nfold, folds, seed)
+    fold_idx = _make_folds(y, nfold, folds, seed, stratified)
     metric = metrics if isinstance(metrics, str) else (
         metrics[0] if metrics else _default_metric(gp_model, params))
     mfn = _metric_fn(metric)
+    maximize = metric_higher_better(metric)
 
-    per_iter = np.zeros((len(fold_idx), num_boost_round))
-    for k, test_idx in enumerate(fold_idx):
+    from .boosting.gbdt import Booster
+    fold_state = []
+    for test_idx in fold_idx:
         test_mask = np.zeros(n, dtype=bool)
         test_mask[test_idx] = True
         tr = ~test_mask
         ds_tr = Dataset(X[tr], label=y[tr], max_bin=train_set.max_bin)
         gp_tr = _clone_gp_model(gp_model, tr)
-        bst = None
-        from .boosting.gbdt import Booster
         bst = Booster(params=params, train_set=ds_tr, gp_model=gp_tr)
         pred_kw = {}
         if gp_model is not None and use_gp_model_for_validation:
             if gp_model.group_data is not None:
                 pred_kw["group_data_pred"] = gp_model.group_data[test_mask]
+            if gp_model.group_rand_coef_data is not None:
+                pred_kw["group_rand_coef_data_pred"] = \
+                    gp_model.group_rand_coef_data[test_mask]
             if gp_model.gp_coords is not None:
                 pred_kw["gp_coords_pred"] = gp_model.gp_coords[test_mask]
+            if gp_model.gp_rand_coef_data is not None:
+                pred_kw["gp_rand_coef_data_pred"] = \
+                    gp_model.gp_rand_coef_data[test_mask]
             if gp_model.cluster_ids is not None:
                 pred_kw["cluster_ids_pred"] = gp_model.cluster_ids[test_mask]
-        for it in range(num_boost_round):
-            bst.update()
-            pred = bst.predict(X[test_mask], **pred_kw)
-            if isinstance(pred, dict):
-                p = pred.get("response_mean")
-                if p is None:
-                    p = pred["fixed_effect"] + pred["random_effect_mean"]
-            else:
-                p = pred
-            per_iter[k, it] = mfn(y[test_mask], p)
+        fold_state.append((bst, test_mask, tr, pred_kw))
 
-    out = {f"{metric}-mean": list(per_iter.mean(axis=0)),
-           f"{metric}-stdv": list(per_iter.std(axis=0))}
-    out["best_iter"] = int(np.argmin(per_iter.mean(axis=0))) + 1
+    def _scalar_pred(bst, Xrows, pred_kw):
+        pred = bst.predict(Xrows, **pred_kw)
+        if isinstance(pred, dict):
+            p = pred.get("response_mean")
+            if p is None:
+                p = pred["fixed_effect"] + pred["random_effect_mean"]
+            return p
+        return pred
+
+    per_iter = []
+    per_iter_train = []
+    best_mean = -np.inf if maximize else np.inf
+    best_it = 0
+    rounds_no_improve = 0
+    for it in range(num_boost_round):
+        scores = []
+        scores_train = []
+        for bst, test_mask, tr, pred_kw in fold_state:
+            bst.update()
+            p = _scalar_pred(bst, X[test_mask], pred_kw)
+            scores.append(mfn(y[test_mask], p))
+            if eval_train_metric:
+                p_tr = _scalar_pred(bst, X[tr], {})
+                scores_train.append(mfn(y[tr], p_tr))
+        per_iter.append(scores)
+        if eval_train_metric:
+            per_iter_train.append(scores_train)
+        mean_score = float(np.mean(scores))
+        improved = (mean_score > best_mean) if maximize \
+            else (mean_score < best_mean)
+        if improved:
+            best_mean = mean_score
+            best_it = it
+            rounds_no_improve = 0
+        else:
+            rounds_no_improve += 1
+        if early_stopping_rounds and rounds_no_improve >= early_stopping_rounds:
+            break
+
+    per_iter = np.asarray(per_iter)                     # (iters, folds)
+    out = {f"{metric}-mean": list(per_iter.mean(axis=1)),
+           f"{metric}-stdv": list(per_iter.std(axis=1))}
+    if eval_train_metric:
+        pt = np.asarray(per_iter_train)
+        out[f"train {metric}-mean"] = list(pt.mean(axis=1))
+        out[f"train {metric}-stdv"] = list(pt.std(axis=1))
+    out["best_iter"] = best_it + 1
+    if return_cvbooster:
+        cvb = CVBooster([fs[0] for fs in fold_state])
+        cvb.best_iteration = best_it + 1
+        out["cvbooster"] = cvb
     return out
 
 
@@ -149,20 +267,26 @@ def grid_search_tune_parameters(param_grid, params=None, num_try_random=None,
     if num_try_random is not None and num_try_random < len(combos):
         sel = rng.choice(len(combos), num_try_random, replace=False)
         combos = [combos[i] for i in sel]
-    best = {"best_score": np.inf, "best_params": None, "best_iter": None}
     metric = metrics if isinstance(metrics, str) else (
         metrics[0] if metrics else _default_metric(gp_model, params))
+    maximize = metric_higher_better(metric)
+    best = {"best_score": -np.inf if maximize else np.inf,
+            "best_params": None, "best_iter": None}
     for combo in combos:
         trial = dict(params or {})
         trial.update(dict(zip(keys, combo)))
         res = cv(params=trial, train_set=train_set,
                  num_boost_round=num_boost_round, gp_model=gp_model,
                  use_gp_model_for_validation=use_gp_model_for_validation,
-                 folds=folds, nfold=nfold, metrics=metric, seed=seed)
+                 folds=folds, nfold=nfold, metrics=metric, seed=seed,
+                 early_stopping_rounds=early_stopping_rounds)
         scores = res[f"{metric}-mean"]
-        sc = float(np.min(scores))
-        if sc < best["best_score"]:
+        sc = float(np.max(scores) if maximize else np.min(scores))
+        better = (sc > best["best_score"]) if maximize \
+            else (sc < best["best_score"])
+        if better:
+            it = int(np.argmax(scores) if maximize else np.argmin(scores)) + 1
             best = {"best_score": sc,
                     "best_params": dict(zip(keys, combo)),
-                    "best_iter": int(np.argmin(scores)) + 1}
+                    "best_iter": it}
     return best

@@ -87,6 +87,12 @@ class GPModel:
         self.seed = seed
         self.num_neighbors = num_neighbors
         self.vecchia_ordering = vecchia_ordering
+        self.num_ind_points = num_ind_points
+        self.ind_points_selection = ind_points_selection
+        self.likelihood_additional_param = likelihood_additional_param
+        self.cov_fct_taper_range = cov_fct_taper_range
+        self.cov_fct_taper_shape = cov_fct_taper_shape
+        self.likelihood_learning_rate = likelihood_learning_rate
 
         if group_data is None and gp_coords is None:
             raise ValueError("Both group_data and gp_coords are None. "

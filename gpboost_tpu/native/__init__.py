@@ -5,6 +5,7 @@ point has a numpy fallback so the package works without a compiler.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -13,10 +14,20 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "gpb_native.cpp")
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libgpb_native.so")
 
 _lib = None
 _tried = False
+
+
+def _lib_path():
+    """Build artifact keyed on a content hash of the source, so a stale
+    binary can never silently serve a newer gpb_native.cpp (the .so itself
+    is not committed)."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    build_dir = os.path.join(_REPO_ROOT, "native", "build")
+    os.makedirs(build_dir, exist_ok=True)
+    return os.path.join(build_dir, f"libgpb_native-{h}.so")
 
 
 def _load():
@@ -25,12 +36,12 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        path = _lib_path()
+        if not os.path.exists(path):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", path, _SRC],
                 check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
         lib.gpb_read_csv.restype = ctypes.c_int
         lib.gpb_read_csv.argtypes = [
             ctypes.c_char_p, ctypes.c_char, ctypes.c_int,
