@@ -70,12 +70,11 @@ def main():
     t_init = time.time() - t_init0
 
     eng = model._engine
-    t = eng.transform_pars([0.5, 1.0, 0.1])
-    th = jnp.asarray(np.log(t[1:]))
-    yd = jnp.asarray(y[eng.perm])
-    # warm-up: compile the objective
-    (v, _), g = eng.nll_profiled_vag(th, yd)
-    v.block_until_ready()
+    # warm-up: compile the full on-device L-BFGS while_loop (maxit is a
+    # dynamic bound, so the 1-iteration warm-up compiles the same graph the
+    # timed 30-iteration fit reuses)
+    model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": 1,
+                           "init_cov_pars": [0.5, 1.0, 0.1]})
 
     t0 = time.time()
     model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": MAXIT,

@@ -48,6 +48,10 @@ _BOOST_PARAM_DEFAULTS = dict(
     # warm-started per-iteration refits need few optimizer steps (analogue of
     # the reference's reuse_learning_rates_gp_model, config.h:181)
     maxit_gp=10,
+    # data-parallel tree learner over a device mesh (the TPU-native analogue
+    # of tree_learner=data, data_parallel_tree_learner.cpp): rows sharded,
+    # histograms psum-merged, split decisions replicated
+    num_parallel_devices=None,
 )
 
 _PARAM_ALIASES = {
@@ -89,13 +93,24 @@ class Booster:
         if self.y is None:
             raise ValueError("train_set has no label")
 
+        mesh = None
+        if p.get("num_parallel_devices") and int(p["num_parallel_devices"]) > 1:
+            import jax as _jax
+            from jax.sharding import Mesh
+            k = int(p["num_parallel_devices"])
+            devs = _jax.devices()[:k]
+            if len(devs) < k:
+                raise ValueError(f"num_parallel_devices={k} but only "
+                                 f"{len(devs)} devices are available")
+            mesh = Mesh(np.asarray(devs), ("data",))
         self.learner = SerialTreeLearner(
             train_set, num_leaves=int(p["num_leaves"]),
             max_depth=int(p["max_depth"]),
             min_data_in_leaf=int(p["min_data_in_leaf"]),
             lambda_l2=float(p["lambda_l2"]),
             min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
-            min_gain_to_split=float(p["min_gain_to_split"]))
+            min_gain_to_split=float(p["min_gain_to_split"]),
+            mesh=mesh)
 
         if gp_model is not None:
             self.objective_name = gp_model.likelihood

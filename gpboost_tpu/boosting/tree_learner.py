@@ -75,19 +75,45 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
     return gain.reshape(-1)[flat], flat // B, flat % B
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 14))
 def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
-               lambda_l2, min_data, min_hess, min_gain, feat_mask):
+               lambda_l2, min_data, min_hess, min_gain, feat_mask, mesh=None):
     """Grow one leaf-wise tree; returns (split records, leaf values, rows).
 
     feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
-    masked features get -inf split gains."""
+    masked features get -inf split gains.
+
+    mesh: optional Mesh with a 'data' axis — rows are sharded over it and
+    histograms are psum-merged across devices, the TPU-native equivalent of
+    the reference's data-parallel tree learner
+    (src/LightGBM/treelearner/data_parallel_tree_learner.cpp:267 histogram
+    ReduceScatter). With the einsum path GSPMD inserts the collective from
+    the input shardings; the Pallas kernel is wrapped in shard_map + psum."""
     p, n = bins_T.shape
     L = num_leaves
 
     def hist_fn(node, target):
         if use_pallas:
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map
+                except ImportError:      # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                def local_hist(b, nd, st, tgt):
+                    h = hist_pallas(b, nd, st, tgt[0], num_bins,
+                                    feat_chunk, row_block)
+                    return jax.lax.psum(h, "data")
+
+                return shard_map(
+                    local_hist, mesh=mesh,
+                    in_specs=(P(None, "data"), P(None, "data"),
+                              P(None, "data"), P(None)),
+                    out_specs=P(None))(
+                        bins_T, node[None, :], stats_T,
+                        jnp.reshape(target, (1,)).astype(jnp.int32))
             return hist_pallas(bins_T, node[None, :], stats_T, target,
                                num_bins, feat_chunk, row_block)
         return _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block)
@@ -165,9 +191,11 @@ class SerialTreeLearner:
 
     def __init__(self, dataset, num_leaves=31, max_depth=-1,
                  min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
-                 min_gain_to_split=0.0, row_block=None, feat_chunk=8):
+                 min_gain_to_split=0.0, row_block=None, feat_chunk=8,
+                 mesh=None):
         dataset.construct()
         self.ds = dataset
+        self.mesh = mesh
         n, p = dataset.bins.shape
         import jax as _jax
         self.use_pallas = _jax.default_backend() == "tpu"
@@ -175,12 +203,19 @@ class SerialTreeLearner:
             row_block = 2048 if self.use_pallas else 8192
         self.row_block = int(min(row_block, max(n, 256)))
         self.feat_chunk = min(feat_chunk, max(p, 1))
-        n_pad = -(-n // self.row_block) * self.row_block
+        row_quant = self.row_block * (mesh.size if mesh is not None else 1)
+        n_pad = -(-n // row_quant) * row_quant
         p_pad = -(-p // self.feat_chunk) * self.feat_chunk
         bins_T = np.zeros((p_pad, n_pad), dtype=np.int32)
         bins_T[:p, :n] = dataset.bins.T
         self.n, self.p, self.n_pad, self.p_pad = n, p, n_pad, p_pad
         self.bins_T = jnp.asarray(bins_T)
+        self._row_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._col_sharding = NamedSharding(mesh, P(None, "data"))
+            self._row_sharding = NamedSharding(mesh, P("data"))
+            self.bins_T = _jax.device_put(self.bins_T, self._col_sharding)
         self.num_bins = int(dataset.num_bins)
         self.num_leaves = int(num_leaves)
         self.max_depth = max_depth if max_depth and max_depth > 0 else 10 ** 6
@@ -214,13 +249,19 @@ class SerialTreeLearner:
         node0 = np.zeros(n_pad, dtype=np.int32)
         node0[n:] = self.num_leaves + 7   # sentinel: padded rows in no leaf
 
+        node0_d = jnp.asarray(node0)
+        stats_d = jnp.asarray(stats_T)
+        if self._row_sharding is not None:
+            import jax as _jax
+            node0_d = _jax.device_put(node0_d, self._row_sharding)
+            stats_d = _jax.device_put(stats_d, self._col_sharding)
         rec, leaf_values, node, rec_gain = _grow_tree(
-            self.bins_T, jnp.asarray(node0), jnp.asarray(stats_T),
+            self.bins_T, node0_d, stats_d,
             self.num_bins, self.num_leaves, self.max_depth,
             self.use_pallas, self.row_block, self.feat_chunk,
             jnp.float32(self.lambda_l2), jnp.float32(self.min_data_in_leaf),
             jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain),
-            jnp.asarray(fm))
+            jnp.asarray(fm), self.mesh)
         rec = np.asarray(rec)
         rec_gain = np.asarray(rec_gain, dtype=np.float64)
         leaf_values = np.asarray(leaf_values, dtype=np.float64)

@@ -26,6 +26,7 @@ _OPTIM_PARAM_KEYS = {
     "acc_rate_cov", "acc_rate_coef", "momentum_offset", "delta_rel_conv",
     "convergence_criterion", "maxit", "std_dev", "init_cov_pars", "init_coef",
     "estimate_cov_par_index", "trace", "init_aux_pars", "estimate_aux_pars",
+    "use_device_optimizer",
     # accepted-but-currently-unused (iterative-methods & misc) keys
     "cg_max_num_it", "cg_max_num_it_tridiag", "cg_delta_conv",
     "cg_preconditioner_type", "num_rand_vec_trace", "reuse_rand_vec_trace",
@@ -69,6 +70,7 @@ class GPModel:
                  likelihood_learning_rate=1.0,
                  dtype="float64",
                  weights=None,
+                 num_parallel_devices=None,
                  ):
         """dtype: computation precision ("float64" default for reference
         parity; "float32" runs natively on the TPU MXU/VPU and is the right
@@ -93,6 +95,20 @@ class GPModel:
         self.cov_fct_taper_range = cov_fct_taper_range
         self.cov_fct_taper_shape = cov_fct_taper_shape
         self.likelihood_learning_rate = likelihood_learning_rate
+        # data-parallel distribution over a device mesh (the TPU-native
+        # analogue of the reference's num_parallel_threads / distributed
+        # learners): per-row arrays are sharded; reductions become psums
+        self.num_parallel_devices = num_parallel_devices
+        self._mesh = None
+        if num_parallel_devices is not None and num_parallel_devices > 1:
+            import jax as _jax
+            from jax.sharding import Mesh
+            devs = _jax.devices()[:int(num_parallel_devices)]
+            if len(devs) < int(num_parallel_devices):
+                raise ValueError(
+                    f"num_parallel_devices={num_parallel_devices} but only "
+                    f"{len(devs)} devices are available")
+            self._mesh = Mesh(np.asarray(devs), ("data",))
 
         if group_data is None and gp_coords is None:
             raise ValueError("Both group_data and gp_coords are None. "
@@ -211,7 +227,7 @@ class GPModel:
                     self.components, self.num_data,
                     num_neighbors=num_neighbors if num_neighbors else 20,
                     vecchia_ordering=vecchia_ordering, seed=seed,
-                    dtype=self._dtype)
+                    dtype=self._dtype, mesh=self._mesh)
             else:
                 self._engine = FITCGaussianEngine(
                     self.components, self.num_data,

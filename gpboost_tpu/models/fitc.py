@@ -140,6 +140,9 @@ class FITCGaussianEngine:
         self.nll_profiled_vag = jax.jit(
             lambda t, y: jax.value_and_grad(nll_profiled, has_aux=True)(
                 *_cast(t, y)))
+        # raw closures for the on-device L-BFGS loop (ops/lbfgs.py)
+        self.nll_profiled_raw = lambda t, y: nll_profiled(*_cast(t, y))
+        self.nll_scalar_raw = lambda t, s2, y: nll_scalar(*_cast(t, s2, y))
 
         def nll_orig(lp, y):
             theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(lp))
@@ -163,6 +166,7 @@ class FITCGaussianEngine:
             return jsl.cho_solve((Lc, True), X.T @ Miy)
 
         self.wls_coef = jax.jit(lambda t, y, X: wls_coef(*_cast(t, y, X)))
+        self.wls_coef_raw = lambda t, y, X: wls_coef(*_cast(t, y, X))
 
         def coef_grad(theta_log, sigma2, resid, X):
             Mir = psi_inv_apply(theta_log, resid[:, None])[:, 0]

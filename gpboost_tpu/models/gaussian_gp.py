@@ -325,6 +325,9 @@ class DenseGaussianEngine:
 
         self.nll_profiled_vag = jax.jit(
             jax.value_and_grad(nll_profiled, has_aux=True))
+        # raw closures for the on-device L-BFGS loop (ops/lbfgs.py)
+        self.nll_profiled_raw = nll_profiled
+        self.wls_coef_raw = wls_coef
 
         def nll_orig(log_pars_orig, y):
             """NLL as a function of log original-scale pars (no profiling);

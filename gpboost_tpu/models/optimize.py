@@ -53,6 +53,10 @@ class OptimConfig:
     trace: bool = False
     init_aux_pars: Optional[np.ndarray] = None
     estimate_aux_pars: bool = True
+    # None -> auto (device loop for large n); True/False forces. The device
+    # loop runs the ENTIRE L-BFGS as one jitted lax.while_loop (ops/lbfgs.py)
+    # instead of host-driven scipy with one device round-trip per evaluation.
+    use_device_optimizer: Optional[bool] = None
 
     def resolved_lr_cov(self):
         if self.lr_cov < 0:
@@ -805,12 +809,101 @@ def _optimize_external_origscale(engine, y, config: OptimConfig, X, est) -> Opti
     return result
 
 
+def _optimize_external_device(engine, y, config: OptimConfig, X, est):
+    """The whole L-BFGS fit as ONE device dispatch (ops/lbfgs.py): profiled
+    objective (+ closed-form GLS coefficients when X is given) inside a
+    jitted lax.while_loop. Replaces host-driven scipy for large n, where
+    per-evaluation device round-trips dominate wall-clock."""
+    import jax
+    from ..ops.lbfgs import lbfgs_run
+
+    n = engine.n
+    est_theta = est[1:]
+    dt = getattr(engine, "dtype", jnp.float64)
+    y = np.asarray(y, dtype=np.float64)
+    yd = jnp.asarray(y, dt)
+    rs = getattr(engine, "_row_sharding", None)
+    if rs is not None:
+        yd = jax.device_put(yd, rs)
+    has_covariates = X is not None
+    Xd = jnp.asarray(np.asarray(X, dtype=np.float64), dt) if has_covariates \
+        else None
+
+    t0 = engine.transform_pars(np.asarray(config.init_cov_pars, dtype=np.float64))
+    theta0 = np.log(t0[1:])
+    free_idx = np.where(est_theta)[0]
+    theta0_d = jnp.asarray(theta0, dt)
+
+    def vag_builder():
+        def obj(theta_free):
+            theta = theta0_d.at[jnp.asarray(free_idx)].set(theta_free) \
+                if len(free_idx) < len(theta0) else theta_free
+            if has_covariates:
+                beta = engine.wls_coef_raw(theta, yd, Xd)
+                resid = yd - Xd @ beta
+            else:
+                resid = yd
+            val, _quad = engine.nll_profiled_raw(theta, resid)
+            return val
+
+        def vag(x):
+            return jax.value_and_grad(obj)(x)
+
+        return vag
+
+    key = ("lbfgs_device", has_covariates, tuple(free_idx))
+    cache = getattr(engine, "_device_opt_cache", None)
+    if cache is None:
+        cache = engine._device_opt_cache = {}
+    if key not in cache:
+        vag = vag_builder()
+        cache[key] = jax.jit(
+            lambda x0, it: lbfgs_run(vag, x0, it),
+            static_argnums=())
+    run = cache[key]
+
+    max_iter = config.maxit if config.maxit else min(config.max_iter, 1000)
+    x0 = jnp.asarray(theta0[free_idx], dt)
+    x, nll_prof, k, _conv = run(x0, max_iter)
+    theta = theta0.copy()
+    theta[free_idx] = np.asarray(x, dtype=np.float64)
+
+    # final state via the existing jitted graphs
+    if has_covariates:
+        beta = np.asarray(engine.wls_coef(jnp.asarray(theta, dt), yd, Xd))
+        residd = jnp.asarray(y - np.asarray(X, dtype=np.float64) @ beta, dt)
+    else:
+        beta = None
+        residd = yd
+    (nll, quad), _ = engine.nll_profiled_vag(jnp.asarray(theta, dt), residd)
+    sigma2 = float(quad) / n
+    internal = np.concatenate([[sigma2], np.exp(theta)])
+    internal = engine.apply_nugget_lower_bound(internal)
+    result = OptimResult(
+        cov_pars=engine.back_transform_pars(internal),
+        cov_pars_internal=internal,
+        num_it=int(k),
+        neg_log_likelihood=float(nll),
+        converged=True,
+    )
+    result.coef = beta
+    return result
+
+
 def _optimize_external(engine, y, config: OptimConfig, X=None) -> OptimResult:
     """lbfgs / nelder_mead / adam on the profiled objective (optim_utils.h:562)."""
     from scipy import optimize as sopt
 
     n = engine.n
     est = _est_mask(engine, config)
+    use_device = config.use_device_optimizer
+    if use_device is None:
+        use_device = n >= 20000
+    if (use_device and config.optimizer_cov.startswith("lbfgs")
+            and config.optimizer_cov != "lbfgs_not_profile_out_nugget"
+            and est[0] and hasattr(engine, "nll_profiled_raw")
+            and (X is None or hasattr(engine, "wls_coef_raw"))):
+        return _optimize_external_device(engine, y, config, X, est)
     est_theta = est[1:]
     y = np.asarray(y, dtype=np.float64)
     has_covariates = X is not None

@@ -29,6 +29,38 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from .components import GPComponent
+from ..ops.batched_chol import cho_solve_batched, UNROLL_MAX_M
+from ..ops.cov_fcts import _safe_sqrt
+
+
+def _corr_sets(cov_fn, cn, ci, alphas, d_nn=None, d_ni=None):
+    """Batched neighbor-set correlations: (corr_nn (B,k,k), corr_ni (B,k))
+    between each row's neighbor coords cn (B,k,d) and the row's own point
+    ci (B,d). Isotropic kernels may pass precomputed distances; anisotropic
+    (ARD / space-time) kernels fold the ranges into the coordinates
+    (re_comp.h:1128-1158)."""
+    if cov_fn.is_isotropic:
+        if d_nn is None:
+            d_nn = _safe_sqrt(
+                ((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1))
+            d_ni = _safe_sqrt(((cn - ci[:, None, :]) ** 2).sum(-1))
+        a0 = alphas if jnp.ndim(alphas) == 0 else alphas[0]
+        return cov_fn.corr_from_dist(d_nn, a0), cov_fn.corr_from_dist(d_ni, a0)
+    s = cov_fn.aniso_scale(alphas, cn.shape[-1])
+    cns = cn * s
+    cis = ci * s
+    d_nn = _safe_sqrt(((cns[:, :, None, :] - cns[:, None, :, :]) ** 2).sum(-1))
+    d_ni = _safe_sqrt(((cns - cis[:, None, :]) ** 2).sum(-1))
+    return (cov_fn.base_corr_scaled_dist(d_nn),
+            cov_fn.base_corr_scaled_dist(d_ni))
+
+
+def _solve_sets(K_nn, k_ni, m):
+    """a = K_nn^{-1} k_ni, batched; unrolled solve for small m."""
+    if m <= UNROLL_MAX_M:
+        return cho_solve_batched(K_nn, k_ni)
+    L = jnp.linalg.cholesky(K_nn)
+    return jax.vmap(lambda Li, ki: jsl.cho_solve((Li, True), ki))(L, k_ni)
 
 
 def nearest_preceding_neighbors(coords, m):
@@ -77,9 +109,15 @@ class VecchiaGaussianEngine:
     """Vecchia-approximated Gaussian marginal NLL / gradients / prediction."""
 
     def __init__(self, components, num_data, num_neighbors=20,
-                 vecchia_ordering="random", seed=0, dtype=jnp.float64):
+                 vecchia_ordering="random", seed=0, dtype=jnp.float64,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the per-row
+        arrays (neighbor indices/masks/distances) are sharded over it and the
+        NLL's row reductions become psums under jit (GSPMD); the TPU-native
+        analogue of the reference's data-parallel distribution."""
         assert len(components) == 1 and components[0].kind == "gp", (
             "gp_approx='vecchia' requires exactly one GP component")
+        self.mesh = mesh
         self.components = list(components)
         comp = self.components[0]
         self.comp = comp
@@ -130,6 +168,23 @@ class VecchiaGaussianEngine:
             self._d_ni = jnp.asarray(d_ni, dtype=dtype)
         else:
             self._d_nn = self._d_ni = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row = NamedSharding(mesh, P("data"))
+
+            def _shard(a):
+                if a is None:
+                    return None
+                spec = P(*(["data"] + [None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            self._nn_idx = _shard(self._nn_idx)
+            self._nn_mask = _shard(self._nn_mask)
+            self._d_nn = _shard(self._d_nn)
+            self._d_ni = _shard(self._d_ni)
+            self._row_sharding = row
+        else:
+            self._row_sharding = None
         self._build_jitted()
 
     # ------------------------------------------------------------------
@@ -145,30 +200,19 @@ class VecchiaGaussianEngine:
         cn = self._coords_d[self._nn_idx]       # (n, m, d)
         mask = self._nn_mask
 
-        def corr_pair(dist):
-            if comp.cov_fn.is_isotropic:
-                return comp.cov_fn.corr_from_dist(dist, alphas[0])
-            raise NotImplementedError(
-                "vecchia with anisotropic kernels lands later")
-
-        if self._d_nn is not None:
-            d_nn, d_ni = self._d_nn, self._d_ni
-        else:
-            d_nn = jnp.sqrt(jnp.maximum(
-                ((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1), 0.0))
-            d_ni = jnp.sqrt(jnp.maximum(((cn - ci[:, None, :]) ** 2).sum(-1), 0.0))
-        K_nn = v * corr_pair(d_nn)
+        corr_nn, corr_ni = _corr_sets(comp.cov_fn, cn, ci, alphas,
+                                      d_nn=self._d_nn, d_ni=self._d_ni)
+        K_nn = v * corr_nn
         if not latent:
             K_nn = K_nn + jnp.eye(self.m, dtype=self.dtype)[None, :, :]
-        k_ni = v * corr_pair(d_ni)
+        k_ni = v * corr_ni
         # mask padded neighbors: identity rows/cols in K_nn, zeros in k_ni
         pair_mask = mask[:, :, None] & mask[:, None, :]
         K_nn = jnp.where(pair_mask, K_nn,
                          jnp.eye(self.m, dtype=self.dtype)[None, :, :])
         k_ni = jnp.where(mask, k_ni, 0.0)
 
-        L = jnp.linalg.cholesky(K_nn)                       # (n, m, m)
-        A = jax.vmap(lambda Li, ki: jsl.cho_solve((Li, True), ki))(L, k_ni)
+        A = _solve_sets(K_nn, k_ni, self.m)
         diag_c = v + (0.0 if latent else 1.0)
         D = diag_c - jnp.sum(A * k_ni, axis=1)
         return A, D
@@ -217,6 +261,9 @@ class VecchiaGaussianEngine:
 
         self.nll_profiled_vag = jax.jit(
             lambda t, y: jax.value_and_grad(nll_profiled, has_aux=True)(*_cast(t, y)))
+        # raw (un-jitted) closures for the on-device L-BFGS loop (ops/lbfgs.py)
+        self.nll_profiled_raw = lambda t, y: nll_profiled(*_cast(t, y))
+        self.nll_scalar_raw = lambda t, s2, y: nll_scalar(*_cast(t, s2, y))
 
         def nll_orig(log_pars_orig, y):
             theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(log_pars_orig))
@@ -240,6 +287,7 @@ class VecchiaGaussianEngine:
             return jsl.cho_solve((Lc, True), rhs)
 
         self.wls_coef = jax.jit(wls_coef)
+        self.wls_coef_raw = wls_coef
 
         def coef_grad(theta_log, sigma2, resid, X):
             A, D = self._bd(theta_log)
@@ -343,83 +391,278 @@ class VecchiaGaussianEngine:
         return (rn - inv)[:, None], None
 
     # ------------------------------------------------------------------
+    # prediction: all orderings batched + jitted (no per-point host loops)
+    def _pred_jit(self, key, builder):
+        cache = getattr(self, "_pred_cache", None)
+        if cache is None:
+            cache = self._pred_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(builder())
+        return cache[key]
+
+    def _knn_obs(self, coords_pred, k):
+        """k nearest observed points per prediction point (host cKDTree)."""
+        from scipy.spatial import cKDTree
+        dist, idx = cKDTree(self.coords_ord).query(coords_pred, k=k)
+        p = len(coords_pred)
+        return idx.reshape(p, -1), dist.reshape(p, -1)
+
+    def _joint_neighbors(self, coords_pred, k):
+        """Neighbor sets for pred points among [obs; preceding preds]:
+        global indices (p, k) (>= n marks a pred point) — exact k-NN of the
+        union, built from k-NN over obs plus preceding-pred k-NN."""
+        n, p = self.n, len(coords_pred)
+        obs_idx, obs_d = self._knn_obs(coords_pred, min(k, n))
+        pidx, pmask = nearest_preceding_neighbors(coords_pred, min(k, max(p - 1, 1)))
+        pd = np.sqrt(((coords_pred[:, None, :]
+                       - coords_pred[pidx]) ** 2).sum(-1))
+        pd = np.where(pmask, pd, np.inf)
+        cand_idx = np.concatenate([obs_idx, pidx + n], axis=1)
+        cand_d = np.concatenate([obs_d, pd], axis=1)
+        take = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
+        rows = np.arange(p)[:, None]
+        sel = cand_idx[rows, take]
+        valid = np.isfinite(cand_d[rows, take])
+        sel = np.where(valid, sel, 0)
+        return sel, valid
+
+    def _pred_cond_obs_fn(self, k):
+        def builder():
+            cov_fn = self.comp.cov_fn
+
+            def f(theta_log, cn, ci, y_nbr):
+                v = jnp.exp(theta_log[0])
+                alphas = jnp.exp(theta_log[1:])
+                corr_nn, corr_ni = _corr_sets(cov_fn, cn, ci, alphas)
+                K = v * corr_nn + jnp.eye(k, dtype=self.dtype)[None]
+                kni = v * corr_ni
+                a = _solve_sets(K, kni, k)
+                mu = jnp.sum(a * y_nbr, axis=1)
+                var = (v + 1.0) - jnp.sum(a * kni, axis=1)
+                return mu, var
+
+            return f
+        return self._pred_jit(("cond_obs", k), builder)
+
+    def _pred_cond_all_fn(self, k, want_cov):
+        def builder():
+            cov_fn = self.comp.cov_fn
+
+            def f(theta_log, cn, ci, nbr_y, is_pred, pred_col, valid):
+                v = jnp.exp(theta_log[0])
+                alphas = jnp.exp(theta_log[1:])
+                corr_nn, corr_ni = _corr_sets(cov_fn, cn, ci, alphas)
+                K = v * corr_nn + jnp.eye(k, dtype=self.dtype)[None]
+                kni = v * corr_ni
+                pair = valid[:, :, None] & valid[:, None, :]
+                K = jnp.where(pair, K, jnp.eye(k, dtype=self.dtype)[None])
+                kni = jnp.where(valid, kni, 0.0)
+                a = _solve_sets(K, kni, k)
+                D = (v + 1.0) - jnp.sum(a * kni, axis=1)
+                p = ci.shape[0]
+                # pred rows of the joint B: [Bp_o, Bp_p]; obs rows involve only
+                # obs columns, so Lam_pp = Bp_p' D^-1 Bp_p,
+                # Lam_po y = Bp_p' D^-1 (Bp_o y)
+                r = -jnp.sum(a * nbr_y, axis=1)            # Bp_o y
+                rows = jnp.broadcast_to(jnp.arange(p)[:, None], (p, k))
+                Bpp = jnp.eye(p, dtype=self.dtype)
+                Bpp = Bpp.at[rows, pred_col].add(-a * is_pred)
+                W = Bpp / D[:, None]
+                Lam_pp = Bpp.T @ W
+                rhs = W.T @ r
+                L = jnp.linalg.cholesky(Lam_pp)
+                mu = -jsl.cho_solve((L, True), rhs)
+                if want_cov:
+                    cov = jsl.cho_solve((L, True),
+                                        jnp.eye(p, dtype=self.dtype))
+                    return mu, jnp.diagonal(cov), cov
+                return mu, None, None
+
+            return f
+        return self._pred_jit(("cond_all", k, want_cov), builder)
+
+    def _pred_latent_fn(self, k, want_var):
+        """Latent-ordering joint prediction (latent_order_obs_first_cond_all,
+        Vecchia_utils.h:588): Vecchia on the LATENT process over [obs; pred];
+        posterior precision P = B'D^-1 B + blockdiag(I_n, 0) solved by Jacobi-
+        preconditioned CG (TPU-native replacement for the reference's sparse
+        Cholesky of P)."""
+        def builder():
+            cov_fn = self.comp.cov_fn
+            n = self.n
+            nn_idx, nn_mask = self._nn_idx, self._nn_mask
+
+            def f(theta_log, cn, ci, sel, valid, y_obs):
+                v = jnp.exp(theta_log[0])
+                alphas = jnp.exp(theta_log[1:])
+                p = ci.shape[0]
+                N = n + p
+                # obs-block latent factors
+                A_o, D_o = self._bd(theta_log, latent=True)
+                # pred-block latent factors
+                corr_nn, corr_ni = _corr_sets(cov_fn, cn, ci, alphas)
+                K = v * corr_nn
+                K = K + 1e-10 * v * jnp.eye(k, dtype=self.dtype)[None]
+                kni = v * corr_ni
+                pair = valid[:, :, None] & valid[:, None, :]
+                K = jnp.where(pair, K, v * jnp.eye(k, dtype=self.dtype)[None])
+                kni = jnp.where(valid, kni, 0.0)
+                a = _solve_sets(K, kni, k)
+                D_p = v - jnp.sum(a * kni, axis=1)
+                D_p = jnp.maximum(D_p, 1e-12 * v)
+                Dinv = jnp.concatenate([1.0 / D_o, 1.0 / D_p])
+
+                def B_apply(x):
+                    bo = x[:n] - jnp.sum(
+                        jnp.where(nn_mask, A_o, 0.0) * x[nn_idx], axis=1)
+                    bp = x[n:] - jnp.sum(a * x[sel], axis=1)
+                    return jnp.concatenate([bo, bp])
+
+                def Bt_apply(u):
+                    out = u
+                    upd_o = -jnp.where(nn_mask, A_o, 0.0) * u[:n, None]
+                    out = out.at[nn_idx.reshape(-1)].add(upd_o.reshape(-1))
+                    upd_p = -a * u[n:, None]
+                    out = out.at[sel.reshape(-1)].add(upd_p.reshape(-1))
+                    return out
+
+                obs_one = jnp.concatenate(
+                    [jnp.ones(n, self.dtype), jnp.zeros(p, self.dtype)])
+
+                def P_apply(x):
+                    if x.ndim == 1:
+                        return Bt_apply(Dinv * B_apply(x)) + obs_one * x
+                    return (jax.vmap(lambda c: Bt_apply(Dinv * B_apply(c)),
+                                     in_axes=1, out_axes=1)(x)
+                            + obs_one[:, None] * x)
+
+                # Jacobi preconditioner: diag(P)
+                dAo = jnp.where(nn_mask, A_o, 0.0)
+                diagP = Dinv + obs_one
+                diagP = diagP.at[nn_idx.reshape(-1)].add(
+                    (dAo * dAo * Dinv[:n, None]).reshape(-1))
+                diagP = diagP.at[sel.reshape(-1)].add(
+                    (a * a * Dinv[n:, None]).reshape(-1))
+
+                def cg(rhs, maxit=1000, tol=1e-8):
+                    x0 = jnp.zeros_like(rhs)
+                    r0 = rhs
+                    z0 = r0 / (diagP if rhs.ndim == 1 else diagP[:, None])
+                    p0 = z0
+                    rz0 = jnp.sum(r0 * z0, axis=0)
+                    bnorm = jnp.sqrt(jnp.sum(rhs * rhs, axis=0))
+
+                    def cond(c):
+                        _, r, _, _, i = c
+                        res = jnp.sqrt(jnp.sum(r * r, axis=0))
+                        return (i < maxit) & jnp.any(
+                            res > tol * jnp.maximum(bnorm, 1e-30))
+
+                    def body(c):
+                        x, r, pp, rz, i = c
+                        Ap = P_apply(pp)
+                        alpha_ = rz / jnp.sum(pp * Ap, axis=0)
+                        x = x + alpha_ * pp
+                        r = r - alpha_ * Ap
+                        z = r / (diagP if rhs.ndim == 1 else diagP[:, None])
+                        rz_new = jnp.sum(r * z, axis=0)
+                        beta = rz_new / rz
+                        return x, r, z + beta * pp, rz_new, i + 1
+
+                    x, _, _, _, _ = jax.lax.while_loop(
+                        cond, body, (x0, r0, p0, rz0, jnp.asarray(0)))
+                    return x
+
+                rhs = jnp.concatenate([y_obs, jnp.zeros(p, self.dtype)])
+                z = cg(rhs)
+                mu = z[n:]
+                if want_var:
+                    E = jnp.zeros((N, p), self.dtype)
+                    E = E.at[n + jnp.arange(p), jnp.arange(p)].set(1.0)
+                    Z = cg(E)
+                    var = Z[n + jnp.arange(p), jnp.arange(p)]
+                    return mu, var
+                return mu, None
+
+            return f
+        return self._pred_jit(("latent_all", k, want_var), builder)
+
     def predict(self, pars_orig, y_resid, pred_data, predict_var=False,
                 predict_cov_mat=False, predict_response=False,
                 vecchia_pred_type="order_obs_first_cond_obs_only",
                 num_neighbors_pred=None):
-        """Vecchia predictions (CalcPredVecchiaObservedFirstOrder)."""
+        """Vecchia predictions (CalcPredVecchia{ObservedFirstOrder,
+        LatentObservedFirstOrder}, Vecchia_utils.h:479-588), fully batched:
+        one jitted gather + batched (k, k) solve over ALL prediction points."""
         pars_orig = np.asarray(pars_orig, dtype=np.float64)
         sigma2 = pars_orig[0]
         t = self.transform_pars(pars_orig)
         theta_log = jnp.asarray(np.log(t[1:]), self.dtype)
         y_ord = np.asarray(y_resid, dtype=np.float64)[self.perm]
+        yd = jnp.asarray(y_ord, self.dtype)
         coords_pred = np.asarray(pred_data["comps"][0]["coords_pred"],
                                  dtype=np.float64)
         if coords_pred.ndim == 1:
             coords_pred = coords_pred[:, None]
         n_pred = len(coords_pred)
         mp = num_neighbors_pred or self.m
-        v = t[1]
-        alphas = np.atleast_1d(np.exp(np.asarray(theta_log)[1:]))
-
-        def corr(dist):
-            return np.asarray(self.comp.cov_fn.corr_from_dist(
-                jnp.asarray(dist, self.dtype), alphas[0]))
+        cov = None
 
         if vecchia_pred_type in ("order_obs_first_cond_obs_only",
-                                 "order_pred_first"):
-            # each prediction point conditions on its mp nearest observed pts
-            d2 = ((coords_pred[:, None, :] - self.coords_ord[None, :, :]) ** 2
-                  ).sum(-1)
+                                 "order_pred_first",
+                                 "latent_order_obs_first_cond_obs_only"):
+            # each prediction point conditions on its k nearest observed pts
             k = min(mp, self.n)
-            nn = np.argpartition(d2, k - 1, axis=1)[:, :k]
-            mu = np.zeros(n_pred)
-            var = np.zeros(n_pred)
-            for i in range(n_pred):
-                ni = nn[i]
-                cn = self.coords_ord[ni]
-                dnn = np.sqrt(((cn[:, None] - cn[None, :]) ** 2).sum(-1))
-                dni = np.sqrt(((cn - coords_pred[i]) ** 2).sum(-1))
-                Knn = v * corr(dnn) + np.eye(k)
-                kni = v * corr(dni)
-                a = np.linalg.solve(Knn, kni)
-                mu[i] = a @ y_ord[ni]
-                var[i] = (v + 1.0) - a @ kni
+            nn, _ = self._knn_obs(coords_pred, k)
+            cn = jnp.asarray(self.coords_ord[nn], self.dtype)
+            ci = jnp.asarray(coords_pred, self.dtype)
+            y_nbr = jnp.asarray(y_ord[nn], self.dtype)
+            mu, var = self._pred_cond_obs_fn(k)(theta_log, cn, ci, y_nbr)
+            mu = np.asarray(mu, dtype=np.float64)
+            var = np.asarray(var, dtype=np.float64)
             cov = np.diag(var) if predict_cov_mat else None
-        elif vecchia_pred_type in ("order_obs_first_cond_all", "latent_order_obs_first_cond_all"):
-            # joint Vecchia over [obs; pred]
+        elif vecchia_pred_type == "order_obs_first_cond_all":
+            k = min(mp, self.n + n_pred - 1)
+            sel, valid = self._joint_neighbors(coords_pred, k)
             all_coords = np.vstack([self.coords_ord, coords_pred])
-            mp_eff = min(mp, self.n + n_pred - 1)
-            B_rows_idx = []
-            B_rows_a = []
-            D_p = np.zeros(n_pred)
-            for i in range(n_pred):
-                gi = self.n + i
-                d2 = ((all_coords[:gi] - coords_pred[i]) ** 2).sum(-1)
-                k = min(mp_eff, gi)
-                ni = np.argpartition(d2, k - 1)[:k] if k < gi else np.arange(gi)
-                cn = all_coords[ni]
-                dnn = np.sqrt(((cn[:, None] - cn[None, :]) ** 2).sum(-1))
-                dni = np.sqrt(d2[ni])
-                Knn = v * corr(dnn) + np.eye(k)
-                kni = v * corr(dni)
-                a = np.linalg.solve(Knn, kni)
-                B_rows_idx.append(ni)
-                B_rows_a.append(a)
-                D_p[i] = (v + 1.0) - a @ kni
-            # Lam_pp and Lam_po from pred rows of B
-            Bp = np.zeros((n_pred, self.n + n_pred))
-            for i in range(n_pred):
-                Bp[i, self.n + i] = 1.0
-                Bp[i, B_rows_idx[i]] -= B_rows_a[i]
-            Bpo = Bp[:, :self.n]
-            Bpp = Bp[:, self.n:]
-            Dinv = 1.0 / D_p
-            Lam_pp = Bpp.T @ (Dinv[:, None] * Bpp)
-            Lam_po = Bpp.T @ (Dinv[:, None] * Bpo)
-            cov = np.linalg.inv(Lam_pp)
-            mu = -cov @ (Lam_po @ y_ord)
-            var = np.diagonal(cov).copy()
+            cn = jnp.asarray(all_coords[sel], self.dtype)
+            ci = jnp.asarray(coords_pred, self.dtype)
+            is_pred = (sel >= self.n) & valid
+            nbr_y = np.where(is_pred | ~valid, 0.0,
+                             y_ord[np.minimum(sel, self.n - 1)])
+            pred_col = np.where(is_pred, sel - self.n, 0)
+            want_cov = predict_var or predict_cov_mat
+            f = self._pred_cond_all_fn(k, want_cov)
+            mu, var, covd = f(theta_log, cn, ci,
+                              jnp.asarray(nbr_y, self.dtype),
+                              jnp.asarray(is_pred.astype(np.float64),
+                                          self.dtype),
+                              jnp.asarray(pred_col), jnp.asarray(valid))
+            mu = np.asarray(mu, dtype=np.float64)
+            var = None if var is None else np.asarray(var, dtype=np.float64)
+            cov = None if covd is None else np.asarray(covd, dtype=np.float64)
+            if var is None:
+                var = np.zeros(n_pred)
+        elif vecchia_pred_type == "latent_order_obs_first_cond_all":
+            k = min(mp, self.n + n_pred - 1)
+            sel, valid = self._joint_neighbors(coords_pred, k)
+            all_coords = np.vstack([self.coords_ord, coords_pred])
+            cn = jnp.asarray(all_coords[sel], self.dtype)
+            ci = jnp.asarray(coords_pred, self.dtype)
+            want_var = predict_var or predict_cov_mat
+            if want_var and n_pred > 2000:
+                raise ValueError(
+                    "latent_order_obs_first_cond_all with predict_var "
+                    "currently supports up to 2000 prediction points "
+                    "(one CG solve per point)")
+            f = self._pred_latent_fn(k, want_var)
+            mu, var = f(theta_log, cn, ci, jnp.asarray(sel),
+                        jnp.asarray(valid), yd)
+            mu = np.asarray(mu, dtype=np.float64)
+            # latent-scale variance: add the nugget for the response scale
+            var = (np.zeros(n_pred) if var is None
+                   else np.asarray(var, dtype=np.float64) + 1.0)
+            cov = np.diag(var) if predict_cov_mat else None
         else:
             raise ValueError(f"vecchia_pred_type '{vecchia_pred_type}'")
 

@@ -200,6 +200,30 @@ class CovarianceFunction:
             raise NotImplementedError(f"wendland taper_shape {self.taper_shape}")
         return jnp.where(inside, val, 0.0)
 
+    def aniso_scale(self, alphas, dim):
+        """Per-dimension coordinate scale s so that the anisotropic
+        correlation equals base_corr_scaled_dist(||s*(x1-x2)||)
+        (re_comp.h:1128-1158 coordinate scaling)."""
+        t = self.cov_fct_type
+        if t == "matern_space_time":
+            return jnp.concatenate(
+                [alphas[:1], jnp.full((dim - 1,), alphas[1])])
+        if t == "matern_ard":
+            return alphas
+        if t == "gaussian_ard":
+            return jnp.sqrt(alphas)
+        raise AssertionError(t)
+
+    def base_corr_scaled_dist(self, d):
+        """Correlation at an already coordinate-scaled distance (anisotropic
+        kernels only; the range parameters are folded into the coordinates)."""
+        t = self.cov_fct_type
+        if t in ("matern_ard", "matern_space_time"):
+            return _matern_base(d, self.shape)
+        if t == "gaussian_ard":
+            return jnp.exp(-d * d)
+        raise AssertionError(t)
+
     def corr_from_coords(self, x1, x2, alphas):
         """Correlation from coordinates (anisotropic kernels).
 

@@ -1,0 +1,121 @@
+"""On-device L-BFGS: the whole optimizer loop as one jitted lax.while_loop.
+
+TPU-first replacement for driving scipy's L-BFGS-B from the host: every
+host-driven iteration costs a device round-trip (tens of ms on a remote
+runtime), which dominates the n=100k Vecchia fit. Here the two-loop
+recursion, backtracking line search, and convergence checks all live on
+device; one dispatch runs the entire fit.
+
+Reference semantics being replaced: OptimExternal driving LBFGSpp
+(optim_utils.h:562-706) — same memory size (default m=20 there too), Armijo
+backtracking line search, convergence on relative objective change.
+
+History pairs that fail the curvature condition s'y > 0 are stored with
+rho = 0 and masked out of the two-loop recursion (LBFGSpp skips them).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def lbfgs_run(vag, x0, max_iter, m=20, ftol=1e-16, gtol=1e-12, c1=1e-4,
+              max_ls=30):
+    """Minimize via L-BFGS entirely on device.
+
+    vag: x -> (f, g), a pure jax function (value and gradient).
+    max_iter may be a traced scalar (no recompile when it changes).
+    Returns (x, f, num_iter, converged).
+    """
+    d = x0.shape[0]
+    dtype = x0.dtype
+    f0, g0 = vag(x0)
+    S = jnp.zeros((m, d), dtype)
+    Y = jnp.zeros((m, d), dtype)
+    rho = jnp.zeros((m,), dtype)
+    max_iter = jnp.asarray(max_iter, jnp.int32)
+
+    def two_loop(g, S, Y, rho, gamma, k):
+        """r = H_k g via the standard two-loop recursion (masked circular
+        buffers, newest-to-oldest then oldest-to-newest)."""
+        n_hist = jnp.minimum(k, m)
+
+        def bw(i, carry):
+            q, alphas = carry
+            j = jnp.mod(k - 1 - i, m)
+            valid = (i < n_hist) & (rho[j] > 0)
+            a = rho[j] * jnp.dot(S[j], q)
+            q = jnp.where(valid, q - a * Y[j], q)
+            alphas = alphas.at[j].set(jnp.where(valid, a, 0.0))
+            return q, alphas
+
+        q, alphas = lax.fori_loop(0, m, bw, (g, jnp.zeros((m,), dtype)))
+        r = gamma * q
+
+        def fw(i, r):
+            j = jnp.mod(k - n_hist + i, m)
+            valid = (i < n_hist) & (rho[j] > 0)
+            b = rho[j] * jnp.dot(Y[j], r)
+            return jnp.where(valid, r + S[j] * (alphas[j] - b), r)
+
+        return lax.fori_loop(0, m, fw, r)
+
+    def line_search(x, f, g, p):
+        """Backtracking Armijo: halve until f(x+t p) <= f + c1 t g'p."""
+        gp = jnp.dot(g, p)
+        # fall back to steepest descent if p is not a descent direction
+        bad = gp >= 0
+        p = jnp.where(bad, -g, p)
+        gp = jnp.where(bad, -jnp.dot(g, g), gp)
+
+        def cond(c):
+            _, _, _, _, i, done = c
+            return (~done) & (i < max_ls)
+
+        def body(c):
+            t, fn, xn, gn, i, _ = c
+            x_try = x + t * p
+            f_try, g_try = vag(x_try)
+            ok = (f_try <= f + c1 * t * gp) & jnp.isfinite(f_try)
+            t_next = jnp.where(ok, t, t * 0.5)
+            return (t_next,
+                    jnp.where(ok, f_try, fn),
+                    jnp.where(ok, x_try, xn),
+                    jnp.where(ok, g_try, gn),
+                    i + 1, ok)
+
+        t0 = jnp.asarray(1.0, dtype)
+        init = (t0, f, x, g, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        _, fn, xn, gn, _, ok = lax.while_loop(cond, body, init)
+        return fn, xn, gn, ok
+
+    def cond(state):
+        _, _, _, _, _, _, k, done, _ = state
+        return (~done) & (k < max_iter)
+
+    def body(state):
+        x, f, g, S, Y, rho, k, _, gamma = state
+        p = -two_loop(g, S, Y, rho, gamma, k)
+        fn, xn, gn, ls_ok = line_search(x, f, g, p)
+
+        s = xn - x
+        yv = gn - g
+        sy = jnp.dot(s, yv)
+        good = ls_ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(yv))
+        j = jnp.mod(k, m)
+        S = S.at[j].set(jnp.where(good, s, 0.0))
+        Y = Y.at[j].set(jnp.where(good, yv, 0.0))
+        rho = rho.at[j].set(jnp.where(good, 1.0 / jnp.where(good, sy, 1.0),
+                                      0.0))
+        gamma = jnp.where(good, sy / jnp.dot(yv, yv), gamma)
+
+        done = ((f - fn) <= ftol * jnp.maximum(jnp.abs(f), 1.0)) \
+            | (jnp.max(jnp.abs(gn)) <= gtol) | (~ls_ok)
+        return xn, fn, gn, S, Y, rho, k + 1, done, gamma
+
+    init = (x0, f0, g0, S, Y, rho, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(1.0, dtype))
+    x, f, g, _, _, _, k, done, _ = lax.while_loop(cond, body, init)
+    return x, f, k, done

@@ -67,3 +67,48 @@ def test_sharded_vecchia_step_matches_engine_nll():
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+class TestProductDataParallel:
+    """Data parallelism through the PRODUCT APIs (GPModel.fit / train),
+    1-device vs 8-device equivalence on the virtual CPU mesh."""
+
+    def test_gpmodel_vecchia_fit_sharded_matches(self):
+        rng = np.random.RandomState(3)
+        n = 512
+        coords = rng.rand(n, 2)
+        y = np.sin(5 * coords[:, 0]) + 0.5 * rng.randn(n)
+        from gpboost_tpu import GPModel
+        res = []
+        for ndev in (1, 8):
+            m = GPModel(gp_coords=coords, cov_function="exponential",
+                        gp_approx="vecchia", num_neighbors=10,
+                        vecchia_ordering="none",
+                        num_parallel_devices=ndev if ndev > 1 else None)
+            m.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": 20,
+                               "init_cov_pars": [0.5, 1.0, 0.1],
+                               "use_device_optimizer": True})
+            res.append(m._fit_result)
+        np.testing.assert_allclose(res[0].cov_pars, res[1].cov_pars,
+                                   rtol=1e-5)
+        assert abs(res[0].neg_log_likelihood
+                   - res[1].neg_log_likelihood) < 1e-6
+
+    def test_train_sharded_trees_match(self):
+        rng = np.random.RandomState(5)
+        n, p = 1000, 6
+        X = rng.randn(n, p)
+        y = X[:, 0] - 2.0 * X[:, 1] + 0.3 * rng.randn(n)
+        from gpboost_tpu import Dataset, train
+        preds = []
+        for ndev in (1, 8):
+            ds = Dataset(X, label=y)
+            params = {"objective": "regression", "num_leaves": 15,
+                      "verbose": 0}
+            if ndev > 1:
+                params["num_parallel_devices"] = ndev
+            bst = train(params, ds, num_boost_round=5)
+            preds.append(bst.predict(X))
+            if ndev > 1:
+                assert bst.learner.mesh is not None
+        np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-7)

@@ -85,3 +85,87 @@ class TestVecchiaGaussian:
                     vecchia_ordering="random")
         nll = m.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
         assert abs(nll - 124.2549533) < TOLERANCE_STRICT
+
+
+class TestVecchiaPredictionOrderings:
+    """Batched prediction paths: exactness oracles at m = n-1 (full
+    conditioning sets make Vecchia exact) against the dense engine."""
+
+    def _dense_pred(self, gp_sim_data, coord_test, cov_pars, response):
+        m = GPModel(gp_coords=gp_sim_data["coords"],
+                    cov_function="exponential")
+        return m.predict(y=gp_sim_data["y"], gp_coords_pred=coord_test,
+                         cov_pars=cov_pars, predict_var=True,
+                         predict_response=response)
+
+    def test_latent_cond_all_full_neighbors_exact(self, gp_sim_data):
+        y = gp_sim_data["y"]
+        coord_test = np.column_stack([[0.1, 0.2, 0.7], [0.9, 0.4, 0.55]])
+        cov_pars = [0.1, 1.2, 0.3]
+        exact = self._dense_pred(gp_sim_data, coord_test, cov_pars, False)
+        m = GPModel(gp_coords=gp_sim_data["coords"],
+                    cov_function="exponential", gp_approx="vecchia",
+                    num_neighbors=99, vecchia_ordering="none")
+        m.set_prediction_data(
+            vecchia_pred_type="latent_order_obs_first_cond_all",
+            num_neighbors_pred=102)
+        pred = m.predict(y=y, gp_coords_pred=coord_test, cov_pars=cov_pars,
+                         predict_var=True, predict_response=False)
+        assert np.max(np.abs(pred["mu"] - exact["mu"])) < 1e-4
+        assert np.max(np.abs(pred["var"] - exact["var"])) < 1e-4
+
+    def test_cond_obs_only_full_neighbors_exact(self, gp_sim_data):
+        y = gp_sim_data["y"]
+        coord_test = np.column_stack([[0.1, 0.2, 0.7], [0.9, 0.4, 0.55]])
+        cov_pars = [0.1, 1.2, 0.3]
+        exact = self._dense_pred(gp_sim_data, coord_test, cov_pars, True)
+        m = GPModel(gp_coords=gp_sim_data["coords"],
+                    cov_function="exponential", gp_approx="vecchia",
+                    num_neighbors=99, vecchia_ordering="none")
+        m.set_prediction_data(
+            vecchia_pred_type="order_obs_first_cond_obs_only",
+            num_neighbors_pred=100)
+        pred = m.predict(y=y, gp_coords_pred=coord_test, cov_pars=cov_pars,
+                         predict_var=True, predict_response=True)
+        assert np.max(np.abs(pred["mu"] - exact["mu"])) < TOLERANCE_STRICT
+        assert np.max(np.abs(pred["var"] - exact["var"])) < TOLERANCE_STRICT
+
+
+class TestVecchiaAnisotropic:
+    def test_ard_full_neighbors_equals_dense(self, gp_sim_data):
+        """matern_ard Vecchia with m=n-1 reproduces the dense NLL exactly,
+        and prediction uses ALL ranges (round-1 bug: alphas[0] only)."""
+        y = gp_sim_data["y"]
+        coords = gp_sim_data["coords"]
+        cov_pars = [0.1, 1.3, 0.2, 0.4]
+        dense = GPModel(gp_coords=coords, cov_function="matern_ard",
+                        cov_fct_shape=1.5)
+        nll_dense = dense.neg_log_likelihood(cov_pars=cov_pars, y=y)
+        mv = GPModel(gp_coords=coords, cov_function="matern_ard",
+                     cov_fct_shape=1.5, gp_approx="vecchia",
+                     num_neighbors=99, vecchia_ordering="none")
+        nll_v = mv.neg_log_likelihood(cov_pars=cov_pars, y=y)
+        assert abs(nll_v - nll_dense) < TOLERANCE_STRICT
+
+        coord_test = np.column_stack([[0.1, 0.2, 0.7], [0.9, 0.4, 0.55]])
+        exact = dense.predict(y=y, gp_coords_pred=coord_test,
+                              cov_pars=cov_pars, predict_var=True,
+                              predict_response=True)
+        mv.set_prediction_data(
+            vecchia_pred_type="order_obs_first_cond_obs_only",
+            num_neighbors_pred=100)
+        pred = mv.predict(y=y, gp_coords_pred=coord_test, cov_pars=cov_pars,
+                          predict_var=True, predict_response=True)
+        assert np.max(np.abs(pred["mu"] - exact["mu"])) < TOLERANCE_STRICT
+        assert np.max(np.abs(pred["var"] - exact["var"])) < TOLERANCE_STRICT
+
+    def test_space_time_vecchia_fits(self, gp_sim_data):
+        """matern_space_time + vecchia runs end to end (m=30)."""
+        y = gp_sim_data["y"]
+        coords3 = np.column_stack([np.linspace(0, 1, 100),
+                                   gp_sim_data["coords"]])
+        m = GPModel(gp_coords=coords3, cov_function="matern_space_time",
+                    cov_fct_shape=1.5, gp_approx="vecchia", num_neighbors=30,
+                    vecchia_ordering="time")
+        nll = m.neg_log_likelihood(cov_pars=[0.1, 1.0, 0.5, 0.2], y=y)
+        assert np.isfinite(nll)
