@@ -244,10 +244,16 @@ class GPModel:
         if likelihood != "gaussian":
             self._likelihood_obj = get_likelihood(likelihood,
                                                   likelihood_additional_param)
+            eng_weights = self.weights
+            if getattr(self._likelihood_obj, "uses_weights_as_trials", False):
+                # beta_binomial: `weights` carry the trial counts, which enter
+                # the pmf itself rather than multiplying the log density
+                self._likelihood_obj.set_trials(self.weights)
+                eng_weights = None
             self._engine = LaplaceDenseEngine(
                 self.components, self.num_data, self._likelihood_obj,
                 cluster_ids=self.cluster_ids, dtype=self._dtype,
-                weights=self.weights)
+                weights=eng_weights)
         else:
             self._use_woodbury = all(c.kind == "grouped"
                                      for c in self.components)

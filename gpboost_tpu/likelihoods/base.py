@@ -29,6 +29,26 @@ class Likelihood:
     aux_names = ()
     default_aux = ()
     integer_response = False
+    #: number of fixed-effects predictor blocks (2 for heteroscedastic /
+    #: regression zero-model likelihoods; c_api.cpp:132 num_sets_fixed_effects)
+    num_sets_fe = 1
+    #: Laplace-approximation variant (likelihoods.h:327-369):
+    #:  "laplace"        — observed Hessian for mode finding AND determinant
+    #:  "fisher_laplace" — (quasi-)Fisher information for both
+    #:  "combined"       — Fisher for mode finding, observed Hessian for the
+    #:                     determinant (default for zero-inflated counts)
+    #: Classes defining `fisher_W` pick their reference default here; the
+    #: `_laplace` / `_fisher_laplace` name suffixes override it.
+    approx_type = "laplace"
+    #: True when the curvature used for the determinant can be negative
+    #: (information_ll_can_be_negative_, likelihoods.h:11565) — engines then
+    #: use the W+/W- split Cholesky path instead of sqrt(W) formulations
+    W_may_be_negative = False
+    #: True when W can be EXACTLY zero at some points
+    #: (information_ll_can_be_exact_zero_, e.g. hurdle families at y = 0) —
+    #: sqrt(W) is then not autodiff-safe and the determinant uses the
+    #: custom-VJP logdet (models/laplace.py _negw_half_logdet)
+    W_may_be_zero = False
 
     def log_lik(self, y, f, aux):
         raise NotImplementedError
@@ -367,6 +387,7 @@ class StudentT(Likelihood):
     num_aux = 2
     aux_names = ("scale", "df")
     default_aux = (1.0, 2.0)
+    approx_type = "fisher_laplace"     # reference default for t
 
     def log_lik(self, y, f, aux):
         # likelihoods.h:36-39
@@ -557,6 +578,7 @@ class AsymmetricLaplace(Likelihood):
     num_aux = 1
     aux_names = ("scale",)
     default_aux = (1.0,)
+    approx_type = "fisher_laplace"     # reference default (kinked density)
 
     def __init__(self, quantile=0.5):
         self.q = quantile
@@ -620,31 +642,62 @@ for _cls in (BernoulliProbit, BernoulliLogit, BinomialLogit, BinomialProbit,
              StudentT, LogNormal, GaussianLatent, Tweedie, AsymmetricLaplace):
     _REGISTRY[_cls.name] = _cls
 
-SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + ("t_fix_df", "tweedie_fixed_p", "gaussian")
+from .families import FAMILY_CLASSES as _FAMILY_CLASSES   # noqa: E402
+for _cls in _FAMILY_CLASSES:
+    _REGISTRY[_cls.name] = _cls
+
+SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + (
+    "t_fix_df", "tweedie_fixed_p", "gaussian")
 
 _ALIASES = {
     "binary": "bernoulli_probit",
     "bernoulli_probit": "bernoulli_probit",
     "binary_probit": "bernoulli_probit",
     "binary_logit": "bernoulli_logit",
+    "quasi_binary": "quasi_bernoulli_logit",
+    "quasi_binary_logit": "quasi_bernoulli_logit",
+    "quasi_binary_probit": "quasi_bernoulli_probit",
     "quantile_regression": "asymmetric_laplace",
     "student_t": "t",
     "nbinom2": "negative_binomial",
     "nbinom1": "negative_binomial_1",
+    "zero_inflated_gpd": "hurdle_gpd",      # undocumented reference alias
 }
 
 
+def _parse_approx_suffix(name):
+    """Strip a trailing approximation-variant token (ParseLikelihoodAlias*,
+    likelihoods.h:244-258 / :1058): '_laplace', '_fisher_laplace',
+    '_fisher_laplace_combined'. Returns (base_name, approx or None)."""
+    for suffix, approx in (("_fisher_laplace_combined", "combined"),
+                           ("_fisher_laplace", "fisher_laplace"),
+                           ("_laplace", "laplace")):
+        if name.endswith(suffix):
+            return name[: -len(suffix)], approx
+    return name, None
+
+
 def get_likelihood(name, additional_param=None):
+    name, approx = _parse_approx_suffix(name)
     name = _ALIASES.get(name, name)
     if name == "t_fix_df":
-        return TFixDf(df=additional_param if additional_param is not None else 2.0)
-    if name == "tweedie_fixed_p":
-        return TweedieFixedP(p=additional_param if additional_param is not None else 1.5)
-    if name == "asymmetric_laplace":
-        return AsymmetricLaplace(
+        lik = TFixDf(df=additional_param if additional_param is not None else 2.0)
+    elif name == "tweedie_fixed_p":
+        lik = TweedieFixedP(p=additional_param if additional_param is not None else 1.5)
+    elif name == "asymmetric_laplace":
+        lik = AsymmetricLaplace(
             quantile=additional_param if additional_param is not None else 0.5)
-    if name not in _REGISTRY:
+    elif name in _REGISTRY:
+        lik = _REGISTRY[name]()
+    else:
         raise ValueError(
             f"likelihood '{name}' is not (yet) supported. "
             f"Currently supported: {SUPPORTED_LIKELIHOODS}")
-    return _REGISTRY[name]()
+    if approx is not None:
+        if approx in ("fisher_laplace", "combined") \
+                and not hasattr(lik, "fisher_W"):
+            raise ValueError(
+                f"likelihood '{name}' has no (quasi-)Fisher information; "
+                f"'_{approx}' is not supported for it")
+        lik.approx_type = approx
+    return lik

@@ -38,6 +38,79 @@ MAX_LR_SHRINK_MODE = 20
 C_ARMIJO = 1e-4
 
 
+# ----------------------------------------------------------------------
+# Cholesky-only operators for a possibly-negative diagonal W (zero-inflated
+# counts with observed-Hessian curvature, likelihoods.h:11565). TPU f64 has
+# no LU, and Sigma may be singular (grouped REs), so split W = W+ - W-:
+#   B+ = I + sqrt(W+) Sigma sqrt(W+),  T = (I + Sigma W+)^-1 Sigma,
+#   D = I - sqrt(W-) T sqrt(W-)
+#   log|I + Sigma W| = log|B+| + log|D|
+#   (I + Sigma W)^-1 = (I - T W-)^-1 (I + Sigma W+)^-1
+#   (I + W Sigma)^-1 = (I + W+ Sigma)^-1 (I - W- T)^-1
+# D is SPD exactly when Sigma^-1 + W is (true at any proper Laplace mode).
+def _negw_factors(Sigma, W):
+    n = Sigma.shape[0]
+    sp = jnp.sqrt(jnp.maximum(W, 0.0))
+    sm = jnp.sqrt(jnp.maximum(-W, 0.0))
+    eye = jnp.eye(n, dtype=Sigma.dtype)
+    Bp = eye + (sp[:, None] * Sigma) * sp[None, :]
+    Lp = jnp.linalg.cholesky(Bp)
+    SW = Sigma * sp[None, :]                  # Sigma sqrt(W+)
+    T = Sigma - SW @ jsl.cho_solve((Lp, True), SW.T)
+    Ld = jnp.linalg.cholesky(eye - (sm[:, None] * T) * sm[None, :])
+    return Lp, Ld, SW, T, sp, sm
+
+
+def _negw_scale(v, X):
+    return v[:, None] * X if X.ndim == 2 else v * X
+
+
+def _negw_solve_IpSW(factors, g):
+    """(I + Sigma W)^-1 g for (n,) or (n, p) g."""
+    Lp, Ld, SW, T, sp, sm = factors
+    h = g - SW @ jsl.cho_solve((Lp, True), _negw_scale(sp, g))
+    return h + T @ _negw_scale(sm, jsl.cho_solve((Ld, True),
+                                                 _negw_scale(sm, h)))
+
+
+def _negw_solve_IpWS(factors, rhs, Sigma):
+    """(I + W Sigma)^-1 rhs for (n,) or (n, p) rhs."""
+    Lp, Ld, SW, T, sp, sm = factors
+    h = rhs + _negw_scale(sm, jsl.cho_solve((Ld, True),
+                                            _negw_scale(sm, T @ rhs)))
+    return h - _negw_scale(sp, jsl.cho_solve((Lp, True),
+                                             _negw_scale(sp, Sigma @ h)))
+
+
+@jax.custom_vjp
+def _negw_half_logdet(Sigma, W):
+    """0.5 log|I + Sigma W| for possibly-negative W. The sqrt(max(W,0))
+    split is value-correct but not autodiff-safe at W = 0, so the exact
+    gradients (0.5 diag((I+Sigma W)^-1 Sigma) wrt W) are supplied by a
+    custom VJP."""
+    Lp, Ld, _, _, _, _ = _negw_factors(Sigma, W)
+    return (jnp.sum(jnp.log(jnp.diagonal(Lp)))
+            + jnp.sum(jnp.log(jnp.diagonal(Ld))))
+
+
+def _negw_hld_fwd(Sigma, W):
+    return _negw_half_logdet(Sigma, W), (Sigma, W)
+
+
+def _negw_hld_bwd(res, ct):
+    Sigma, W = res
+    n = Sigma.shape[0]
+    factors = _negw_factors(Sigma, W)
+    G = _negw_solve_IpSW(factors, jnp.eye(n, dtype=Sigma.dtype))
+    # d logdet = tr(G dSigma W) + tr(G Sigma dW)
+    dW = 0.5 * ct * jnp.diagonal(G @ Sigma)
+    dSigma = 0.5 * ct * (G.T * W[None, :])
+    return dSigma, dW
+
+
+_negw_half_logdet.defvjp(_negw_hld_fwd, _negw_hld_bwd)
+
+
 class LaplaceDenseEngine:
     """Laplace-approximated marginal NLL / gradients / prediction."""
 
@@ -75,14 +148,35 @@ class LaplaceDenseEngine:
         def _d1(y, loc, aux):
             return jax.grad(lambda l: _loglik(y, l, aux))(loc)
 
-        def _W(y, loc, aux):
-            # Fisher-Laplace: likelihoods with non-log-concave or kinked
-            # densities provide their (quasi-)Fisher curvature instead of the
-            # observed Hessian (likelihoods.h:246-258 alias parsing, t / 
-            # asymmetric_laplace defaults)
-            if hasattr(lik, "fisher_W"):
-                return lik.fisher_W(y, loc, aux)
+        def _W_obs(y, loc, aux):
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
+
+        def _W_fisher(y, loc, aux):
+            Wf = lik.fisher_W(y, loc, aux)
+            return Wf if w is None else w * Wf
+
+        # Laplace-variant routing (likelihoods.h:327-369): "fisher_laplace"
+        # uses the (quasi-)Fisher curvature throughout, "combined" only for
+        # mode finding (determinant keeps the observed Hessian), "laplace"
+        # the observed Hessian throughout.
+        has_fisher = hasattr(lik, "fisher_W")
+        use_fisher_mode = has_fisher and lik.approx_type in (
+            "fisher_laplace", "combined")
+        use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
+        _W_mode = _W_fisher if use_fisher_mode else _W_obs
+        _W_det = _W_fisher if use_fisher_det else _W_obs
+        # when the determinant / mode curvature can be negative (zero-inflated
+        # counts with observed Hessian, likelihoods.h:11565) the sqrt(W)
+        # Cholesky formulation is invalid -> LU/slogdet path
+        w_neg = bool(getattr(lik, "W_may_be_negative", False))
+        # sqrt(W) is not autodiff-safe when W can be EXACTLY zero (hurdle
+        # families at y = 0), so the differentiated determinant also takes
+        # the custom-VJP path then; the un-differentiated solves (mode
+        # finding, adjoint, prediction) only need it for negative W
+        w_det_general = w_neg or bool(getattr(lik, "W_may_be_zero", False))
+        w_neg_mode = w_neg and not use_fisher_mode
+        _W = _W_det     # determinant curvature (used by _g / bwd / predict)
+
 
         def _mode_solve(Sigma, aux, y, F, a_init):
             """R&W stable Newton with Armijo backtracking; returns
@@ -94,14 +188,19 @@ class LaplaceDenseEngine:
                 a, mode, obj, it, done = carry
                 loc = mode + F
                 d1 = _d1(y, loc, aux)
-                W = _W(y, loc, aux)
-                sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                B = jnp.eye(n, dtype=Sigma.dtype) \
-                    + (sW[:, None] * Sigma) * sW[None, :]
-                L = jnp.linalg.cholesky(B)
+                W = _W_mode(y, loc, aux)
                 rhs = W * mode + d1
-                rhs2 = sW * (Sigma @ rhs)
-                a_upd = rhs - sW * jsl.cho_solve((L, True), rhs2)
+                if w_neg_mode:
+                    # observed Hessian can be negative (zero-inflated counts)
+                    a_upd = _negw_solve_IpWS(_negw_factors(Sigma, W), rhs,
+                                             Sigma)
+                else:
+                    sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                    B = jnp.eye(n, dtype=Sigma.dtype) \
+                        + (sW[:, None] * Sigma) * sW[None, :]
+                    L = jnp.linalg.cholesky(B)
+                    rhs2 = sW * (Sigma @ rhs)
+                    a_upd = rhs - sW * jsl.cho_solve((L, True), rhs2)
                 mode_upd = Sigma @ a_upd
                 direction = mode_upd - mode
                 grad_dot_dir = direction @ (a_upd - a + W * direction)
@@ -155,11 +254,15 @@ class LaplaceDenseEngine:
             mode = Sigma @ a
             loc = mode + F
             W = _W(y, loc, aux)
-            sW = jnp.sqrt(jnp.maximum(W, 0.0))
-            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
-            L = jnp.linalg.cholesky(B)
-            return (0.5 * (a @ mode) - _loglik(y, loc, aux)
-                    + jnp.sum(jnp.log(jnp.diagonal(L))))
+            if w_det_general:
+                half_logdet = _negw_half_logdet(Sigma, W)
+            else:
+                sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                B = jnp.eye(n, dtype=Sigma.dtype) \
+                    + (sW[:, None] * Sigma) * sW[None, :]
+                L = jnp.linalg.cholesky(B)
+                half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+            return (0.5 * (a @ mode) - _loglik(y, loc, aux) + half_logdet)
 
         def _r(u, F, a, y):
             """Mode residual r = a - d1(Sigma a + F)."""
@@ -188,13 +291,21 @@ class LaplaceDenseEngine:
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
             loc = Sigma @ a + F
-            W = _W(y, loc, aux)
-            sW = jnp.sqrt(jnp.maximum(W, 0.0))
-            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
-            L = jnp.linalg.cholesky(B)
             g_u, g_F, g_a = jax.grad(_g, argnums=(0, 1, 2))(u, F, a, y)
-            # adjoint: lam = (I + Sigma W)^-1 g_a = (I - Sigma sW B^-1 sW) g_a
-            lam = g_a - Sigma @ (sW * jsl.cho_solve((L, True), sW * g_a))
+            # adjoint of the mode residual r = a - d1, with the curvature of
+            # the chosen approximation (Fisher for fisher_laplace, observed
+            # Hessian for laplace/combined — the reference's gradient code
+            # uses the same information it uses for the determinant)
+            W = _W(y, loc, aux)
+            if w_neg:
+                lam = _negw_solve_IpSW(_negw_factors(Sigma, W), g_a)
+            else:
+                sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                B = jnp.eye(n, dtype=Sigma.dtype) \
+                    + (sW[:, None] * Sigma) * sW[None, :]
+                L = jnp.linalg.cholesky(B)
+                # lam = (I + Sigma W)^-1 g_a = (I - Sigma sW B^-1 sW) g_a
+                lam = g_a - Sigma @ (sW * jsl.cho_solve((L, True), sW * g_a))
             _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, a, y), u, F)
             ru_l, rF_l = r_vjp(lam)
             du = (g_u - ru_l) * ct_nll
@@ -217,12 +328,19 @@ class LaplaceDenseEngine:
             a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
             loc = mode + F
             W = _W(y, loc, aux)
-            sW = jnp.sqrt(jnp.maximum(W, 0.0))
-            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
-            L = jnp.linalg.cholesky(B)
             mu_p = Kcross.T @ a
-            V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
-            var_red = jnp.sum((sW[:, None] * Kcross) * V, axis=0)
+            if w_neg:
+                # (Sigma + W^-1)^-1 = W (I + Sigma W)^-1
+                M = W[:, None] * _negw_solve_IpSW(_negw_factors(Sigma, W),
+                                                  Kcross)
+                var_red = jnp.sum(Kcross * M, axis=0)
+            else:
+                sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                B = jnp.eye(n, dtype=Sigma.dtype) \
+                    + (sW[:, None] * Sigma) * sW[None, :]
+                L = jnp.linalg.cholesky(B)
+                V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
+                var_red = jnp.sum((sW[:, None] * Kcross) * V, axis=0)
             return mu_p, Kpred_diag - var_red, a
 
         self._predict_latent = jax.jit(predict_latent)
@@ -234,12 +352,18 @@ class LaplaceDenseEngine:
             a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
             loc = mode + F
             W = _W(y, loc, aux)
-            sW = jnp.sqrt(jnp.maximum(W, 0.0))
-            B = jnp.eye(n, dtype=Sigma.dtype) + (sW[:, None] * Sigma) * sW[None, :]
-            L = jnp.linalg.cholesky(B)
             mu_p = Kcross.T @ a
-            V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
-            cov_p = Kpred - (sW[:, None] * Kcross).T @ V
+            if w_neg:
+                M = W[:, None] * _negw_solve_IpSW(_negw_factors(Sigma, W),
+                                                  Kcross)
+                cov_p = Kpred - Kcross.T @ M
+            else:
+                sW = jnp.sqrt(jnp.maximum(W, 0.0))
+                B = jnp.eye(n, dtype=Sigma.dtype) \
+                    + (sW[:, None] * Sigma) * sW[None, :]
+                L = jnp.linalg.cholesky(B)
+                V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
+                cov_p = Kpred - (sW[:, None] * Kcross).T @ V
             return mu_p, cov_p, a
 
         self._predict_latent_cov = jax.jit(predict_latent_cov)
@@ -353,6 +477,8 @@ class LaplaceDenseEngine:
         t = self.transform_pars(pars_orig)
         if aux_pars is None:
             aux_pars = self.likelihood.init_aux(np.asarray(y))
+        else:
+            aux_pars = self.likelihood.aux_to_internal(aux_pars)
         u = np.concatenate([np.log(t), np.log(np.asarray(aux_pars, dtype=np.float64))]) \
             if self.num_aux else np.log(t)
         F = jnp.zeros(self.n, self.dtype) if fixed_effects is None \

@@ -709,6 +709,13 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
         else:
             nll, gu, a = engine.laplace_vag(u, yd, jnp.asarray(F), state["a"])
             g = gu[est]
+        if not (np.isfinite(nll) and np.all(np.isfinite(g))):
+            # NaN guard with Laplace-mode reset: keep the previous (finite)
+            # mode so the diverged evaluation does not poison the warm start
+            # (ResetLaplaceApproxModeToPreviousValue,
+            # re_model_template.h:2593); return a large finite value so the
+            # line search backtracks
+            return 1e12, np.zeros_like(g)
         state["a"] = a
         return nll, g
 

@@ -81,14 +81,26 @@ class VecchiaLaplaceEngine:
         def _d1(y, loc, aux):
             return jax.grad(lambda l: _loglik(y, l, aux))(loc)
 
-        def _W(y, loc, aux):
-            # Fisher-Laplace: likelihoods with non-log-concave or kinked
-            # densities provide their (quasi-)Fisher curvature instead of the
-            # observed Hessian (likelihoods.h:246-258 alias parsing, t / 
-            # asymmetric_laplace defaults)
-            if hasattr(lik, "fisher_W"):
-                return lik.fisher_W(y, loc, aux)
+        def _W_obs(y, loc, aux):
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
+
+        def _W_fisher(y, loc, aux):
+            return lik.fisher_W(y, loc, aux)
+
+        # variant routing (likelihoods.h:327-369); see models/laplace.py
+        has_fisher = hasattr(lik, "fisher_W")
+        use_fisher_mode = has_fisher and lik.approx_type in (
+            "fisher_laplace", "combined")
+        use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
+        _W_mode = _W_fisher if use_fisher_mode else _W_obs
+        _W = _W_fisher if use_fisher_det else _W_obs     # determinant
+
+        def _solve_H(Q, W, rhs):
+            """(Q + diag(W))^-1 rhs. Negative W entries are fine as long as
+            the full H is SPD (true at any proper Laplace mode); indefinite
+            iterates yield NaN and are rejected by the Armijo backtracking."""
+            L = jnp.linalg.cholesky(Q + jnp.diag(W))
+            return jsl.cho_solve((L, True), rhs)
 
         def _mode_solve(Q, aux, y, F, b_init):
             obj0 = -0.5 * (b_init @ (Q @ b_init)) + _loglik(y, b_init + F, aux)
@@ -97,11 +109,9 @@ class VecchiaLaplaceEngine:
                 b, obj, it, done = carry
                 loc = b + F
                 d1 = _d1(y, loc, aux)
-                W = _W(y, loc, aux)
-                H = Q + jnp.diag(W)
-                L = jnp.linalg.cholesky(H)
+                W = _W_mode(y, loc, aux)
                 grad = d1 - Q @ b
-                delta = jsl.cho_solve((L, True), grad)
+                delta = _solve_H(Q, W, grad)
                 gdd = grad @ delta
 
                 def bt_cond(bt):
@@ -138,8 +148,7 @@ class VecchiaLaplaceEngine:
             Q, logdetQ = self._Q_logdetQ(theta_log)
             loc = b + F
             W = _W(y, loc, aux)
-            H = Q + jnp.diag(W)
-            L = jnp.linalg.cholesky(H)
+            L = jnp.linalg.cholesky(Q + jnp.diag(W))
             return (0.5 * (b @ (Q @ b)) - _loglik(y, loc, aux)
                     + jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * logdetQ)
 
@@ -168,10 +177,8 @@ class VecchiaLaplaceEngine:
             aux = jnp.exp(u[self.num_theta:])
             Q, _ = self._Q_logdetQ(theta_log)
             W = _W(y, b + F, aux)
-            H = Q + jnp.diag(W)
-            L = jnp.linalg.cholesky(H)
             g_u, g_F, g_b = jax.grad(_g, argnums=(0, 1, 2))(u, F, b, y)
-            lam = jsl.cho_solve((L, True), g_b)   # (Q + W) symmetric
+            lam = _solve_H(Q, W, g_b)   # (Q + W) symmetric
             _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, b, y), u, F)
             ru_l, rF_l = r_vjp(lam)
             return ((g_u - ru_l) * ct_nll, (g_F - rF_l) * ct_nll, None, None)
@@ -295,7 +302,12 @@ class VecchiaLaplaceEngine:
         Q, _ = self._Q_logdetQ(theta_log)
         H = np.asarray(Q) + np.diag(W)
         import scipy.linalg as sla
-        cho = sla.cho_factor(H, lower=True)
+        if bool(getattr(self.likelihood, "W_may_be_negative", False)):
+            _lu = sla.lu_factor(H)
+            _h_solve = lambda rhs: sla.lu_solve(_lu, rhs)
+        else:
+            cho = sla.cho_factor(H, lower=True)
+            _h_solve = lambda rhs: sla.cho_solve(cho, rhs)
         mu_p = K_cross.T @ a
         mu_lat = mu_p if F_pred is None else mu_p + np.asarray(F_pred)
         out = {"mu": mu_lat}
@@ -303,7 +315,7 @@ class VecchiaLaplaceEngine:
             # posterior cov: K_pp - K' (Sigma + W^-1)^-1 K, and
             # (Sigma + W^-1)^-1 = W - W H^-1 W  (H = Q + W)
             WK = W[:, None] * K_cross
-            M = WK - W[:, None] * sla.cho_solve(cho, WK)
+            M = WK - W[:, None] * _h_solve(WK)
             cov = K_pp - K_cross.T @ M
             if predict_cov_mat:
                 out["cov"] = cov
@@ -314,7 +326,7 @@ class VecchiaLaplaceEngine:
             var = out.get("var")
             if var is None:
                 WK = W[:, None] * K_cross
-                M = WK - W[:, None] * sla.cho_solve(cho, WK)
+                M = WK - W[:, None] * _h_solve(WK)
                 var = np.maximum(np.diagonal(K_pp - K_cross.T @ M), 0.0)
             m, vv = self.likelihood.response_mean_var(
                 jnp.asarray(mu_tot), jnp.asarray(np.maximum(var, 0.0)), aux_d)
