@@ -74,6 +74,9 @@ class Booster:
     """Gradient-boosting model, optionally combined with a GPModel
     (basic.py:2315 Booster; c_api.cpp:1667 LGBM_GPBoosterCreate)."""
 
+    _nsets = 1          # predictor blocks (2 for heteroscedastic-type GPs)
+    init_score2 = 0.0
+
     def __init__(self, params=None, train_set=None, gp_model=None,
                  model_file=None, model_dict=None, init_model=None):
         if model_file is not None or model_dict is not None:
@@ -124,9 +127,31 @@ class Booster:
         else:
             self._lik = None
 
+        # two-predictor (heteroscedastic / regression zero-model) GP boosting:
+        # num_sets_fixed_effects = 2 (c_api.cpp:132) — two trees per
+        # iteration, one per predictor block, interleaved in self.trees
+        self._nsets = 1
+        self.init_score2 = 0.0
+        if gp_model is not None and gp_model.likelihood != "gaussian" \
+                and getattr(gp_model._likelihood_obj, "num_sets_fe", 1) == 2:
+            self._nsets = 2
+            if p["boosting"] != "gbdt":
+                raise ValueError("two-predictor likelihoods support "
+                                 "boosting='gbdt' only")
+            if init_model is not None:
+                raise ValueError("init_model is not supported with "
+                                 "two-predictor likelihoods")
+
         self.trees = []
         self.init_score = self._boost_from_average()
-        self.F = np.full(self.n, self.init_score)
+        if self._nsets == 2:
+            lik = gp_model._likelihood_obj
+            self.init_score2 = float(lik.init_intercept2(self.y, 1.0)) \
+                if hasattr(lik, "init_intercept2") else 0.0
+            self.F = np.concatenate([np.full(self.n, self.init_score),
+                                     np.full(self.n, self.init_score2)])
+        else:
+            self.F = np.full(self.n, self.init_score)
         self._gp_init_pars = None
         self.current_iteration_ = 0
         self._bag_rng = np.random.RandomState(int(p["bagging_seed"]))
@@ -244,11 +269,14 @@ class Booster:
             r = gp._fit_result
             u = np.log(eng.transform_pars(r.cov_pars))
             if eng.num_aux:
-                u = np.concatenate([u, np.log(r.aux_pars)])
+                # aux pars are carried on the user scale; the optimizer /
+                # engine works on the internal positive scale
+                aux_int = eng.likelihood.aux_to_internal(r.aux_pars)
+                u = np.concatenate([u, np.log(aux_int)])
             _, _, gF, _ = eng.laplace_vag_F(
                 u, jnp.asarray(self.y), jnp.asarray(self.F),
                 r.mode_state if r.mode_state is not None else eng.zero_mode())
-            return np.asarray(gF), np.ones(self.n)
+            return np.asarray(gF), np.ones(len(gF))
 
     # ------------------------------------------------------------------
     def _sampling_masks(self):
@@ -327,6 +355,23 @@ class Booster:
     def update(self, train_set=None, fobj=None):
         """One boosting iteration (gbdt.cpp:412 TrainOneIter; dart.hpp for
         boosting='dart', goss.hpp for boosting='goss')."""
+        if self._nsets == 2:
+            # two trees per iteration, one per predictor block
+            # (gbdt.cpp TrainOneIter over num_class_ models)
+            grad, hess = self._gradients()
+            row_mask, feat_mask = self._sampling_masks()
+            lr = float(self.params["learning_rate"])
+            for k in range(2):
+                gk = grad[k * self.n:(k + 1) * self.n]
+                hk = hess[k * self.n:(k + 1) * self.n]
+                tree, slot_of_row, leaf_value_of_slot = self.learner.train(
+                    gk, hk, row_mask=row_mask, feat_mask=feat_mask)
+                tree.shrinkage(lr)
+                self.F[k * self.n:(k + 1) * self.n] += \
+                    lr * leaf_value_of_slot[slot_of_row]
+                self.trees.append(tree)
+            self.current_iteration_ += 1
+            return False
         boosting = self.params["boosting"]
         drop_idx, drop_contrib = [], []
         if boosting == "dart" and self.trees:
@@ -443,14 +488,27 @@ class Booster:
                 phi /= len(used)
             phi[:, -1] += self.init_score
             return phi
-        F_pred = np.zeros(len(X))
-        ntrees = num_iteration if num_iteration else len(self.trees)
-        used = self.trees[start_iteration:start_iteration + ntrees]
-        for tree in used:
-            F_pred = F_pred + tree.predict_raw(X)
-        if self.params.get("boosting") == "rf" and used:
-            F_pred = F_pred / len(used)     # rf.hpp: average_output_
-        F_pred = F_pred + self.init_score
+        if self._nsets == 2:
+            # interleaved trees: even -> mean block, odd -> second block
+            nit = num_iteration if num_iteration else len(self.trees) // 2
+            used = self.trees[2 * start_iteration: 2 * (start_iteration + nit)]
+            F1 = np.full(len(X), self.init_score)
+            F2 = np.full(len(X), self.init_score2)
+            for i, tree in enumerate(used):
+                if i % 2 == 0:
+                    F1 = F1 + tree.predict_raw(X)
+                else:
+                    F2 = F2 + tree.predict_raw(X)
+            F_pred = np.concatenate([F1, F2])
+        else:
+            F_pred = np.zeros(len(X))
+            ntrees = num_iteration if num_iteration else len(self.trees)
+            used = self.trees[start_iteration:start_iteration + ntrees]
+            for tree in used:
+                F_pred = F_pred + tree.predict_raw(X)
+            if self.params.get("boosting") == "rf" and used:
+                F_pred = F_pred / len(used)     # rf.hpp: average_output_
+            F_pred = F_pred + self.init_score
 
         gp = self.gp_model
         if gp is None or ignore_gp_model:

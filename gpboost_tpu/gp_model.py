@@ -31,7 +31,7 @@ _OPTIM_PARAM_KEYS = {
     "cg_max_num_it", "cg_max_num_it_tridiag", "cg_delta_conv",
     "cg_preconditioner_type", "num_rand_vec_trace", "reuse_rand_vec_trace",
     "seed_rand_vec_trace", "piv_chol_rank", "init_coef_aux_pars_from_iid_model",
-    "nesterov_schedule_version",
+    "nesterov_schedule_version", "nsim_var_pred",
 }
 
 
@@ -214,7 +214,8 @@ class GPModel:
                     self.components, self.num_data, self._likelihood_obj,
                     num_neighbors=num_neighbors if num_neighbors else 20,
                     vecchia_ordering=vecchia_ordering, seed=seed,
-                    dtype=self._dtype)
+                    dtype=self._dtype,
+                    matrix_inversion_method=matrix_inversion_method)
                 self.num_cov_par = self._engine.num_cov_par
                 self.params = OptimConfig()
                 self._fit_result = None
@@ -294,6 +295,26 @@ class GPModel:
                 setattr(self.params, k, v)
             elif k == "init_cov_pars":
                 self.params.init_cov_pars = None if v is None else np.asarray(v, dtype=np.float64)
+        # CG / stochastic-trace settings live inside the iterative
+        # Vecchia-Laplace engine's jitted graphs -> rebuild on change
+        cg_keys = {"num_rand_vec_trace": "num_rand_vec_trace",
+                   "cg_max_num_it": "cg_max_num_it",
+                   "cg_delta_conv": "cg_delta_conv",
+                   "seed_rand_vec_trace": "seed_rand_vec_trace",
+                   "nsim_var_pred": "nsim_var_pred"}
+        eng = getattr(self, "_engine", None)
+        if eng is not None \
+                and getattr(eng, "matrix_inversion_method", None) == "iterative" \
+                and hasattr(eng, "_build_jitted_iterative") \
+                and any(k in params for k in cg_keys):
+            changed = False
+            for k, attr in cg_keys.items():
+                if k in params and getattr(eng, attr, None) != params[k]:
+                    setattr(eng, attr,
+                            type(getattr(eng, attr))(params[k]))
+                    changed = True
+            if changed:
+                eng._build_jitted_iterative()
         return self
 
     set_optim_coef_params = set_optim_params
@@ -406,10 +427,16 @@ class GPModel:
                                                          dtype=np.float64))])
             a_state = r.mode_state
             if offset is not None or a_state is None:
-                F = np.zeros(self.num_data) if offset is None \
-                    else np.asarray(offset, dtype=np.float64)
+                nsets = getattr(eng, "num_sets_fe", 1)
+                F = np.zeros(self.num_data * nsets)
+                if offset is not None:
+                    offs = np.asarray(offset, dtype=np.float64)
+                    F[: len(offs)] += offs
                 if r.coef is not None and self.X is not None:
-                    F = F + self.X @ r.coef
+                    k = self.X.shape[1]
+                    F[: self.num_data] += self.X @ r.coef[:k]
+                    if nsets == 2:
+                        F[self.num_data:] += self.X @ r.coef[k:]
                 _, a_state = eng.laplace_nll(
                     u, jnp.asarray(self.y), jnp.asarray(F),
                     a_state if a_state is not None else eng.zero_mode())
@@ -588,11 +615,14 @@ class GPModel:
                               offset, offset_pred, fixed_effects,
                               fixed_effects_pred):
         n = self.num_data
-        F = np.zeros(n)
+        nsets = getattr(self._engine, "num_sets_fe", 1)
+        F = np.zeros(n * nsets)
         if offset is not None:
-            F = F + np.asarray(offset, dtype=np.float64)
+            offs = np.asarray(offset, dtype=np.float64)
+            F[: len(offs)] += offs
         if fixed_effects is not None:
-            F = F + np.asarray(fixed_effects, dtype=np.float64)
+            fe = np.asarray(fixed_effects, dtype=np.float64)
+            F[: len(fe)] += fe
         coef = None
         aux_pars = None
         a_init = None
@@ -601,20 +631,29 @@ class GPModel:
             aux_pars = self._fit_result.aux_pars
             a_init = self._fit_result.mode_state
             if coef is not None and self.X is not None:
-                F = F + self.X @ coef
+                k = self.X.shape[1]
+                F[:n] += self.X @ coef[:k]
+                if nsets == 2:
+                    F[n:] += self.X @ coef[k:]
         pred_data = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
             gp_rand_coef_data_pred, cluster_ids_pred)
         # the predicted latent location parameter includes the fixed effects
         # (basic.py:3701-3770: F enters both latent and response predictions)
         n_pred = pred_data["n_pred"]
-        F_pred = np.zeros(n_pred)
+        F_pred = np.zeros(n_pred * nsets)
         if offset_pred is not None:
-            F_pred = F_pred + np.asarray(offset_pred, dtype=np.float64)
+            op = np.asarray(offset_pred, dtype=np.float64)
+            F_pred[: len(op)] += op
         if fixed_effects_pred is not None:
-            F_pred = F_pred + np.asarray(fixed_effects_pred, dtype=np.float64)
+            fep = np.asarray(fixed_effects_pred, dtype=np.float64)
+            F_pred[: len(fep)] += fep
         if coef is not None and X_pred is not None:
-            F_pred = F_pred + np.asarray(X_pred, dtype=np.float64) @ coef
+            Xp = np.asarray(X_pred, dtype=np.float64)
+            k = Xp.shape[1]
+            F_pred[:n_pred] += Xp @ coef[:k]
+            if nsets == 2:
+                F_pred[n_pred:] += Xp @ coef[k:]
         out = self._engine.predict(
             cov_pars, aux_pars, y, F, pred_data, a_init=a_init,
             predict_var=predict_var, predict_cov_mat=predict_cov_mat,

@@ -1030,6 +1030,232 @@ class ZeroOneCensoredShiftedGamma(Likelihood):
         return m2 - m * m
 
 
+# ----------------------------------------------------------------------
+# two-predictor likelihoods (num_sets_fixed_effects = 2, c_api.cpp:132):
+# the first location block (eta) carries random + fixed effects, the second
+# (zeta) is fixed-effects-only. Engines call log_lik2(y, eta, zeta, aux).
+class GaussianHeteroscedastic(Likelihood):
+    """gaussian_heteroscedastic (likelihoods.h:143-149): mu = eta,
+    log(sigma2) = zeta (fixed effects only). Fisher-Laplace is the
+    reference default and only implemented approximation."""
+
+    name = "gaussian_heteroscedastic"
+    num_sets_fe = 2
+    approx_type = "fisher_laplace"
+
+    def log_lik2(self, y, f1, f2, aux):
+        z = y - f1
+        return -0.5 * (math.log(2.0 * math.pi) + f2) \
+            - 0.5 * z * z * jnp.exp(-f2)
+
+    def fisher_W2(self, y, loc, f2, aux):
+        return jnp.exp(-f2)
+
+    def init_intercept(self, y, tot_var, F=None):
+        z = np.asarray(y) if F is None \
+            else np.asarray(y) - np.asarray(F)[: len(y)]
+        return float(np.mean(z))
+
+    def init_intercept2(self, y, tot_var, F=None):
+        """log error variance start (FindInitialIntercept ind_set_re=1,
+        likelihoods.h:1557-1590)."""
+        z = np.asarray(y) if F is None \
+            else np.asarray(y) - np.asarray(F)[: len(y)]
+        sample_var = max(float(np.var(z, ddof=1)), 1e-8)
+        return math.log(max(sample_var - tot_var, 1e-6))
+
+    def response_mean_var2(self, mu_lat, var_lat, zeta, aux):
+        return mu_lat, var_lat + jnp.exp(zeta)
+
+
+class _HurdleRegressionBase(Likelihood):
+    """hurdle_regression_<base> (likelihoods.h:90-93): structural-zero
+    probability pi_i = sigmoid(zeta_i) from the second fixed-effects-only
+    block; aux = the base's auxiliary parameters (no constant p0)."""
+
+    link = "log"
+    num_sets_fe = 2
+    W_may_be_zero = True
+    _hurdle = None        # the constant-p0 hurdle class providing the base
+
+    def log_lik2(self, y, f, zeta, aux):
+        lp = _log_sigmoid(zeta)
+        l1mp = _log_sigmoid(-zeta)
+        ys = _where_pos(y)
+        ll_pos = l1mp + self._hurdle.base_log_density(ys, f, aux)
+        return jnp.where(y > 0.0, ll_pos, lp)
+
+    def check_y(self, y):
+        return self._hurdle.check_y(y)
+
+    def init_intercept2(self, y, tot_var, F=None):
+        z = min(max(float(np.mean(np.asarray(y) <= 0.0)), 1e-3), 1 - 1e-3)
+        return float(np.clip(math.log(z / (1 - z)), -3.0, 3.0))
+
+    def response_mean_var2(self, mu_lat, var_lat, zeta, aux):
+        nodes, weights = np.polynomial.hermite_e.hermegauss(100)
+        nodes = jnp.asarray(nodes)
+        weights = jnp.asarray(weights / np.sum(weights))
+        f = mu_lat[:, None] + jnp.sqrt(var_lat)[:, None] * nodes[None, :]
+        m1, m2 = self._hurdle.base_mean_m2(f, aux)
+        q = jax.nn.sigmoid(-zeta)         # 1 - pi
+        Ey = q * jnp.sum(weights[None, :] * m1, axis=1)
+        Ey2 = q * jnp.sum(weights[None, :] * m2, axis=1)
+        return Ey, Ey2 - Ey * Ey
+
+
+def _make_hurdle_regression(hurdle_cls, name):
+    class HReg(_HurdleRegressionBase):
+        _hurdle = hurdle_cls()
+        num_aux = hurdle_cls.num_aux - 1            # drop the trailing p0
+        aux_names = hurdle_cls.aux_names[:-1]
+        default_aux = hurdle_cls.default_aux[:-1]
+        W_may_be_negative = getattr(hurdle_cls, "W_may_be_negative", False)
+
+        def aux_to_internal(self, aux_orig):
+            if self.num_aux == 0:
+                return np.asarray([], dtype=np.float64)
+            a = np.concatenate([np.asarray(aux_orig, dtype=np.float64),
+                                [0.5]])                 # dummy p0
+            return self._hurdle.aux_to_internal(a)[:-1]
+
+        def aux_from_internal(self, aux_internal):
+            if self.num_aux == 0:
+                return np.asarray([], dtype=np.float64)
+            a = np.concatenate([np.asarray(aux_internal, dtype=np.float64),
+                                [1.0]])                 # dummy odds
+            return self._hurdle.aux_from_internal(a)[:-1]
+
+        def init_aux(self, y):
+            return self._hurdle.init_aux(np.asarray(y))[:-1]
+
+    HReg.name = name
+    HReg.__name__ = "HurdleRegression" + hurdle_cls.__name__
+    return HReg
+
+
+HurdleRegressionGamma = _make_hurdle_regression(
+    HurdleGamma, "hurdle_regression_gamma")
+HurdleRegressionLognormal = _make_hurdle_regression(
+    HurdleLognormal, "hurdle_regression_lognormal")
+HurdleRegressionGPD = _make_hurdle_regression(
+    HurdleGPD, "hurdle_regression_gpd")
+HurdleRegressionEGPDPower = _make_hurdle_regression(
+    HurdleEGPDPower, "hurdle_regression_egpd_power")
+HurdleRegressionEGPDPowerMixture = _make_hurdle_regression(
+    HurdleEGPDPowerMixture, "hurdle_regression_egpd_power_mixture")
+HurdleRegressionEGPDBeta = _make_hurdle_regression(
+    HurdleEGPDBeta, "hurdle_regression_egpd_beta")
+HurdleRegressionEGPDPowerBeta = _make_hurdle_regression(
+    HurdleEGPDPowerBeta, "hurdle_regression_egpd_power_beta")
+
+
+class _ZICountRegressionBase(_ZICountBase):
+    """zero_inflated_regression_<count> (likelihoods.h:90-93): per-point
+    structural-zero probability pi_i = sigmoid(zeta_i); aux = the base
+    count's auxiliary parameter only."""
+
+    num_sets_fe = 2
+    approx_type = "combined"
+
+    def _base_aux(self, aux):
+        # no trailing p0 here: the base aux parameter (if any) is aux[0]
+        return aux[0] if self.num_aux >= 1 else None
+
+    def log_lik2(self, y, f, zeta, aux):
+        lp = _log_sigmoid(zeta)
+        l1mp = _log_sigmoid(-zeta)
+        ba = self._base_aux(aux)
+        mu = jnp.exp(f)
+        b0 = self._b0(mu, ba)
+        ll0 = jnp.logaddexp(lp, l1mp + b0)
+        ll_pos = l1mp + self._base_ll_pos(_where_pos(y), f, ba)
+        return jnp.where(y > 0.0, ll_pos, ll0)
+
+    def fisher_W2(self, y, loc, zeta, aux):
+        """ZICountFisherInfoEtaExplicit with pi = sigmoid(zeta_i)
+        (likelihoods.h:11546-11553)."""
+        pi = jax.nn.sigmoid(zeta)
+        ba = self._base_aux(aux)
+        mu = jnp.exp(loc)
+        b0 = self._b0(mu, ba)
+        if self.kind == 2:
+            s0 = -ba * mu / (ba + mu)
+        elif self.kind == 1:
+            s0 = -mu * jnp.log1p(ba) / ba
+        else:
+            s0 = -mu
+        q = 1.0 - pi
+        f0 = jnp.exp(b0)
+        D = pi + q * f0
+        v = q * f0 / D
+        fisher = D * v * v * s0 * s0 + q * (self._base_fisher(mu, ba)
+                                            - f0 * s0 * s0)
+        return jnp.maximum(fisher, 0.0)
+
+    # base aux only: identity transforms (no trailing p0 odds)
+    def aux_to_internal(self, aux_orig):
+        return np.asarray(aux_orig, dtype=np.float64)
+
+    def aux_from_internal(self, aux_internal):
+        return np.asarray(aux_internal, dtype=np.float64)
+
+    def init_intercept2(self, y, tot_var, F=None):
+        z = min(max(float(np.mean(np.asarray(y) <= 0.0)), 1e-3), 1 - 1e-3)
+        return float(np.clip(math.log(z / (1 - z)), -3.0, 3.0))
+
+    def response_mean_var2(self, mu_lat, var_lat, zeta, aux):
+        nodes, weights = np.polynomial.hermite_e.hermegauss(100)
+        nodes = jnp.asarray(nodes)
+        weights = jnp.asarray(weights / np.sum(weights))
+        f = mu_lat[:, None] + jnp.sqrt(var_lat)[:, None] * nodes[None, :]
+        m1, m2 = self._base_m_m2(f, self._base_aux(aux))
+        q = jax.nn.sigmoid(-zeta)
+        Ey = q * jnp.sum(weights[None, :] * m1, axis=1)
+        Ey2 = q * jnp.sum(weights[None, :] * m2, axis=1)
+        return Ey, Ey2 - Ey * Ey
+
+
+class ZeroInflatedRegressionPoisson(_ZICountRegressionBase,
+                                    ZeroInflatedPoisson):
+    name = "zero_inflated_regression_poisson"
+    num_aux = 0
+    aux_names = ()
+    default_aux = ()
+
+    def init_aux(self, y):
+        return np.asarray([], dtype=np.float64)
+
+
+class ZeroInflatedRegressionNegativeBinomial(_ZICountRegressionBase,
+                                             ZeroInflatedNegativeBinomial):
+    name = "zero_inflated_regression_negative_binomial"
+    num_aux = 1
+    aux_names = ("shape",)
+    default_aux = (1.0,)
+
+    def init_aux(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        mean_y = max(float(np.mean(y)), 1e-8)
+        var_y = max(float(np.var(y)), mean_y * 1.0001)
+        return np.asarray([min(max(mean_y ** 2 / max(var_y - mean_y, 1e-6),
+                                   1e-2), 1e6)])
+
+
+class ZeroInflatedRegressionNegativeBinomial1(_ZICountRegressionBase,
+                                              ZeroInflatedNegativeBinomial1):
+    name = "zero_inflated_regression_negative_binomial_1"
+    num_aux = 1
+    aux_names = ("dispersion",)
+    default_aux = (1.0,)
+
+    def init_aux(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        mean_y = max(float(np.mean(y)), 1e-8)
+        var_y = max(float(np.var(y)), mean_y * 1.0001)
+        return np.asarray([min(max(var_y / mean_y - 1.0, 1e-3), 1e6)])
+
+
 FAMILY_CLASSES = (
     QuasiBernoulliLogit, QuasiBernoulliProbit, BetaBinomial,
     HurdleGamma, HurdleLognormal,
@@ -1040,4 +1266,10 @@ FAMILY_CLASSES = (
     HurdleEGPDPowerBeta,
     ZeroCensoredPowerTransformedNormal, Zoctn,
     ZeroOneCensoredTransformedBeta, ZeroOneCensoredShiftedGamma,
+    GaussianHeteroscedastic,
+    HurdleRegressionGamma, HurdleRegressionLognormal, HurdleRegressionGPD,
+    HurdleRegressionEGPDPower, HurdleRegressionEGPDPowerMixture,
+    HurdleRegressionEGPDBeta, HurdleRegressionEGPDPowerBeta,
+    ZeroInflatedRegressionPoisson, ZeroInflatedRegressionNegativeBinomial,
+    ZeroInflatedRegressionNegativeBinomial1,
 )

@@ -140,26 +140,38 @@ class LaplaceDenseEngine:
         sigma_fn = self._assembly.sigma
 
         w = self.weights
+        # two-predictor likelihoods (heteroscedastic / regression zero
+        # models, c_api.cpp:132 num_sets_fixed_effects): F is (2n,) with the
+        # random effects attached to the FIRST block only; the second block
+        # (zeta) enters the per-sample density as an extra argument
+        two = getattr(lik, "num_sets_fe", 1) == 2
+        self.num_sets_fe = 2 if two else 1
 
-        def _loglik(y, loc, aux):
-            ll = lik.log_lik(y, loc, aux)
+        def _split_F(F):
+            return (F[:n], F[n:]) if two else (F, None)
+
+        def _loglik(y, loc, F2, aux):
+            ll = lik.log_lik2(y, loc, F2, aux) if two \
+                else lik.log_lik(y, loc, aux)
             return jnp.sum(ll if w is None else w * ll)
 
-        def _d1(y, loc, aux):
-            return jax.grad(lambda l: _loglik(y, l, aux))(loc)
+        def _d1(y, loc, F2, aux):
+            return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
 
-        def _W_obs(y, loc, aux):
-            return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
+        def _W_obs(y, loc, F2, aux):
+            return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
 
-        def _W_fisher(y, loc, aux):
-            Wf = lik.fisher_W(y, loc, aux)
+        def _W_fisher(y, loc, F2, aux):
+            Wf = lik.fisher_W2(y, loc, F2, aux) if two \
+                else lik.fisher_W(y, loc, aux)
             return Wf if w is None else w * Wf
 
         # Laplace-variant routing (likelihoods.h:327-369): "fisher_laplace"
         # uses the (quasi-)Fisher curvature throughout, "combined" only for
         # mode finding (determinant keeps the observed Hessian), "laplace"
         # the observed Hessian throughout.
-        has_fisher = hasattr(lik, "fisher_W")
+        has_fisher = hasattr(lik, "fisher_W2") if two \
+            else hasattr(lik, "fisher_W")
         use_fisher_mode = has_fisher and lik.approx_type in (
             "fisher_laplace", "combined")
         use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
@@ -181,14 +193,15 @@ class LaplaceDenseEngine:
         def _mode_solve(Sigma, aux, y, F, a_init):
             """R&W stable Newton with Armijo backtracking; returns
             (a, mode, obj) with obj = -0.5 a'mode + loglik at the mode."""
+            F1, F2 = _split_F(F)
             mode0 = Sigma @ a_init
-            obj0 = -0.5 * (a_init @ mode0) + _loglik(y, mode0 + F, aux)
+            obj0 = -0.5 * (a_init @ mode0) + _loglik(y, mode0 + F1, F2, aux)
 
             def newton_body(carry):
                 a, mode, obj, it, done = carry
-                loc = mode + F
-                d1 = _d1(y, loc, aux)
-                W = _W_mode(y, loc, aux)
+                loc = mode + F1
+                d1 = _d1(y, loc, F2, aux)
+                W = _W_mode(y, loc, F2, aux)
                 rhs = W * mode + d1
                 if w_neg_mode:
                     # observed Hessian can be negative (zero-inflated counts)
@@ -216,7 +229,7 @@ class LaplaceDenseEngine:
                     mode_new = jnp.where(ih == 0, 1.0, lr) * mode_upd \
                         + jnp.where(ih == 0, 0.0, 1.0 - lr) * mode
                     obj_new = -0.5 * (a_new @ mode_new) \
-                        + _loglik(y, mode_new + F, aux)
+                        + _loglik(y, mode_new + F1, F2, aux)
                     ok = obj_new >= (obj + C_ARMIJO * lr * grad_dot_dir)
                     ok = jnp.logical_and(ok, jnp.isfinite(obj_new))
                     lr_next = jnp.where(ok, lr, lr * 0.5)
@@ -251,9 +264,10 @@ class LaplaceDenseEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
+            F1, F2 = _split_F(F)
             mode = Sigma @ a
-            loc = mode + F
-            W = _W(y, loc, aux)
+            loc = mode + F1
+            W = _W(y, loc, F2, aux)
             if w_det_general:
                 half_logdet = _negw_half_logdet(Sigma, W)
             else:
@@ -262,14 +276,15 @@ class LaplaceDenseEngine:
                     + (sW[:, None] * Sigma) * sW[None, :]
                 L = jnp.linalg.cholesky(B)
                 half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-            return (0.5 * (a @ mode) - _loglik(y, loc, aux) + half_logdet)
+            return (0.5 * (a @ mode) - _loglik(y, loc, F2, aux) + half_logdet)
 
         def _r(u, F, a, y):
-            """Mode residual r = a - d1(Sigma a + F)."""
+            """Mode residual r = a - d1(Sigma a + F1)."""
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
-            return a - _d1(y, Sigma @ a + F, aux)
+            F1, F2 = _split_F(F)
+            return a - _d1(y, Sigma @ a + F1, F2, aux)
 
         @jax.custom_vjp
         def nll_fn(u, F, y, a_init):
@@ -290,13 +305,14 @@ class LaplaceDenseEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
-            loc = Sigma @ a + F
+            F1, F2 = _split_F(F)
+            loc = Sigma @ a + F1
             g_u, g_F, g_a = jax.grad(_g, argnums=(0, 1, 2))(u, F, a, y)
             # adjoint of the mode residual r = a - d1, with the curvature of
             # the chosen approximation (Fisher for fisher_laplace, observed
             # Hessian for laplace/combined — the reference's gradient code
             # uses the same information it uses for the determinant)
-            W = _W(y, loc, aux)
+            W = _W(y, loc, F2, aux)
             if w_neg:
                 lam = _negw_solve_IpSW(_negw_factors(Sigma, W), g_a)
             else:
@@ -326,8 +342,9 @@ class LaplaceDenseEngine:
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
             a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
-            loc = mode + F
-            W = _W(y, loc, aux)
+            F1, F2 = _split_F(F)
+            loc = mode + F1
+            W = _W(y, loc, F2, aux)
             mu_p = Kcross.T @ a
             if w_neg:
                 # (Sigma + W^-1)^-1 = W (I + Sigma W)^-1
@@ -350,8 +367,9 @@ class LaplaceDenseEngine:
             aux = jnp.exp(u[self.num_theta:])
             Sigma = sigma_fn(theta_log)
             a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
-            loc = mode + F
-            W = _W(y, loc, aux)
+            F1, F2 = _split_F(F)
+            loc = mode + F1
+            W = _W(y, loc, F2, aux)
             mu_p = Kcross.T @ a
             if w_neg:
                 M = W[:, None] * _negw_solve_IpSW(_negw_factors(Sigma, W),
@@ -457,15 +475,31 @@ class LaplaceDenseEngine:
             mu, var, _ = self._predict_latent(ud, Fd, yd, a_init, K_cross,
                                               jnp.diagonal(K_pred))
             cov = None
+        # two-predictor likelihoods: F_pred carries both blocks stacked
+        two = self.num_sets_fe == 2
+        np_pred = len(np.asarray(mu))
+        F1_pred = zeta_pred = None
+        if F_pred is not None:
+            Fp = jnp.asarray(F_pred, self.dtype)
+            if two:
+                F1_pred, zeta_pred = Fp[:np_pred], Fp[np_pred:]
+            else:
+                F1_pred = Fp
+        elif two:
+            zeta_pred = jnp.zeros(np_pred, self.dtype)
         if predict_response:
-            mu_tot = mu if F_pred is None else mu + jnp.asarray(F_pred, self.dtype)
-            m, v = self.likelihood.response_mean_var(mu_tot,
-                                                     jnp.maximum(var, 0.0), aux_d)
+            mu_tot = mu if F1_pred is None else mu + F1_pred
+            if two:
+                m, v = self.likelihood.response_mean_var2(
+                    mu_tot, jnp.maximum(var, 0.0), zeta_pred, aux_d)
+            else:
+                m, v = self.likelihood.response_mean_var(
+                    mu_tot, jnp.maximum(var, 0.0), aux_d)
             out["mu"] = np.asarray(m)
             if predict_var or predict_cov_mat:
                 out["var"] = np.asarray(v)
         else:
-            mu_out = mu if F_pred is None else mu + jnp.asarray(F_pred, self.dtype)
+            mu_out = mu if F1_pred is None else mu + F1_pred
             out["mu"] = np.asarray(mu_out)
             if predict_cov_mat:
                 out["cov"] = np.asarray(cov)
@@ -481,8 +515,13 @@ class LaplaceDenseEngine:
             aux_pars = self.likelihood.aux_to_internal(aux_pars)
         u = np.concatenate([np.log(t), np.log(np.asarray(aux_pars, dtype=np.float64))]) \
             if self.num_aux else np.log(t)
-        F = jnp.zeros(self.n, self.dtype) if fixed_effects is None \
+        F = jnp.zeros(self.n * self.num_sets_fe, self.dtype) \
+            if fixed_effects is None \
             else jnp.asarray(fixed_effects, self.dtype)
+        if len(F) != self.n * self.num_sets_fe:
+            raise ValueError(
+                f"fixed_effects must have length {self.n * self.num_sets_fe} "
+                f"(num_sets_fe = {self.num_sets_fe}), got {len(F)}")
         yd = jnp.asarray(y, self.dtype)
         nll, _ = self.laplace_nll(u, yd, F, self.zero_mode())
         return nll

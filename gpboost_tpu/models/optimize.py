@@ -468,6 +468,10 @@ def optimize_laplace(engine, y, config: OptimConfig, X=None,
     the Laplace approximation (OptimLinRegrCoefCovPar non-Gaussian branch)."""
     opt = config.optimizer_cov
     if opt in ("gradient_descent",):
+        if getattr(engine, "num_sets_fe", 1) == 2:
+            raise ValueError(
+                "optimizer_cov='gradient_descent' is not supported for "
+                "two-predictor likelihoods; use 'lbfgs' (the default)")
         return _optimize_laplace_gd(engine, y, config, X, offset)
     if opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "nelder_mead", "adam",
                "bfgs_optim_lib"):
@@ -675,10 +679,16 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
     import jax.numpy as jnp
 
     n = engine.n
+    nsets = getattr(engine, "num_sets_fe", 1)
     est = _laplace_est_mask(engine, config)
     yd = jnp.asarray(np.asarray(y, dtype=np.float64))
     has_covariates = X is not None
-    offs = np.zeros(n) if offset is None else np.asarray(offset, dtype=np.float64)
+    if offset is None:
+        offs = np.zeros(n * nsets)
+    else:
+        offs = np.asarray(offset, dtype=np.float64)
+        if nsets == 2 and len(offs) == n:
+            offs = np.concatenate([offs, np.zeros(n)])
     u0 = _laplace_u0(engine, y, config)
     handler = None
     beta0 = None
@@ -691,7 +701,26 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
         tot_var = float(np.sum(np.asarray(config.init_cov_pars)[
             [off for off in engine.par_offsets]]))
         beta0 = handler.init_beta(engine.likelihood, y, tot_var,
-                                  None if offset is None else offs)
+                                  None if offset is None else offs[:n])
+        if nsets == 2:
+            # second (zeta) block: intercept from init_intercept2
+            # (FindInitialIntercept ind_set_re = 1)
+            beta0_2 = np.zeros(k)
+            lik = engine.likelihood
+            if handler.intercept_col is not None \
+                    and hasattr(lik, "init_intercept2"):
+                beta0_2[handler.intercept_col] = lik.init_intercept2(
+                    y, tot_var, None if offset is None else offs) \
+                    / handler.X_orig[0, handler.intercept_col]
+            beta0 = np.concatenate([beta0, beta0_2])
+
+    def F_of(beta):
+        if not has_covariates:
+            return offs
+        if nsets == 2:
+            return offs + np.concatenate([X @ beta[:k], X @ beta[k:]])
+        return offs + X @ beta
+
     state = {"a": engine.zero_mode()}
 
     def unpack(x):
@@ -702,10 +731,13 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
 
     def obj(x):
         u, beta = unpack(x)
-        F = offs + (X @ beta if has_covariates else 0.0)
+        F = F_of(beta)
         if has_covariates:
             nll, gu, gF, a = engine.laplace_vag_F(u, yd, jnp.asarray(F), state["a"])
-            g = np.concatenate([gu[est], X.T @ gF])
+            if nsets == 2:
+                g = np.concatenate([gu[est], X.T @ gF[:n], X.T @ gF[n:]])
+            else:
+                g = np.concatenate([gu[est], X.T @ gF])
         else:
             nll, gu, a = engine.laplace_vag(u, yd, jnp.asarray(F), state["a"])
             g = gu[est]
@@ -753,9 +785,16 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
                                    "gtol": 1e-10, "maxcor": 20})
         nit = r.nit
     u, beta = unpack(r.x)
-    F = offs + (X @ beta if has_covariates else 0.0)
+    F = F_of(beta)
     nll, a = engine.laplace_nll(u, yd, jnp.asarray(F), state["a"])
-    beta_out = handler.back_transform(beta) if has_covariates else None
+    if has_covariates:
+        if nsets == 2:
+            beta_out = np.concatenate([handler.back_transform(beta[:k]),
+                                       handler.back_transform(beta[k:])])
+        else:
+            beta_out = handler.back_transform(beta)
+    else:
+        beta_out = None
     return _laplace_result(engine, u, nll, int(nit), True, beta_out, a)
 
 

@@ -39,7 +39,10 @@ class VecchiaLaplaceEngine:
     is_gaussian = False
 
     def __init__(self, components, num_data, likelihood, num_neighbors=20,
-                 vecchia_ordering="random", seed=0, dtype=jnp.float64):
+                 vecchia_ordering="random", seed=0, dtype=jnp.float64,
+                 matrix_inversion_method="cholesky", num_rand_vec_trace=50,
+                 cg_max_num_it=1000, cg_delta_conv=1e-6,
+                 seed_rand_vec_trace=1, nsim_var_pred=500):
         # reuse the Gaussian Vecchia machinery for ordering/NN/batched B,D
         self._vecchia = VecchiaGaussianEngine(
             components, num_data, num_neighbors=num_neighbors,
@@ -55,7 +58,16 @@ class VecchiaLaplaceEngine:
         self.par_offsets = [0]
         self.num_aux = likelihood.num_aux
         self.num_par = self.num_theta + self.num_aux
-        self._build_jitted()
+        self.matrix_inversion_method = matrix_inversion_method
+        self.num_rand_vec_trace = int(num_rand_vec_trace)
+        self.cg_max_num_it = int(cg_max_num_it)
+        self.cg_delta_conv = float(cg_delta_conv)
+        self.seed_rand_vec_trace = int(seed_rand_vec_trace)
+        self.nsim_var_pred = int(nsim_var_pred)
+        if matrix_inversion_method == "iterative":
+            self._build_jitted_iterative()
+        else:
+            self._build_jitted()
 
     # ------------------------------------------------------------------
     def _Q_logdetQ(self, theta_log):
@@ -74,21 +86,30 @@ class VecchiaLaplaceEngine:
     def _build_jitted(self):
         n = self.n
         lik = self.likelihood
+        # two-predictor likelihoods: F is (2n,), random effects on block 1
+        two = getattr(lik, "num_sets_fe", 1) == 2
+        self.num_sets_fe = 2 if two else 1
 
-        def _loglik(y, loc, aux):
-            return jnp.sum(lik.log_lik(y, loc, aux))
+        def _split_F(F):
+            return (F[:n], F[n:]) if two else (F, None)
 
-        def _d1(y, loc, aux):
-            return jax.grad(lambda l: _loglik(y, l, aux))(loc)
+        def _loglik(y, loc, F2, aux):
+            return jnp.sum(lik.log_lik2(y, loc, F2, aux) if two
+                           else lik.log_lik(y, loc, aux))
 
-        def _W_obs(y, loc, aux):
-            return -jax.grad(lambda l: jnp.sum(_d1(y, l, aux)))(loc)
+        def _d1(y, loc, F2, aux):
+            return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
 
-        def _W_fisher(y, loc, aux):
-            return lik.fisher_W(y, loc, aux)
+        def _W_obs(y, loc, F2, aux):
+            return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
+
+        def _W_fisher(y, loc, F2, aux):
+            return lik.fisher_W2(y, loc, F2, aux) if two \
+                else lik.fisher_W(y, loc, aux)
 
         # variant routing (likelihoods.h:327-369); see models/laplace.py
-        has_fisher = hasattr(lik, "fisher_W")
+        has_fisher = hasattr(lik, "fisher_W2") if two \
+            else hasattr(lik, "fisher_W")
         use_fisher_mode = has_fisher and lik.approx_type in (
             "fisher_laplace", "combined")
         use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
@@ -103,13 +124,15 @@ class VecchiaLaplaceEngine:
             return jsl.cho_solve((L, True), rhs)
 
         def _mode_solve(Q, aux, y, F, b_init):
-            obj0 = -0.5 * (b_init @ (Q @ b_init)) + _loglik(y, b_init + F, aux)
+            F1, F2 = _split_F(F)
+            obj0 = -0.5 * (b_init @ (Q @ b_init)) \
+                + _loglik(y, b_init + F1, F2, aux)
 
             def newton_body(carry):
                 b, obj, it, done = carry
-                loc = b + F
-                d1 = _d1(y, loc, aux)
-                W = _W_mode(y, loc, aux)
+                loc = b + F1
+                d1 = _d1(y, loc, F2, aux)
+                W = _W_mode(y, loc, F2, aux)
                 grad = d1 - Q @ b
                 delta = _solve_H(Q, W, grad)
                 gdd = grad @ delta
@@ -122,7 +145,7 @@ class VecchiaLaplaceEngine:
                     lr, ih, _, _, _ = bt
                     b_new = b + lr * delta
                     obj_new = -0.5 * (b_new @ (Q @ b_new)) \
-                        + _loglik(y, b_new + F, aux)
+                        + _loglik(y, b_new + F1, F2, aux)
                     ok = obj_new >= obj + C_ARMIJO * lr * gdd
                     ok = jnp.logical_and(ok, jnp.isfinite(obj_new))
                     return (jnp.where(ok, lr, lr * 0.5), ih + 1, ok, b_new,
@@ -146,17 +169,19 @@ class VecchiaLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Q, logdetQ = self._Q_logdetQ(theta_log)
-            loc = b + F
-            W = _W(y, loc, aux)
+            F1, F2 = _split_F(F)
+            loc = b + F1
+            W = _W(y, loc, F2, aux)
             L = jnp.linalg.cholesky(Q + jnp.diag(W))
-            return (0.5 * (b @ (Q @ b)) - _loglik(y, loc, aux)
+            return (0.5 * (b @ (Q @ b)) - _loglik(y, loc, F2, aux)
                     + jnp.sum(jnp.log(jnp.diagonal(L))) - 0.5 * logdetQ)
 
         def _r(u, F, b, y):
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Q, _ = self._Q_logdetQ(theta_log)
-            return Q @ b - _d1(y, b + F, aux)
+            F1, F2 = _split_F(F)
+            return Q @ b - _d1(y, b + F1, F2, aux)
 
         @jax.custom_vjp
         def nll_fn(u, F, y, b_init):
@@ -176,7 +201,8 @@ class VecchiaLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Q, _ = self._Q_logdetQ(theta_log)
-            W = _W(y, b + F, aux)
+            F1, F2 = _split_F(F)
+            W = _W(y, b + F1, F2, aux)
             g_u, g_F, g_b = jax.grad(_g, argnums=(0, 1, 2))(u, F, b, y)
             lam = _solve_H(Q, W, g_b)   # (Q + W) symmetric
             _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, b, y), u, F)
@@ -199,7 +225,11 @@ class VecchiaLaplaceEngine:
         return jnp.zeros(self.n, dtype=self.dtype)
 
     def _permute(self, v):
-        return jnp.asarray(np.asarray(v)[self.perm], self.dtype)
+        v = np.asarray(v)
+        if len(v) == 2 * self.n:     # two-predictor F: permute each block
+            return jnp.asarray(np.concatenate(
+                [v[: self.n][self.perm], v[self.n:][self.perm]]), self.dtype)
+        return jnp.asarray(v[self.perm], self.dtype)
 
     def laplace_nll(self, u, y, F, a_init):
         nll, b = self._nll_fn(jnp.asarray(u, self.dtype), self._permute(F),
@@ -215,8 +245,14 @@ class VecchiaLaplaceEngine:
         (nll, b), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype),
                                          self._permute(F), self._permute(y),
                                          a_init)
-        gF_unperm = np.empty(self.n)
-        gF_unperm[self.perm] = np.asarray(gF)
+        gF = np.asarray(gF)
+        if len(gF) == 2 * self.n:     # two-predictor: un-permute each block
+            gF_unperm = np.empty(2 * self.n)
+            gF_unperm[self.perm] = gF[: self.n]
+            gF_unperm[self.n + self.perm] = gF[self.n:]
+        else:
+            gF_unperm = np.empty(self.n)
+            gF_unperm[self.perm] = gF
         return float(nll), np.asarray(gu), gF_unperm, b
 
     # parameter transforms (sigma2 = 1 for non-Gaussian)
@@ -242,7 +278,12 @@ class VecchiaLaplaceEngine:
             else:
                 aux_pars = self.likelihood.aux_to_internal(aux_pars)
             u = np.concatenate([u, np.log(np.asarray(aux_pars, dtype=np.float64))])
-        F = np.zeros(self.n) if fixed_effects is None else fixed_effects
+        nsets = getattr(self, "num_sets_fe", 1)
+        F = np.zeros(self.n * nsets) if fixed_effects is None else fixed_effects
+        if len(F) != self.n * nsets:
+            raise ValueError(
+                f"fixed_effects must have length {self.n * nsets} "
+                f"(num_sets_fe = {nsets}), got {len(F)}")
         nll, _ = self.laplace_nll(u, y, F, self.zero_mode())
         return nll
 
@@ -280,6 +321,10 @@ class VecchiaLaplaceEngine:
         if a_init is None:
             a_init = self.zero_mode()
         nll, b = self._nll_fn(jnp.asarray(u, self.dtype), Fp, yp, a_init)
+        if self.matrix_inversion_method == "iterative":
+            return self._predict_iterative(u, yp, Fp, b, pred_data,
+                                           predict_var, predict_response,
+                                           F_pred)
 
         cf = self.comp.cov_fn
         v = t[0]
@@ -296,9 +341,11 @@ class VecchiaLaplaceEngine:
         K_cross = v * np.asarray(cf.corr_from_dist(jnp.asarray(d_cross), alpha))
         K_pp = v * np.asarray(cf.corr_from_dist(jnp.asarray(d_pp), alpha))
 
-        loc = b + Fp
-        a = np.asarray(self._d1_fn(yp, loc, aux_d))   # = Q b at the mode
-        W = np.asarray(self._W_fn(yp, loc, aux_d))
+        two = getattr(self, "num_sets_fe", 1) == 2
+        F1p, F2p = (Fp[: self.n], Fp[self.n:]) if two else (Fp, None)
+        loc = b + F1p
+        a = np.asarray(self._d1_fn(yp, loc, F2p, aux_d))   # = Q b at the mode
+        W = np.asarray(self._W_fn(yp, loc, F2p, aux_d))
         Q, _ = self._Q_logdetQ(theta_log)
         H = np.asarray(Q) + np.diag(W)
         import scipy.linalg as sla
@@ -309,7 +356,16 @@ class VecchiaLaplaceEngine:
             cho = sla.cho_factor(H, lower=True)
             _h_solve = lambda rhs: sla.cho_solve(cho, rhs)
         mu_p = K_cross.T @ a
-        mu_lat = mu_p if F_pred is None else mu_p + np.asarray(F_pred)
+        F1_pred = zeta_pred = None
+        if F_pred is not None:
+            Fpr = np.asarray(F_pred)
+            if two:
+                F1_pred, zeta_pred = Fpr[:n_pred], Fpr[n_pred:]
+            else:
+                F1_pred = Fpr
+        elif two:
+            zeta_pred = np.zeros(n_pred)
+        mu_lat = mu_p if F1_pred is None else mu_p + F1_pred
         out = {"mu": mu_lat}
         if predict_var or predict_cov_mat:
             # posterior cov: K_pp - K' (Sigma + W^-1)^-1 K, and
@@ -322,16 +378,302 @@ class VecchiaLaplaceEngine:
             if predict_var:
                 out["var"] = np.diagonal(cov).copy()
         if predict_response:
-            mu_tot = mu_p if F_pred is None else mu_p + np.asarray(F_pred)
+            mu_tot = mu_p if F1_pred is None else mu_p + F1_pred
             var = out.get("var")
             if var is None:
                 WK = W[:, None] * K_cross
                 M = WK - W[:, None] * _h_solve(WK)
                 var = np.maximum(np.diagonal(K_pp - K_cross.T @ M), 0.0)
-            m, vv = self.likelihood.response_mean_var(
-                jnp.asarray(mu_tot), jnp.asarray(np.maximum(var, 0.0)), aux_d)
+            if two:
+                m, vv = self.likelihood.response_mean_var2(
+                    jnp.asarray(mu_tot), jnp.asarray(np.maximum(var, 0.0)),
+                    jnp.asarray(zeta_pred), aux_d)
+            else:
+                m, vv = self.likelihood.response_mean_var(
+                    jnp.asarray(mu_tot), jnp.asarray(np.maximum(var, 0.0)), aux_d)
             out2 = {"mu": np.asarray(m)}
             if predict_var or predict_cov_mat:
                 out2["var"] = np.asarray(vv)
             return out2
+        return out
+
+    # ==================================================================
+    # Scalable (iterative) path: no dense Q is ever formed.
+    #
+    # Reference: CGVecchiaLaplace solvers (CG_utils.h:42-167), preconditioned
+    # SLQ log-dets (CG_utils.h:384) with the vadu preconditioner family
+    # (re_model_template.h:5859-5867), FindModePostRandEffCalcMLLVecchia with
+    # matrix_inversion_method='iterative' (likelihoods.h:3728).
+    #
+    # TPU-first design: Q v = B'(D^-1 (B v)) where B v is a gather and B' w a
+    # scatter-add over the static (n, m) neighbor index array — everything is
+    # O(n m) and fully parallel. The preconditioner is Jacobi on Q + W
+    # (diag(Q) computable by one scatter of A^2/D) instead of the reference's
+    # vadu B'(D^-1+W)B, whose application needs sequential sparse triangular
+    # solves that do not map to the TPU's vector units; the preconditioner
+    # only affects CG convergence speed and SLQ variance, not the solution.
+    def _build_jitted_iterative(self):
+        import math as _math
+        from ..ops.iterative import make_slq_logdet_precond, pcg
+
+        n = self.n
+        lik = self.likelihood
+        idx = self._vecchia._nn_idx                    # (n, m)
+        flat_idx = idx.reshape(-1)
+        two = getattr(lik, "num_sets_fe", 1) == 2
+        self.num_sets_fe = 2 if two else 1
+
+        def _split_F(F):
+            return (F[:n], F[n:]) if two else (F, None)
+
+        def _loglik(y, loc, F2, aux):
+            return jnp.sum(lik.log_lik2(y, loc, F2, aux) if two
+                           else lik.log_lik(y, loc, aux))
+
+        def _d1(y, loc, F2, aux):
+            return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
+
+        def _W_obs(y, loc, F2, aux):
+            return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
+
+        def _W_fisher(y, loc, F2, aux):
+            return lik.fisher_W2(y, loc, F2, aux) if two \
+                else lik.fisher_W(y, loc, aux)
+
+        has_fisher = hasattr(lik, "fisher_W2") if two \
+            else hasattr(lik, "fisher_W")
+        use_fisher_mode = has_fisher and lik.approx_type in (
+            "fisher_laplace", "combined")
+        use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
+        _W_mode = _W_fisher if use_fisher_mode else _W_obs
+        _W = _W_fisher if use_fisher_det else _W_obs
+
+        # ---- matrix-free Vecchia operators over (A, D) -------------------
+        def _Bv(A, v):
+            return v - jnp.sum(A * v[idx], axis=1)
+
+        def _Btv(A, w):
+            return w - jnp.zeros_like(w).at[flat_idx].add(
+                (A * w[:, None]).reshape(-1))
+
+        def _Qv(A, D, v):
+            return _Btv(A, _Bv(A, v) / D)
+
+        def _diag_Q(A, D):
+            return 1.0 / D + jnp.zeros(n, D.dtype).at[flat_idx].add(
+                (A * A / D[:, None]).reshape(-1))
+
+        self._Bv, self._Btv, self._Qv, self._diag_Q = _Bv, _Btv, _Qv, _diag_Q
+
+        def _qw_matvec(p, v):
+            A, D, W = p
+            return _Qv(A, D, v) + W * v
+
+        def _qw_precond_diag(p):
+            A, D, W = p
+            return jnp.maximum(_diag_Q(A, D) + W, 1e-10)
+
+        slq_logdet = make_slq_logdet_precond(
+            _qw_matvec, _qw_precond_diag, n,
+            rank=min(n, 50), num_probes=self.num_rand_vec_trace,
+            seed=self.seed_rand_vec_trace, dtype=self.dtype)
+
+        cg_tol = self.cg_delta_conv
+        cg_maxit = self.cg_max_num_it
+
+        def _solve_qw(A, D, W, rhs, x0=None):
+            pd = _qw_precond_diag((A, D, W))
+            return pcg(lambda v: _qw_matvec((A, D, W), v), rhs,
+                       precond=lambda r: r / pd, tol=cg_tol, maxit=cg_maxit,
+                       x0=x0)
+
+        self._solve_qw = _solve_qw
+
+        # ---- mode finding: Newton with PCG inner solves ------------------
+        def _mode_solve(A, D, aux, y, F, b_init):
+            F1, F2 = _split_F(F)
+            obj0 = -0.5 * (b_init @ _Qv(A, D, b_init)) \
+                + _loglik(y, b_init + F1, F2, aux)
+
+            def newton_body(carry):
+                b, obj, it, done = carry
+                loc = b + F1
+                d1 = _d1(y, loc, F2, aux)
+                W = _W_mode(y, loc, F2, aux)
+                grad = d1 - _Qv(A, D, b)
+                delta = _solve_qw(A, D, W, grad)
+                gdd = grad @ delta
+
+                def bt_cond(bt):
+                    lr, ih, acc, _, _ = bt
+                    return jnp.logical_and(~acc, ih < MAX_LR_SHRINK_MODE)
+
+                def bt_body(bt):
+                    lr, ih, _, _, _ = bt
+                    b_new = b + lr * delta
+                    obj_new = -0.5 * (b_new @ _Qv(A, D, b_new)) \
+                        + _loglik(y, b_new + F1, F2, aux)
+                    ok = obj_new >= obj + C_ARMIJO * lr * gdd
+                    ok = jnp.logical_and(ok, jnp.isfinite(obj_new))
+                    return (jnp.where(ok, lr, lr * 0.5), ih + 1, ok, b_new,
+                            obj_new)
+
+                _, _, _, b_new, obj_new = jax.lax.while_loop(
+                    bt_cond, bt_body,
+                    (jnp.asarray(1.0, b.dtype), 0, False, b, obj))
+                rel = DELTA_CONV_MODE * jnp.abs(obj)
+                conv = jnp.where(it == 0, jnp.abs(obj_new - obj) < rel,
+                                 (obj_new - obj) < rel)
+                bad = ~jnp.isfinite(obj_new)
+                return (b_new, obj_new, it + 1, jnp.logical_or(conv, bad))
+
+            b_fin, _, _, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(~c[3], c[2] < MAXIT_MODE_NEWTON),
+                newton_body, (b_init, obj0, 0, False))
+            return b_fin
+
+        def _g(u, F, b, y):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            A, D = self._vecchia._bd(theta_log, latent=True)
+            F1, F2 = _split_F(F)
+            loc = b + F1
+            W = _W(y, loc, F2, aux)
+            logdetQ = -jnp.sum(jnp.log(D))
+            return (0.5 * (b @ _Qv(A, D, b)) - _loglik(y, loc, F2, aux)
+                    + 0.5 * (slq_logdet((A, D, W)) - logdetQ))
+
+        def _r(u, F, b, y):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            A, D = self._vecchia._bd(theta_log, latent=True)
+            F1, F2 = _split_F(F)
+            return _Qv(A, D, b) - _d1(y, b + F1, F2, aux)
+
+        @jax.custom_vjp
+        def nll_fn(u, F, y, b_init):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            A, D = self._vecchia._bd(theta_log, latent=True)
+            b = _mode_solve(A, D, aux, y, F, b_init)
+            return _g(u, F, b, y), b
+
+        def nll_fwd(u, F, y, b_init):
+            out = nll_fn(u, F, y, b_init)
+            return out, (u, F, y, out[1])
+
+        def nll_bwd(res, ct):
+            ct_nll = ct[0]
+            u, F, y, b = res
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            A, D = self._vecchia._bd(theta_log, latent=True)
+            F1, F2 = _split_F(F)
+            W = _W(y, b + F1, F2, aux)
+            g_u, g_F, g_b = jax.grad(_g, argnums=(0, 1, 2))(u, F, b, y)
+            lam = _solve_qw(A, D, W, g_b)
+            _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, b, y), u, F)
+            ru_l, rF_l = r_vjp(lam)
+            return ((g_u - ru_l) * ct_nll, (g_F - rF_l) * ct_nll, None, None)
+
+        nll_fn.defvjp(nll_fwd, nll_bwd)
+
+        self._nll_fn = jax.jit(nll_fn)
+        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+                                                 has_aux=True))
+        self._W_fn = _W
+        self._d1_fn = _d1
+
+    # ------------------------------------------------------------------
+    def _predict_iterative(self, u, yp, Fp, b, pred_data, predict_var,
+                           predict_response, F_pred):
+        """Neighbor-based Vecchia prediction for the iterative engine
+        (CalcPredVecchiaObservedFirstOrder + simulation-based predictive
+        variances, re_model.h:385 nsim_var_pred): each prediction point
+        conditions on its num_neighbors nearest OBSERVED points; posterior
+        variances via CG sampling from N(mode, (Q+W)^-1)."""
+        from scipy.spatial import cKDTree
+        from .vecchia import _corr_sets, _solve_sets
+
+        theta_log = jnp.asarray(u[:self.num_theta], self.dtype)
+        aux_d = jnp.exp(jnp.asarray(u[self.num_theta:], self.dtype))
+        t0 = float(np.exp(u[0]))                     # latent variance
+        m_nb = self._vecchia.m
+        cp = np.asarray(pred_data["comps"][0]["coords_pred"], dtype=np.float64)
+        if cp.ndim == 1:
+            cp = cp[:, None]
+        n_pred = len(cp)
+        co = self._vecchia.coords_ord
+        tree = cKDTree(co)
+        _, idx_p = tree.query(cp, k=min(m_nb, self.n))
+        idx_p = np.atleast_2d(idx_p)
+        if idx_p.shape[1] < m_nb:
+            idx_p = np.pad(idx_p, ((0, 0), (0, m_nb - idx_p.shape[1])),
+                           mode="edge")
+        idx_p = jnp.asarray(idx_p)
+
+        cn = jnp.asarray(co, self.dtype)[idx_p]          # (n_pred, m, d)
+        ci = jnp.asarray(cp, self.dtype)
+        alphas = jnp.exp(theta_log[1:])
+        corr_nn, corr_ni = _corr_sets(self.comp.cov_fn, cn, ci, alphas)
+        K_nn = t0 * corr_nn + 1e-10 * jnp.eye(m_nb, dtype=self.dtype)[None]
+        k_ni = t0 * corr_ni
+        a_p = _solve_sets(K_nn, k_ni, m_nb)              # (n_pred, m)
+        d_p = t0 - jnp.sum(a_p * k_ni, axis=1)           # latent cond. var
+
+        mu_p = jnp.sum(a_p * b[idx_p], axis=1)
+
+        var_p = None
+        if predict_var or predict_response:
+            # simulation-based posterior variances: samples of
+            # b_s - mode ~ N(0, (Q+W)^-1) via (Q+W) x = Q^1/2 u1 + W^1/2 u2,
+            # Q^1/2 u = B'(D^-1/2 u)  (rhs covariance = Q + W)
+            A, D = self._vecchia._bd(theta_log, latent=True)
+            F1 = Fp[: self.n] if self.num_sets_fe == 2 else Fp
+            F2 = Fp[self.n:] if self.num_sets_fe == 2 else None
+            W = self._W_fn(yp, b + F1, F2, aux_d) \
+                if self.num_sets_fe == 2 else self._W_fn(yp, b + Fp, None, aux_d)
+            Wp_ = jnp.maximum(W, 0.0)
+            rng = np.random.RandomState(self.seed_rand_vec_trace)
+            nsim = self.nsim_var_pred
+            u1 = jnp.asarray(rng.standard_normal((nsim, self.n)), self.dtype)
+            u2 = jnp.asarray(rng.standard_normal((nsim, self.n)), self.dtype)
+
+            def draw(us):
+                u1i, u2i = us
+                rhs = self._Btv(A, u1i / jnp.sqrt(D)) + jnp.sqrt(Wp_) * u2i
+                return self._solve_qw(A, D, W, rhs)
+
+            xs = jax.lax.map(draw, (u1, u2))             # (nsim, n)
+            proj = jnp.einsum("pm,spm->sp", a_p, xs[:, idx_p])
+            var_p = d_p + jnp.var(proj, axis=0)
+
+        mu_np = np.asarray(mu_p)
+        if F_pred is not None:
+            Fpr = np.asarray(F_pred)
+            if self.num_sets_fe == 2:
+                F1_pred, zeta_pred = Fpr[:n_pred], Fpr[n_pred:]
+            else:
+                F1_pred, zeta_pred = Fpr, None
+        else:
+            F1_pred = np.zeros(n_pred)
+            zeta_pred = np.zeros(n_pred) if self.num_sets_fe == 2 else None
+        mu_tot = mu_np + F1_pred
+        if predict_response:
+            var_lat = jnp.maximum(jnp.asarray(var_p), 0.0)
+            if self.num_sets_fe == 2:
+                m_, v_ = self.likelihood.response_mean_var2(
+                    jnp.asarray(mu_tot), var_lat, jnp.asarray(zeta_pred),
+                    aux_d)
+            else:
+                m_, v_ = self.likelihood.response_mean_var(
+                    jnp.asarray(mu_tot), var_lat, aux_d)
+            out = {"mu": np.asarray(m_)}
+            if predict_var:
+                out["var"] = np.asarray(v_)
+            return out
+        out = {"mu": mu_tot}
+        if predict_var:
+            out["var"] = np.asarray(var_p)
         return out

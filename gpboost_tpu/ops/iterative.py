@@ -129,6 +129,61 @@ def make_slq_logdet(matvec_of_theta, n, rank=50, num_probes=50, seed=0,
     return logdet
 
 
+def make_slq_logdet_precond(matvec_of_p, precond_diag_of_p, n, rank=50,
+                            num_probes=50, seed=0, dtype=jnp.float64):
+    """Diagonally-preconditioned stochastic Lanczos quadrature log-det with
+    a custom VJP, over an arbitrary parameter PYTREE `p`.
+
+    log|A(p)| = log|P| + log|P^-1/2 A P^-1/2| with P = diag(precond_diag);
+    the second term is estimated by SLQ on the preconditioned (better
+    conditioned) operator. This is the TPU-parallel analogue of the
+    reference's preconditioned SLQ (CG_utils.h:384 LogDetStochTridiag with
+    the vadu/Jacobi preconditioners, re_model_template.h:5859-5867) — a
+    diagonal P keeps every op a gather/scatter/elementwise instead of the
+    sequential sparse triangular solves vadu would need.
+
+    Gradients: d log|A| = tr(A^-1 dA) estimated with the same fixed
+    Rademacher probes (reuse_rand_vec_trace semantics) and Jacobi-PCG
+    solves A^-1 z.
+    """
+    rng = np.random.RandomState(seed)
+    probes = jnp.asarray(
+        rng.randint(0, 2, size=(num_probes, n)) * 2.0 - 1.0, dtype)
+
+    @jax.custom_vjp
+    def logdet(p):
+        d = precond_diag_of_p(p)
+        sqd = jnp.sqrt(d)
+
+        def mv(v):
+            return matvec_of_p(p, v / sqd) / sqd
+
+        return (_slq_logdet_value(mv, n, rank, probes)
+                + jnp.sum(jnp.log(d)))
+
+    def fwd(p):
+        return logdet(p), p
+
+    def bwd(p, ct):
+        d = precond_diag_of_p(p)
+
+        def solve_one(z):
+            return pcg(lambda v: matvec_of_p(p, v), z,
+                       precond=lambda r: r / d, tol=1e-6, maxit=1000)
+
+        Ainv_z = jax.vmap(solve_one)(probes)
+
+        def trace_fn(pp):
+            Az = jax.vmap(lambda z: matvec_of_p(pp, z))(probes)
+            return jnp.mean(jnp.sum(Ainv_z * Az, axis=1))
+
+        g = jax.grad(trace_fn)(p)
+        return (jax.tree_util.tree_map(lambda x: x * ct, g),)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
 def make_cg_solve(matvec_of_theta, tol=1e-6, maxit=1000):
     """Build solve(theta, b) = A(theta)^-1 b with implicit-diff custom VJP."""
 

@@ -1,0 +1,114 @@
+"""Scalable (matrix-free CG + preconditioned SLQ) Vecchia-Laplace engine.
+
+Reference: CGVecchiaLaplace (CG_utils.h:42-167), preconditioned SLQ
+(CG_utils.h:384), matrix_inversion_method='iterative' golden comparisons in
+test_GPModel_zero_inflated_hurdle.R:313-320 and test_GPModel_egpd.R:118-131
+(iterative vs Cholesky agree at TOL_ITERATIVE = 1e-1).
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from gpboost_tpu import GPModel, fitGPModel
+from gpboost_tpu.utils.datasim import sim_rand_unif, qnorm
+
+TOL_ITER = 1e-1
+
+IT_PARAMS = dict(cg_delta_conv=1e-6, num_rand_vec_trace=200,
+                 seed_rand_vec_trace=1)
+
+
+@pytest.fixture(scope="module")
+def vl_data():
+    n = 500
+    u1 = sim_rand_unif(n, 0.271)
+    u2 = sim_rand_unif(n, 0.55)
+    coords = sim_rand_unif(n * 2, 0.63).reshape(2, n).T
+    Dm = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    gp_re = np.linalg.cholesky(np.exp(-Dm / 0.2) + 1e-8 * np.eye(n)) \
+        @ qnorm(sim_rand_unif(n, 0.9))
+    return dict(n=n, u1=u1, u2=u2, coords=coords, gp_re=gp_re)
+
+
+def test_iterative_eval_matches_cholesky_and_golden(vl_data):
+    """hurdle_gamma Vecchia eval: Cholesky golden = 993.845
+    (test_GPModel_zero_inflated_hurdle.R:306); iterative within TOL_ITER."""
+    n = vl_data["n"]
+    mu = np.exp(0.5 + vl_data["gp_re"])
+    y = np.where(vl_data["u1"] < 0.3, 0.0,
+                 stats.gamma.ppf(vl_data["u2"], a=2, scale=mu / 2))
+    nlls = {}
+    for mim in ("cholesky", "iterative"):
+        gpm = GPModel(gp_coords=vl_data["coords"], cov_function="exponential",
+                      likelihood="hurdle_gamma", gp_approx="vecchia",
+                      num_neighbors=15, vecchia_ordering="none",
+                      matrix_inversion_method=mim)
+        if mim == "iterative":
+            gpm.set_optim_params(params=dict(IT_PARAMS))
+        nlls[mim] = gpm.neg_log_likelihood(
+            cov_pars=[1.0, 0.2], y=y, fixed_effects=np.zeros(n),
+            aux_pars=[2, 0.3])
+    assert abs(nlls["cholesky"] - 993.845) / 993.845 < 1e-5
+    assert abs(nlls["iterative"] - nlls["cholesky"]) \
+        / abs(nlls["cholesky"]) < TOL_ITER
+
+
+def test_iterative_fisher_zip_eval(vl_data):
+    """Full fisher_laplace enables the iterative method for ZI counts
+    (test_GPModel_zero_inflated_hurdle.R:196-203)."""
+    n = vl_data["n"]
+    mu = np.exp(-0.2 + vl_data["gp_re"])
+    y = np.where(vl_data["u1"] < 0.3, 0.0,
+                 stats.poisson.ppf(vl_data["u2"], mu))
+    nlls = {}
+    for mim in ("cholesky", "iterative"):
+        gpm = GPModel(gp_coords=vl_data["coords"], cov_function="exponential",
+                      likelihood="zero_inflated_poisson_fisher_laplace",
+                      gp_approx="vecchia", num_neighbors=15,
+                      vecchia_ordering="none", matrix_inversion_method=mim)
+        if mim == "iterative":
+            gpm.set_optim_params(params=dict(IT_PARAMS))
+        nlls[mim] = gpm.neg_log_likelihood(
+            cov_pars=[1.0, 0.2], y=y, fixed_effects=np.zeros(n),
+            aux_pars=[0.3])
+    assert abs(nlls["iterative"] - nlls["cholesky"]) \
+        / abs(nlls["cholesky"]) < TOL_ITER
+
+
+def test_iterative_fit_and_predict_match_cholesky(vl_data):
+    """Estimation + prediction: iterative reproduces the Cholesky estimates
+    (the R suite's est_vi ~= est_vc contract at TOL_ITER)."""
+    n = vl_data["n"]
+    mu = np.exp(0.5 + vl_data["gp_re"])
+    y = np.where(vl_data["u1"] < 0.3, 0.0,
+                 stats.gamma.ppf(vl_data["u2"], a=2, scale=mu / 2))
+    X = np.ones((n, 1))
+    fits = {}
+    for mim in ("cholesky", "iterative"):
+        gp = fitGPModel(gp_coords=vl_data["coords"],
+                        cov_function="exponential",
+                        likelihood="hurdle_gamma", gp_approx="vecchia",
+                        num_neighbors=15, vecchia_ordering="none",
+                        matrix_inversion_method=mim, y=y, X=X,
+                        params=dict(maxit=50, **IT_PARAMS))
+        est = np.concatenate([gp.get_cov_pars(),
+                              np.atleast_1d(gp.get_coef()),
+                              gp.get_aux_pars()])
+        fits[mim] = (gp, est)
+    rel = np.abs(fits["iterative"][1] - fits["cholesky"][1]) \
+        / np.maximum(np.abs(fits["cholesky"][1]), 1e-8)
+    assert rel.max() < TOL_ITER
+    cp = vl_data["coords"][:5] + 0.01
+    pd_i = fits["iterative"][0].predict(gp_coords_pred=cp,
+                                        X_pred=np.ones((5, 1)),
+                                        predict_var=True,
+                                        predict_response=True)
+    pd_c = fits["cholesky"][0].predict(gp_coords_pred=cp,
+                                       X_pred=np.ones((5, 1)),
+                                       predict_var=True,
+                                       predict_response=True)
+    assert np.max(np.abs(pd_i["mu"] - pd_c["mu"])
+                  / np.maximum(np.abs(pd_c["mu"]), 0.1)) < TOL_ITER
+    assert np.max(np.abs(pd_i["var"] - pd_c["var"])
+                  / np.maximum(pd_c["var"], 0.1)) < 2 * TOL_ITER
