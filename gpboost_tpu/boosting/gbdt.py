@@ -530,6 +530,9 @@ class Booster:
                    "random_effect_cov": pred.get("cov"),
                    "random_effect_var": pred.get("var"),
                    "response_mean": F_pred + pred["mu"]}
+            if not pred_latent:
+                # predict_response=True -> var includes the error term
+                out["response_var"] = pred.get("var")
             return out
         else:
             pred = gp.predict(
@@ -736,6 +739,11 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
     chosen = raw.get("metric")
     if isinstance(chosen, (list, tuple)):
         chosen = chosen[0] if chosen else None
+    feval = kwargs.get("feval")
+
+    from ..engine import (_METRIC_ALIASES, _GP_TRAIN_METRICS, _VAR_METRICS,
+                          _var_metric_fn, metric_higher_better)
+    chosen_canon = _METRIC_ALIASES.get(chosen, chosen) if chosen else None
 
     def _metric(y, p):
         if chosen:
@@ -749,8 +757,40 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                 y * np.log(pc) + (1 - y) * np.log(1 - pc)))
         return "rmse", float(np.sqrt(np.mean((y - p) ** 2)))
 
-    from ..engine import metric_higher_better
+    def _eval_var_metric(v, pk, use_gp):
+        """test_neg_log_likelihood / crps_gaussian on a validation set
+        (regression_metric.hpp:373-494)."""
+        yv = v.get_label()
+        if use_gp:
+            if gp_model.likelihood == "gaussian":
+                pred = booster.predict(v.data, predict_var=True, **pk)
+                mu = pred["response_mean"]
+                var = pred["response_var"]
+                return _var_metric_fn(chosen_canon)(yv, mu, var)
+            # non-Gaussian: adaptive-GH log predictive density over the
+            # LATENT predictive distribution (likelihoods.h:10157)
+            if chosen_canon == "crps_gaussian":
+                raise ValueError("crps_gaussian requires a Gaussian likelihood")
+            pred = booster.predict(v.data, pred_latent=True,
+                                   predict_var=True, **pk)
+            mu_lat = pred["fixed_effect"] + pred["random_effect_mean"]
+            v_lat = pred["random_effect_var"]
+            lik = gp_model._likelihood_obj
+            aux = getattr(gp_model._engine, "aux_for_metrics", None)
+            r = gp_model._fit_result
+            aux_pars = getattr(r, "aux_pars", None)
+            return float(lik.test_neg_log_likelihood(
+                yv, np.asarray(mu_lat), np.asarray(v_lat), aux_pars))
+        # no GP model (or not used): plug-in Gaussian with the training
+        # residual variance (regression_metric.hpp:473-480)
+        F_pred = booster.predict(v.data, ignore_gp_model=True, raw_score=True)
+        Ftr = booster.F[: booster.n]
+        var_est = float(np.var(booster.y - Ftr, ddof=1))
+        return _var_metric_fn(chosen_canon)(yv, F_pred, var_est)
+
     maximize = metric_higher_better(chosen) if chosen else False
+    if feval is not None:
+        maximize_feval = None   # discovered from the first feval call
     best_score = -np.inf if maximize else np.inf
     best_iter = -1
     rounds_no_improve = 0
@@ -765,12 +805,36 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                 use_gp = (gp_model is not None
                           and booster.params["use_gp_model_for_validation"]
                           and pk)
-                pred = booster.predict(v.data, ignore_gp_model=not use_gp, **pk)
-                if isinstance(pred, dict):
-                    pred = pred.get("response_mean",
-                                    pred["fixed_effect"]
-                                    + pred["random_effect_mean"])
-                mname, score = _metric(v.get_label(), pred)
+                if chosen_canon in _GP_TRAIN_METRICS:
+                    if gp_model is None:
+                        raise ValueError(
+                            f"metric '{chosen}' requires a gp_model")
+                    mname = chosen
+                    score = float(
+                        gp_model._fit_result.neg_log_likelihood)
+                elif chosen_canon in _VAR_METRICS:
+                    mname = chosen
+                    score = _eval_var_metric(v, pk, use_gp)
+                elif feval is not None:
+                    pred = booster.predict(v.data, ignore_gp_model=not use_gp,
+                                           **pk)
+                    if isinstance(pred, dict):
+                        pred = pred.get("response_mean",
+                                        pred["fixed_effect"]
+                                        + pred["random_effect_mean"])
+                    mname, score, hib = feval(np.asarray(pred), v)
+                    if maximize_feval is None:
+                        maximize_feval = bool(hib)
+                        maximize = maximize_feval
+                        best_score = -np.inf if maximize else np.inf
+                else:
+                    pred = booster.predict(v.data, ignore_gp_model=not use_gp,
+                                           **pk)
+                    if isinstance(pred, dict):
+                        pred = pred.get("response_mean",
+                                        pred["fixed_effect"]
+                                        + pred["random_effect_mean"])
+                    mname, score = _metric(v.get_label(), pred)
                 if evals_result is not None:
                     evals_result[nm].setdefault(mname, []).append(score)
                 if nm == names[0]:

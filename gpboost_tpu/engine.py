@@ -20,17 +20,47 @@ _METRIC_ALIASES = {
     "auc": "auc",
     "binary_error": "binary_error",
     "neg_log_likelihood": "neg_log_likelihood",
-    "approx_neg_marginal_log_likelihood": "neg_log_likelihood",
+    "approx_neg_marginal_log_likelihood": "approx_neg_marginal_log_likelihood",
     "test_neg_log_likelihood": "test_neg_log_likelihood",
+    "crps_gaussian": "crps_gaussian",
 }
 
 # metrics where LARGER is better (the reference tracks a per-metric
 # greater_is_better flag; LightGBM metric headers)
 _MAXIMIZE_METRICS = {"auc"}
 
+# GP-routed metrics evaluated on TRAINING data from the random-effects model
+# state (random_effects_metric.hpp:25 NegLogLikelihood, :69
+# LatenGaussianLaplace)
+_GP_TRAIN_METRICS = {"neg_log_likelihood", "approx_neg_marginal_log_likelihood"}
+
+# metrics needing a predictive variance (regression_metric.hpp:373
+# TestNegLogLikelihood; crps asserted in test_z_GPBoost_algorithm.R:602-616)
+_VAR_METRICS = {"test_neg_log_likelihood", "crps_gaussian"}
+
 
 def metric_higher_better(name):
     return _METRIC_ALIASES.get(name, name) in _MAXIMIZE_METRICS
+
+
+def _var_metric_fn(name):
+    """Metrics of (y, pred_mean, pred_var)."""
+    name = _METRIC_ALIASES.get(name, name)
+    if name == "test_neg_log_likelihood":
+        # Gaussian predictive NLL (regression_metric.hpp:436-441); the
+        # non-Gaussian GH-quadrature version is handled by the caller
+        return lambda y, mu, var: float(np.mean(
+            0.5 * ((y - mu) ** 2 / var + np.log(2.0 * np.pi * var))))
+    if name == "crps_gaussian":
+        def crps(y, mu, var):
+            from scipy.stats import norm
+            sd = np.sqrt(var)
+            r = (y - mu) / sd
+            return float(np.mean(sd * (-1.0 / np.sqrt(np.pi)
+                                       + 2.0 * norm.pdf(r)
+                                       + r * (2.0 * norm.cdf(r) - 1.0))))
+        return crps
+    raise ValueError(f"unknown variance metric '{name}'")
 
 
 def _metric_fn(name):
@@ -167,9 +197,20 @@ def cv(params=None, train_set=None, num_boost_round=100, gp_model=None,
     y = train_set.get_label()
     n = len(y)
     fold_idx = _make_folds(y, nfold, folds, seed, stratified)
+    feval = kwargs.get("eval") if callable(kwargs.get("eval")) else None
     metric = metrics if isinstance(metrics, str) else (
         metrics[0] if metrics else _default_metric(gp_model, params))
-    mfn = _metric_fn(metric)
+    if params.get("metric") and metrics is None:
+        metric = params["metric"] if isinstance(params["metric"], str) \
+            else params["metric"][0]
+    canon = _METRIC_ALIASES.get(metric, metric)
+    if canon in _GP_TRAIN_METRICS:
+        raise ValueError(f"metric '{metric}' is a training-data metric and "
+                         "cannot be used for cross-validation")
+    use_var_metric = canon in _VAR_METRICS
+    mfn = None
+    if feval is None and not use_var_metric:
+        mfn = _metric_fn(metric)
     maximize = metric_higher_better(metric)
 
     from .boosting.gbdt import Booster
@@ -206,21 +247,61 @@ def cv(params=None, train_set=None, num_boost_round=100, gp_model=None,
             return p
         return pred
 
+    class _FoldData:
+        def __init__(self, Xr, yr):
+            self.data = Xr
+            self._y = yr
+
+        def get_label(self):
+            return self._y
+
+    def _score_fold(bst, yv, Xrows, pred_kw):
+        if use_var_metric:
+            if pred_kw and bst.gp_model is not None:
+                if bst.gp_model.likelihood == "gaussian":
+                    pred = bst.predict(Xrows, predict_var=True, **pred_kw)
+                    return _var_metric_fn(canon)(yv, pred["response_mean"],
+                                                 pred["response_var"])
+                pred = bst.predict(Xrows, pred_latent=True, predict_var=True,
+                                   **pred_kw)
+                lik = bst.gp_model._likelihood_obj
+                aux_p = getattr(bst.gp_model._fit_result, "aux_pars", None)
+                return lik.test_neg_log_likelihood(
+                    yv, np.asarray(pred["fixed_effect"]
+                                   + pred["random_effect_mean"]),
+                    np.asarray(pred["random_effect_var"]), aux_p)
+            Fp = bst.predict(Xrows, ignore_gp_model=True, raw_score=True)
+            var_est = float(np.var(bst.y - bst.F[: bst.n], ddof=1))
+            return _var_metric_fn(canon)(yv, Fp, var_est)
+        if feval is not None:
+            p = _scalar_pred(bst, Xrows, pred_kw)
+            return feval(np.asarray(p), _FoldData(Xrows, yv))[1]
+        return mfn(yv, _scalar_pred(bst, Xrows, pred_kw))
+
     per_iter = []
     per_iter_train = []
     best_mean = -np.inf if maximize else np.inf
     best_it = 0
     rounds_no_improve = 0
+    feval_dir_known = feval is None
     for it in range(num_boost_round):
         scores = []
         scores_train = []
         for bst, test_mask, tr, pred_kw in fold_state:
             bst.update()
-            p = _scalar_pred(bst, X[test_mask], pred_kw)
-            scores.append(mfn(y[test_mask], p))
+            if not feval_dir_known:
+                p = _scalar_pred(bst, X[test_mask], pred_kw)
+                _, val, hib = feval(np.asarray(p), _FoldData(X[test_mask],
+                                                             y[test_mask]))
+                maximize = bool(hib)
+                best_mean = -np.inf if maximize else np.inf
+                feval_dir_known = True
+                scores.append(val)
+            else:
+                scores.append(_score_fold(bst, y[test_mask], X[test_mask],
+                                          pred_kw))
             if eval_train_metric:
-                p_tr = _scalar_pred(bst, X[tr], {})
-                scores_train.append(mfn(y[tr], p_tr))
+                scores_train.append(_score_fold(bst, y[tr], X[tr], {}))
         per_iter.append(scores)
         if eval_train_metric:
             per_iter_train.append(scores_train)

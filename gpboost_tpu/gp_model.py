@@ -152,14 +152,39 @@ class GPModel:
             if gp_coords.ndim == 1:
                 gp_coords = gp_coords[:, None]
             self.gp_coords = gp_coords
+            # taper smoothness mu = (1 + dim)/2 + taper_shape + 0.5
+            # (re_comp.h:1812-1815 GetTaperMu)
+            taper_mu = (1.0 + gp_coords.shape[1]) / 2.0 \
+                + cov_fct_taper_shape + 0.5
             cov_fn = CovarianceFunction(
                 cov_function, shape=cov_fct_shape, dim=gp_coords.shape[1],
-                taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape)
+                taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape,
+                taper_mu=taper_mu)
+            if gp_approx in ("tapering", "full_scale_tapering",
+                             "full_scale_tapering_pred_var_exact",
+                             "full_scale_tapering_pred_var_exact_stable"):
+                from .ops.taper import (TaperedCovarianceFunction,
+                                        FSACovarianceFunction)
+                taper = CovarianceFunction(
+                    "wendland", shape=cov_fct_taper_shape,
+                    taper_range=cov_fct_taper_range,
+                    taper_shape=cov_fct_taper_shape, taper_mu=taper_mu)
+                if gp_approx == "tapering":
+                    cov_fn = TaperedCovarianceFunction(cov_fn, taper)
+                else:
+                    from .models.fitc import kmeanspp_indices
+                    m_ip = min(num_ind_points if num_ind_points else 500,
+                               len(gp_coords))
+                    if ind_points_selection == "random":
+                        rng = np.random.RandomState(seed)
+                        ip = gp_coords[rng.choice(len(gp_coords), m_ip,
+                                                  replace=False)]
+                    else:
+                        ip = kmeanspp_indices(gp_coords, m_ip, seed=seed)
+                    cov_fn = FSACovarianceFunction(cov_fn, taper, ip)
             self.components.append(GPComponent(gp_coords, cov_fn, name="GP"))
-            self._par_names.append("GP_var")
-            for ir in range(cov_fn.num_range_par):
-                self._par_names.append(
-                    "GP_range" if cov_fn.num_range_par == 1 else f"GP_range_{ir + 1}")
+            self._par_names.extend(
+                _gp_cov_par_names(cov_function, gp_coords.shape[1]))
         self.gp_rand_coef_data = None
         if gp_rand_coef_data is not None:
             gp_rand_coef_data = np.asarray(gp_rand_coef_data, dtype=np.float64)
@@ -173,11 +198,11 @@ class GPModel:
                 self.components.append(GPComponent(
                     self.gp_coords, cov_fn, z=gp_rand_coef_data[:, ic],
                     name=f"GP_rand_coef_nb_{ic + 1}"))
-                self._par_names.append(f"GP_rand_coef_nb_{ic + 1}_var")
-                for ir in range(cov_fn.num_range_par):
-                    self._par_names.append(
-                        f"GP_rand_coef_nb_{ic + 1}_range" if cov_fn.num_range_par == 1
-                        else f"GP_rand_coef_nb_{ic + 1}_range_{ir + 1}")
+                base = _gp_cov_par_names(cov_function, self.gp_coords.shape[1])
+                pre = f"GP_rand_coef_nb_{ic + 1}"
+                self._par_names.extend(
+                    [pre + "_var"] + [pre + "_" + nm.replace("GP_", "")
+                                      for nm in base[1:]])
 
         self.num_data = (len(self.group_data) if self.group_data is not None
                          else len(self.gp_coords))
@@ -197,10 +222,21 @@ class GPModel:
         self._vecchia = gp_approx in ("vecchia",)
         self.vecchia_pred_type = "order_obs_first_cond_obs_only"
         self.num_neighbors_pred = None
+        _taper_approxes = ("tapering", "full_scale_tapering",
+                           "full_scale_tapering_pred_var_exact",
+                           "full_scale_tapering_pred_var_exact_stable")
+        if gp_approx in _taper_approxes:
+            # the tapered/FSA kernel adapters ride the dense (or Laplace)
+            # engine — reset to the plain dense dispatch below
+            gp_approx_engine = "none"
+        else:
+            gp_approx_engine = gp_approx
+        gp_approx = gp_approx_engine
         if gp_approx not in ("none", "vecchia", "fitc"):
             raise NotImplementedError(
                 f"gp_approx '{gp_approx}' is not implemented yet "
-                "(currently: 'none', 'vecchia', 'fitc')")
+                "(currently: 'none', 'vecchia', 'fitc', 'tapering', "
+                "'full_scale_tapering')")
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
                 if gp_approx != "vecchia":
@@ -812,6 +848,30 @@ class GPModel:
             self.y = np.asarray(d["y"])
 
 
+def _gp_cov_par_names(cov_function, dim):
+    """Covariance-parameter names for one GP component, mirroring the
+    reference (basic.py:5057-5076)."""
+    if cov_function == "space_time_gneiting":
+        return ["sigma2", "a", "c", "alpha", "nu", "beta", "delta"]
+    if cov_function == "matern_space_time":
+        return ["GP_var", "GP_range_time", "GP_range_space"]
+    if cov_function in ("matern_ard", "gaussian_ard"):
+        return ["GP_var"] + [f"GP_range_{i + 1}" for i in range(dim)]
+    if cov_function in ("wendland", "linear"):
+        return ["GP_var"]
+    if cov_function == "matern_estimate_shape":
+        return ["GP_var", "GP_range", "GP_smoothness"]
+    if cov_function == "matern_ard_estimate_shape":
+        return ["GP_var"] + [f"GP_range_{i + 1}" for i in range(dim)] \
+            + ["GP_smoothness"]
+    if cov_function in ("hurst", "hurst_ard"):
+        names = ["GP_var", "H"]
+        if cov_function == "hurst_ard":
+            names += [f"GP_range_{i + 1}" for i in range(1, dim)]
+        return names
+    return ["GP_var", "GP_range"]
+
+
 def _init_ranges(comp):
     """Initial transformed->original ranges via the median-distance rule
     (cov_fcts.h:1599-1668 FindInitCovPar)."""
@@ -859,13 +919,37 @@ def _init_ranges(comp):
             else:
                 alphas.append(3.0 / (m / 2.0) ** 2)
         return list(np.atleast_1d(cf.range_from_transformed(np.asarray(alphas))))
-    if t == "matern_space_time":
+    if t in ("matern_space_time", "space_time_gneiting"):
         dt = np.abs(coords[:, 0][:, None] - coords[:, 0][None, :])
         iu = np.triu_indices(len(coords), k=1)
         md_t = np.median(dt[iu]) or np.mean(dt[iu])
         sp = coords[:, 1:]
         md_s = med(sp)
+        if t == "space_time_gneiting":
+            # cov_fcts.h:1640-1648: a, c, alpha, nu, beta, delta
+            ds = coords.shape[1] - 1
+            a = (20.0 ** (2.0 / ds) - 1.0) / (md_t * md_t) * 4.0
+            return [a, 2.0 * 4.7 / md_s, 1.0, 1.5, 1.0, 1.0]
         c = 3.0 if cf.shape <= 1.0 else (4.7 if cf.shape <= 2.0 else 5.9)
         alphas = np.asarray([2.0 * c / md_t, 2.0 * c / md_s])
         return list(np.atleast_1d(cf.range_from_transformed(alphas)))
+    if t == "matern_estimate_shape":
+        # cov_fcts.h:1610-1613: range on the original scale + shape 1.5
+        return [med(coords) * math.sqrt(3.0) / 2.0 / 4.7, 1.5]
+    if t == "matern_ard_estimate_shape":
+        out = []
+        iu = np.triu_indices(len(coords), k=1)
+        for ic in range(coords.shape[1]):
+            dc = np.abs(coords[:, ic][:, None] - coords[:, ic][None, :])[iu]
+            m = np.median(dc) or np.mean(dc)
+            out.append(m * math.sqrt(3.0) / 2.0 / 4.7)
+        return out + [1.5]
+    if t in ("hurst", "hurst_ard"):
+        # cov_fcts.h:1671-1678: H = 0.5 (Brownian motion), unit ranges
+        out = [0.5]
+        if t == "hurst_ard":
+            out += [1.0] * (coords.shape[1] - 1)
+        return out
+    if t == "linear":
+        return []
     raise AssertionError(t)

@@ -127,6 +127,42 @@ class Likelihood:
         return abs(mean), float(np.mean(z * z) - mean * mean)
 
     # ------------------------------------------------------------------
+    def test_neg_log_likelihood(self, y, pred_mean, pred_var, aux_pars=None):
+        """Mean negative log predictive density -1/n sum_i log int p(y_i|b)
+        N(b; m_i, v_i) db via adaptive 30-point Gauss-Hermite quadrature
+        (likelihoods.h:10157 TestNegLogLikelihoodAdaptiveGHQuadrature):
+        Newton mode-finding on the integrand, quadrature centered at the mode
+        with curvature-matched width.
+
+        aux_pars: aux parameters on the USER scale (converted internally)."""
+        y = jnp.asarray(self.check_y(np.asarray(y)))
+        m = jnp.asarray(pred_mean, dtype=jnp.float64)
+        v = jnp.asarray(pred_var, dtype=jnp.float64)
+        aux = None
+        if self.num_aux:
+            aux = jnp.asarray(self.aux_to_internal(np.asarray(aux_pars)))
+        sigma2_inv = 1.0 / v
+
+        b = jnp.zeros_like(m)
+        for _ in range(60):
+            g = self.d1(y, b, aux) - sigma2_inv * (b - m)
+            h = self.d2(y, b, aux) - sigma2_inv
+            b = b - g / h
+        W = -self.d2(y, b, aux)
+        sqrt2_sigma_hat = math.sqrt(2.0) / jnp.sqrt(W + sigma2_inv)
+        nodes, weights = np.polynomial.hermite.hermgauss(30)
+        # adaptive weights w_k e^{x_k^2}
+        aw = jnp.asarray(weights * np.exp(nodes ** 2))
+        x = b[:, None] + sqrt2_sigma_hat[:, None] * jnp.asarray(nodes)[None, :]
+        ll_nodes = self.log_lik(y[:, None], x, aux)
+        dens = jnp.exp(ll_nodes) * jnp.exp(
+            -0.5 * sigma2_inv[:, None] * (x - m[:, None]) ** 2) \
+            / math.sqrt(2.0 * math.pi)
+        lik = jnp.sum(aw[None, :] * dens, axis=1) \
+            * sqrt2_sigma_hat * jnp.sqrt(sigma2_inv)
+        return float(-jnp.mean(jnp.log(lik)))
+
+    # ------------------------------------------------------------------
     # response scale (PredictResponse, likelihoods.h:9581; GH quadrature :10083)
     def response_mean_var(self, mu_lat, var_lat, aux):
         """E[y], Var[y] under f ~ N(mu_lat, var_lat); default: 100-point

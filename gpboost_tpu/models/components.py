@@ -55,8 +55,7 @@ class GPComponent:
     def corr(self, D_or_none, alphas):
         """Correlation matrix on training data given transformed ranges."""
         if self.cov_fn.is_isotropic:
-            a = alphas if jnp.ndim(alphas) == 0 else alphas[0]
-            return self.cov_fn.corr_from_dist(D_or_none, a)
+            return self.cov_fn.corr_from_dist(D_or_none, alphas)
         return self.cov_fn.corr_from_coords(
             jnp.asarray(self.coords), jnp.asarray(self.coords), alphas
         )
@@ -65,8 +64,7 @@ class GPComponent:
         if self.cov_fn.is_isotropic:
             from ..ops.distances import pairwise_dist
             D = pairwise_dist(jnp.asarray(self.coords), jnp.asarray(coords_pred))
-            a = alphas if jnp.ndim(alphas) == 0 else alphas[0]
-            return self.cov_fn.corr_from_dist(D, a)
+            return self.cov_fn.corr_from_dist(D, alphas)
         return self.cov_fn.corr_from_coords(
             jnp.asarray(self.coords), jnp.asarray(coords_pred), alphas
         )
@@ -75,8 +73,7 @@ class GPComponent:
         if self.cov_fn.is_isotropic:
             from ..ops.distances import pairwise_dist
             D = pairwise_dist(jnp.asarray(coords_pred))
-            a = alphas if jnp.ndim(alphas) == 0 else alphas[0]
-            return self.cov_fn.corr_from_dist(D, a)
+            return self.cov_fn.corr_from_dist(D, alphas)
         return self.cov_fn.corr_from_coords(
             jnp.asarray(coords_pred), jnp.asarray(coords_pred), alphas
         )

@@ -53,6 +53,10 @@ class FITCGaussianEngine:
                  ind_points_selection="kmeans++", seed=0, dtype=jnp.float64):
         assert len(components) == 1 and components[0].kind == "gp", (
             "gp_approx='fitc' requires exactly one GP component")
+        if not components[0].cov_fn.is_isotropic:
+            raise NotImplementedError(
+                "gp_approx='fitc' currently supports isotropic covariance "
+                "functions only")
         self.components = list(components)
         self.comp = components[0]
         self.n = int(num_data)
@@ -81,7 +85,7 @@ class FITCGaussianEngine:
         """Ddiag (n,), W (n, m) of Psi_tilde = Ddiag + W W'."""
         cf = self.comp.cov_fn
         v = jnp.exp(theta_log[0])
-        alpha = jnp.exp(theta_log[1])
+        alpha = jnp.exp(theta_log[1:])
         K_uu = cf.corr_from_dist(self._d_uu, alpha) \
             + JITTER * jnp.eye(self.m, dtype=self.dtype)
         K_uf = cf.corr_from_dist(self._d_uf, alpha)        # (m, n)
@@ -240,7 +244,7 @@ class FITCGaussianEngine:
         y = jnp.asarray(y_resid, self.dtype)
         cf = self.comp.cov_fn
         v = t[1]
-        alpha = np.exp(np.asarray(theta_log)[1])
+        alpha = np.exp(np.asarray(theta_log)[1:])
         cp = np.asarray(pred_data["comps"][0]["coords_pred"], dtype=np.float64)
         if cp.ndim == 1:
             cp = cp[:, None]

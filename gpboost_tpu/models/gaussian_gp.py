@@ -64,16 +64,7 @@ def assemble_pred_covs(components, par_offsets, comp_vars, theta_log,
 
 def _range_to_transformed_jnp(comp, rho):
     """Differentiable rho -> alpha transform (mirrors CovarianceFunction)."""
-    t = comp.cov_fn.cov_fct_type
-    if t == "exponential":
-        return 1.0 / rho
-    if t in ("matern", "matern_ard", "matern_space_time"):
-        return comp.cov_fn._matern_mult_const() / rho
-    if t in ("gaussian", "gaussian_ard"):
-        return 1.0 / (rho * rho)
-    if t == "powered_exponential":
-        return jnp.power(rho, -comp.cov_fn.shape)
-    raise AssertionError(t)
+    return comp.cov_fn.range_to_transformed_jnp(rho)
 
 
 class DenseSigmaAssembly:
@@ -132,7 +123,7 @@ class DenseSigmaAssembly:
             else:
                 alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
                 if static["D"] is not None:
-                    K = comp.cov_fn.corr_from_dist(static["D"], alphas[0])
+                    K = comp.cov_fn.corr_from_dist(static["D"], alphas)
                 else:
                     K = comp.corr(None, alphas)
                 if static["W"] is not None:
@@ -162,7 +153,7 @@ def report_matrices(assembly, theta_log):
         else:
             alphas = jnp.exp(theta_log[off + 1: off + comp.num_cov_par])
             if static["D"] is not None:
-                R = comp.cov_fn.corr_from_dist(static["D"], alphas[0])
+                R = comp.cov_fn.corr_from_dist(static["D"], alphas)
             else:
                 R = comp.corr(None, alphas)
         if cl is not None:

@@ -44,15 +44,20 @@ def _corr_sets(cov_fn, cn, ci, alphas, d_nn=None, d_ni=None):
             d_nn = _safe_sqrt(
                 ((cn[:, :, None, :] - cn[:, None, :, :]) ** 2).sum(-1))
             d_ni = _safe_sqrt(((cn - ci[:, None, :]) ** 2).sum(-1))
-        a0 = alphas if jnp.ndim(alphas) == 0 else alphas[0]
-        return cov_fn.corr_from_dist(d_nn, a0), cov_fn.corr_from_dist(d_ni, a0)
+        return (cov_fn.corr_from_dist(d_nn, alphas),
+                cov_fn.corr_from_dist(d_ni, alphas))
+    if cov_fn.needs_coords:
+        # coordinate-pair kernels (gneiting/hurst/linear): evaluate directly
+        return (cov_fn.corr_pointwise(cn[:, :, None, :], cn[:, None, :, :],
+                                      alphas),
+                cov_fn.corr_pointwise(cn, ci[:, None, :], alphas))
     s = cov_fn.aniso_scale(alphas, cn.shape[-1])
     cns = cn * s
     cis = ci * s
     d_nn = _safe_sqrt(((cns[:, :, None, :] - cns[:, None, :, :]) ** 2).sum(-1))
     d_ni = _safe_sqrt(((cns - cis[:, None, :]) ** 2).sum(-1))
-    return (cov_fn.base_corr_scaled_dist(d_nn),
-            cov_fn.base_corr_scaled_dist(d_ni))
+    return (cov_fn.base_corr_scaled_dist(d_nn, alphas),
+            cov_fn.base_corr_scaled_dist(d_ni, alphas))
 
 
 def _solve_sets(K_nn, k_ni, m):
@@ -213,7 +218,13 @@ class VecchiaGaussianEngine:
         k_ni = jnp.where(mask, k_ni, 0.0)
 
         A = _solve_sets(K_nn, k_ni, self.m)
-        diag_c = v + (0.0 if latent else 1.0)
+        if comp.cov_fn.needs_coords:
+            # non-stationary kernels: marginal variance varies per point
+            # (cov_fcts.h variance_on_the_diagonal_ = false for hurst/linear)
+            corr_ii = comp.cov_fn.corr_pointwise(ci, ci, alphas)
+            diag_c = v * corr_ii + (0.0 if latent else 1.0)
+        else:
+            diag_c = v + (0.0 if latent else 1.0)
         D = diag_c - jnp.sum(A * k_ni, axis=1)
         return A, D
 
@@ -438,7 +449,9 @@ class VecchiaGaussianEngine:
                 kni = v * corr_ni
                 a = _solve_sets(K, kni, k)
                 mu = jnp.sum(a * y_nbr, axis=1)
-                var = (v + 1.0) - jnp.sum(a * kni, axis=1)
+                diag_c = (v * cov_fn.corr_pointwise(ci, ci, alphas)
+                          if cov_fn.needs_coords else v) + 1.0
+                var = diag_c - jnp.sum(a * kni, axis=1)
                 return mu, var
 
             return f
@@ -458,7 +471,9 @@ class VecchiaGaussianEngine:
                 K = jnp.where(pair, K, jnp.eye(k, dtype=self.dtype)[None])
                 kni = jnp.where(valid, kni, 0.0)
                 a = _solve_sets(K, kni, k)
-                D = (v + 1.0) - jnp.sum(a * kni, axis=1)
+                diag_c = (v * cov_fn.corr_pointwise(ci, ci, alphas)
+                          if cov_fn.needs_coords else v) + 1.0
+                D = diag_c - jnp.sum(a * kni, axis=1)
                 p = ci.shape[0]
                 # pred rows of the joint B: [Bp_o, Bp_p]; obs rows involve only
                 # obs columns, so Lam_pp = Bp_p' D^-1 Bp_p,
@@ -508,7 +523,9 @@ class VecchiaGaussianEngine:
                 K = jnp.where(pair, K, v * jnp.eye(k, dtype=self.dtype)[None])
                 kni = jnp.where(valid, kni, 0.0)
                 a = _solve_sets(K, kni, k)
-                D_p = v - jnp.sum(a * kni, axis=1)
+                diag_c = (v * cov_fn.corr_pointwise(ci, ci, alphas)
+                          if cov_fn.needs_coords else v)
+                D_p = diag_c - jnp.sum(a * kni, axis=1)
                 D_p = jnp.maximum(D_p, 1e-12 * v)
                 Dinv = jnp.concatenate([1.0 / D_o, 1.0 / D_p])
 

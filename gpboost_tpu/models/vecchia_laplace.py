@@ -328,7 +328,7 @@ class VecchiaLaplaceEngine:
 
         cf = self.comp.cov_fn
         v = t[0]
-        alpha = np.exp(np.asarray(theta_log)[1])
+        alpha = np.exp(np.asarray(theta_log)[1:])
         cp = np.asarray(pred_data["comps"][0]["coords_pred"], dtype=np.float64)
         if cp.ndim == 1:
             cp = cp[:, None]

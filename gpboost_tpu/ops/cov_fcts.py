@@ -40,20 +40,35 @@ SUPPORTED_COV_FUNCTIONS = (
     "gaussian_ard",
     "matern_space_time",
     "wendland",
+    "matern_estimate_shape",
+    "matern_ard_estimate_shape",
+    "space_time_gneiting",
+    "hurst",
+    "hurst_ard",
+    "linear",
 )
 
 
 def _matern_base(scaled_dist, shape):
-    """Matern correlation at transformed (scaled) distance, closed-form shapes."""
+    """Matern correlation at transformed (scaled) distance. Closed forms for
+    shape 0.5/1.5/2.5 (cov_fcts.h:2100-2118); Bessel-K for general shapes
+    (cov_fcts.h:2120-2134 CovarianceMaternGeneralShape)."""
     if abs(shape - 0.5) < 1e-10:
         return jnp.exp(-scaled_dist)
     if abs(shape - 1.5) < 1e-10:
         return (1.0 + scaled_dist) * jnp.exp(-scaled_dist)
     if abs(shape - 2.5) < 1e-10:
         return (1.0 + scaled_dist + scaled_dist * scaled_dist / 3.0) * jnp.exp(-scaled_dist)
-    raise NotImplementedError(
-        f"matern shape {shape}: general Bessel-K shapes not yet implemented"
-    )
+    from .special_fns import matern_correlation_general
+    return matern_correlation_general(scaled_dist, shape)
+
+
+def _matern_base_traced(scaled_dist, shape):
+    """Matern correlation with a traced (estimated) smoothness parameter —
+    always the Bessel-K form since the closed-form dispatch needs a static
+    shape (space_time_gneiting's nu, cov_fcts.h:2858-2878)."""
+    from .special_fns import matern_correlation_general
+    return matern_correlation_general(scaled_dist, shape)
 
 
 def _safe_sqrt(s):
@@ -86,6 +101,8 @@ class CovarianceFunction:
                 shape = 1.0
             elif cov_fct_type == "wendland":
                 shape = 1.0
+            elif cov_fct_type == "space_time_gneiting":
+                shape = 0.0  # unused; nu is an estimated parameter
         self.shape = shape
         self.dim = dim
         self.taper_range = taper_range
@@ -101,18 +118,40 @@ class CovarianceFunction:
     @property
     def is_isotropic(self):
         return self.cov_fct_type in (
-            "exponential", "matern", "gaussian", "powered_exponential", "wendland",
+            "exponential", "matern", "gaussian", "powered_exponential",
+            "wendland", "matern_estimate_shape",
+        )
+
+    @property
+    def needs_coords(self):
+        """Kernels not expressible as base_corr(scaled distance) — evaluated
+        directly from coordinate pairs (cov_fcts.h cov_calculated_based_on_
+        coords_ for space_time_gneiting/hurst; 'linear' analogously)."""
+        return self.cov_fct_type in (
+            "space_time_gneiting", "hurst", "hurst_ard", "linear",
         )
 
     @property
     def num_range_par(self):
-        if self.is_isotropic:
-            return 0 if self.cov_fct_type == "wendland" else 1
-        if self.cov_fct_type == "matern_space_time":
+        t = self.cov_fct_type
+        if t == "wendland" or t == "linear":
+            return 0
+        if t in ("exponential", "matern", "gaussian", "powered_exponential",
+                 "hurst"):
+            return 1    # hurst: the Hurst exponent H (cov_fcts.h:165)
+        if t == "matern_estimate_shape":
+            return 2    # range + smoothness (cov_fcts.h:150)
+        if t == "matern_space_time":
             return 2
+        if t == "space_time_gneiting":
+            return 6    # a, c, alpha, nu, beta, delta (cov_fcts.h:162)
         # ARD kernels: one range per coordinate dimension
         if self.dim is None:
             raise ValueError("ARD covariance functions need dim")
+        if t == "matern_ard_estimate_shape":
+            return self.dim + 1     # ranges + smoothness (cov_fcts.h:156)
+        if t == "hurst_ard":
+            return self.dim         # H + (dim-1) ranges (cov_fcts.h:154)
         return self.dim
 
     @property
@@ -143,8 +182,14 @@ class CovarianceFunction:
             return 1.0 / (r * r)
         if t == "powered_exponential":
             return 1.0 / np.power(r, self.shape)
-        if t == "wendland":
-            return r  # no range parameter estimated
+        if t in ("wendland", "linear", "matern_estimate_shape",
+                 "matern_ard_estimate_shape", "space_time_gneiting"):
+            return r  # identity: estimated on the original scale
+        if t in ("hurst", "hurst_ard"):
+            # H in (0,1) -> -log(H) > 0; remaining ranges identity
+            out = r.copy()
+            out[..., 0] = -np.log(r[..., 0])
+            return out
         raise AssertionError(t)
 
     def range_from_transformed(self, alphas):
@@ -158,8 +203,33 @@ class CovarianceFunction:
             return 1.0 / np.sqrt(a)
         if t == "powered_exponential":
             return np.power(a, -1.0 / self.shape)
-        if t == "wendland":
+        if t in ("wendland", "linear", "matern_estimate_shape",
+                 "matern_ard_estimate_shape", "space_time_gneiting"):
             return a
+        if t in ("hurst", "hurst_ard"):
+            out = a.copy()
+            out[..., 0] = np.exp(-a[..., 0])
+            return out
+        raise AssertionError(t)
+
+    def range_to_transformed_jnp(self, rho):
+        """Differentiable rho -> alpha transform (used by the original-scale
+        Fisher-information path)."""
+        t = self.cov_fct_type
+        if t == "exponential":
+            return 1.0 / rho
+        if t in ("matern", "matern_ard", "matern_space_time"):
+            return self._matern_mult_const() / rho
+        if t in ("gaussian", "gaussian_ard"):
+            return 1.0 / (rho * rho)
+        if t == "powered_exponential":
+            return jnp.power(rho, -self.shape)
+        if t in ("wendland", "linear", "matern_estimate_shape",
+                 "matern_ard_estimate_shape", "space_time_gneiting"):
+            return rho
+        if t in ("hurst", "hurst_ard"):
+            return jnp.concatenate([-jnp.log(rho[..., :1]), rho[..., 1:]],
+                                   axis=-1)
         raise AssertionError(t)
 
     # ------------------------------------------------------------------
@@ -167,9 +237,22 @@ class CovarianceFunction:
     def corr_from_dist(self, D, alpha):
         """Correlation from a precomputed distance matrix (isotropic kernels).
 
-        alpha: transformed range parameter (scalar jnp value).
+        alpha: transformed range parameter(s) — scalar, or the full alphas
+        vector for kernels with more than one isotropic parameter
+        (matern_estimate_shape: [range, shape]).
         """
         t = self.cov_fct_type
+        if t == "wendland":
+            return self._wendland_taper(D)
+        if t == "matern_estimate_shape":
+            # rd = d*sqrt(2 s)/range, range on the original scale
+            # (cov_fcts.h:2136-2152 CovarianceMaternEstimateShape)
+            from .special_fns import matern_correlation_general
+            rng, shp = alpha[0], alpha[1]
+            return matern_correlation_general(D * jnp.sqrt(2.0 * shp) / rng,
+                                              shp)
+        if jnp.ndim(alpha) > 0:
+            alpha = alpha[0]
         if t == "exponential":
             return jnp.exp(-alpha * D)
         if t == "matern":
@@ -202,7 +285,7 @@ class CovarianceFunction:
 
     def aniso_scale(self, alphas, dim):
         """Per-dimension coordinate scale s so that the anisotropic
-        correlation equals base_corr_scaled_dist(||s*(x1-x2)||)
+        correlation equals base_corr_scaled_dist(||s*(x1-x2)||, alphas)
         (re_comp.h:1128-1158 coordinate scaling)."""
         t = self.cov_fct_type
         if t == "matern_space_time":
@@ -212,9 +295,11 @@ class CovarianceFunction:
             return alphas
         if t == "gaussian_ard":
             return jnp.sqrt(alphas)
+        if t == "matern_ard_estimate_shape":
+            return 1.0 / alphas[:dim]   # cov_fcts.h:298-301 (coords / range)
         raise AssertionError(t)
 
-    def base_corr_scaled_dist(self, d):
+    def base_corr_scaled_dist(self, d, alphas=None):
         """Correlation at an already coordinate-scaled distance (anisotropic
         kernels only; the range parameters are folded into the coordinates)."""
         t = self.cov_fct_type
@@ -222,24 +307,69 @@ class CovarianceFunction:
             return _matern_base(d, self.shape)
         if t == "gaussian_ard":
             return jnp.exp(-d * d)
+        if t == "matern_ard_estimate_shape":
+            from .special_fns import matern_correlation_general
+            shp = alphas[-1]
+            return matern_correlation_general(jnp.sqrt(2.0 * shp) * d, shp)
+        raise AssertionError(t)
+
+    # ------------------------------------------------------------------
+    # coordinate-pair kernels (cov_calculated_based_on_coords_):
+    # space_time_gneiting, hurst(+ard), linear
+    def corr_pointwise(self, xa, xb, alphas):
+        """Kernel value (divided by the variance parameter) between coordinate
+        arrays xa, xb of broadcastable shape [..., d]."""
+        t = self.cov_fct_type
+        if t == "space_time_gneiting":
+            # pars [a, c, alpha, nu, beta, delta]; Gneiting (2002) Eq. (16)
+            # (cov_fcts.h:2849-2879 SpaceTimeGneitingCovariance_vec)
+            a, c, al, nu, beta, delta = (alphas[i] for i in range(6))
+            # CapPars (cov_fcts.h:468-479): alpha <= 1, beta <= 1
+            al = jnp.minimum(al, 1.0)
+            beta = jnp.minimum(beta, 1.0)
+            dim_space = xa.shape[-1] - 1
+            dist_time = jnp.abs(xa[..., 0] - xb[..., 0])
+            dist_space = _safe_sqrt(
+                ((xa[..., 1:] - xb[..., 1:]) ** 2).sum(-1))
+            d_aux_time = a * jnp.power(
+                jnp.where(dist_time > 0.0, dist_time, 1.0), 2.0 * al)
+            d_aux_time = jnp.where(dist_time > 0.0, d_aux_time, 0.0) + 1.0
+            d_aux = c * dist_space / jnp.power(d_aux_time, beta / 2.0)
+            d_aux2 = 1.0 / jnp.power(d_aux_time, delta + beta * dim_space / 2.0)
+            return d_aux2 * _matern_base_traced(d_aux, nu)
+        if t in ("hurst", "hurst_ard"):
+            # fractional-Brownian-field kernel (cov_fcts.h:3047-3055
+            # HurstCovariance_vec), H = exp(-alphas[0]); for hurst_ard the
+            # non-time coordinates are scaled by 1/range (cov_fcts.h:304-309)
+            H = jnp.exp(-alphas[0])
+            if t == "hurst_ard":
+                scale = jnp.concatenate(
+                    [jnp.ones((1,), xa.dtype), 1.0 / alphas[1:]])
+                xa = xa * scale
+                xb = xb * scale
+            na = (xa ** 2).sum(-1)
+            nb = (xb ** 2).sum(-1)
+            nab = ((xa - xb) ** 2).sum(-1)
+            powH = lambda s: jnp.where(
+                s > 0.0, jnp.power(jnp.where(s > 0.0, s, 1.0), H), 0.0)
+            return 0.5 * (powH(na) + powH(nb) - powH(nab))
+        if t == "linear":
+            return (xa * xb).sum(-1)
         raise AssertionError(t)
 
     def corr_from_coords(self, x1, x2, alphas):
-        """Correlation from coordinates (anisotropic kernels).
+        """Correlation from coordinates (anisotropic / coords-based kernels).
 
-        alphas: (num_range_par,) transformed ranges. For matern_space_time the
-        first coordinate column is time (re_comp.h:1128-1158 coordinate scaling).
+        alphas: (num_range_par,) transformed parameters. For matern_space_time
+        the first coordinate column is time (re_comp.h:1128-1158).
         """
         t = self.cov_fct_type
-        if t in ("matern_ard", "matern_space_time"):
-            if t == "matern_space_time":
-                scale = jnp.concatenate(
-                    [alphas[:1], jnp.full((x1.shape[1] - 1,), alphas[1])]
-                )
-            else:
-                scale = alphas
+        if self.needs_coords:
+            return self.corr_pointwise(x1[:, None, :], x2[None, :, :], alphas)
+        if t in ("matern_ard", "matern_space_time", "matern_ard_estimate_shape"):
+            scale = self.aniso_scale(alphas, x1.shape[1])
             ds = _safe_sqrt(pairwise_dist_sq(x1 * scale, x2 * scale, method="direct"))
-            return _matern_base(ds, self.shape)
+            return self.base_corr_scaled_dist(ds, alphas)
         if t == "gaussian_ard":
             sq = pairwise_dist_sq(
                 x1 * jnp.sqrt(alphas), x2 * jnp.sqrt(alphas), method="direct"
@@ -247,5 +377,5 @@ class CovarianceFunction:
             return jnp.exp(-sq)
         if self.is_isotropic:
             D = pairwise_dist(x1, x2)
-            return self.corr_from_dist(D, alphas if jnp.ndim(alphas) == 0 else alphas[0])
+            return self.corr_from_dist(D, alphas)
         raise AssertionError(t)
