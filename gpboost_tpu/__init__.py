@@ -23,8 +23,14 @@ from .gp_model import GPModel  # noqa: E402
 from .sklearn_utils import fitGPModel  # noqa: E402
 from .boosting import Dataset, Booster, train  # noqa: E402
 from .engine import cv, grid_search_tune_parameters  # noqa: E402
+from .tuner import tune_pars_TPE_algorithm_optuna  # noqa: E402
 from .sklearn import (GPBoostModel, GPBoostRegressor,  # noqa: E402
                       GPBoostClassifier)
+from .utils.log import Log, register_logger, set_log_level  # noqa: E402
+from . import callback  # noqa: E402
+from .plotting import (plot_importance, plot_metric,  # noqa: E402
+                       plot_split_value_histogram, plot_tree,
+                       create_tree_digraph)
 
 __all__ = [
     "GPModel",
@@ -34,8 +40,18 @@ __all__ = [
     "train",
     "cv",
     "grid_search_tune_parameters",
+    "tune_pars_TPE_algorithm_optuna",
     "GPBoostModel",
     "GPBoostRegressor",
     "GPBoostClassifier",
+    "callback",
+    "plot_importance",
+    "plot_metric",
+    "plot_split_value_histogram",
+    "plot_tree",
+    "create_tree_digraph",
+    "Log",
+    "register_logger",
+    "set_log_level",
     "__version__",
 ]

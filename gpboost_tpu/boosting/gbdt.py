@@ -600,6 +600,14 @@ class Booster:
                 needed = max(needed, int(t.split_feature[:nn][internal].max()) + 1)
         return needed
 
+    def reset_parameter(self, params):
+        """Update training parameters between iterations (used by the
+        reset_parameter callback; basic.py Booster.reset_parameter)."""
+        for k, v in (params or {}).items():
+            kk = _PARAM_ALIASES.get(k, k)
+            self.params[kk] = v
+        return self
+
     def num_trees(self):
         return len(self.trees)
 
@@ -791,6 +799,11 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
     maximize = metric_higher_better(chosen) if chosen else False
     if feval is not None:
         maximize_feval = None   # discovered from the first feval call
+
+    from ..callback import CallbackEnv, EarlyStopException
+    cbs = sorted(callbacks or [], key=lambda c: getattr(c, "order", 0))
+    cbs_before = [c for c in cbs if getattr(c, "before_iteration", False)]
+    cbs_after = [c for c in cbs if not getattr(c, "before_iteration", False)]
     best_score = -np.inf if maximize else np.inf
     best_iter = -1
     rounds_no_improve = 0
@@ -798,7 +811,12 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
         for nm in names:
             evals_result.setdefault(nm, {})
     for it in range(nbr):
+        for cb in cbs_before:
+            cb(CallbackEnv(model=booster, params=booster.params, iteration=it,
+                           begin_iteration=0, end_iteration=nbr,
+                           evaluation_result_list=[]))
         booster.update()
+        eval_list = []
         if vsets:
             for v, nm in zip(vsets, names):
                 pk = dict(getattr(v, "gp_valid_data", None) or {})
@@ -837,6 +855,7 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                     mname, score = _metric(v.get_label(), pred)
                 if evals_result is not None:
                     evals_result[nm].setdefault(mname, []).append(score)
+                eval_list.append((nm, mname, score, maximize))
                 if nm == names[0]:
                     improved = (score > best_score + 1e-15) if maximize \
                         else (score < best_score - 1e-15)
@@ -848,6 +867,18 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                         rounds_no_improve += 1
             if early_stopping_rounds and rounds_no_improve >= early_stopping_rounds:
                 break
+        if cbs_after:
+            try:
+                for cb in cbs_after:
+                    cb(CallbackEnv(model=booster, params=booster.params,
+                                   iteration=it, begin_iteration=0,
+                                   end_iteration=nbr,
+                                   evaluation_result_list=eval_list))
+            except EarlyStopException as e:
+                best_iter = e.best_iteration + 1
+                booster.best_iteration = best_iter
+                booster.best_score = best_score if vsets else None
+                return booster
     booster.best_iteration = best_iter if vsets else -1
     booster.best_score = best_score if vsets else None
     return booster

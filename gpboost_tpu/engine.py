@@ -103,7 +103,17 @@ def _make_folds(y, nfold, folds, seed, stratified):
     binary labels (engine.py:575 cv stratified=True semantics)."""
     n = len(y)
     if folds is not None:
-        return [np.asarray(f, dtype=int) for f in folds]
+        out = []
+        for f in folds:
+            # reference folds format: (train_idx, test_idx) tuples
+            # (engine.py:575 cv folds); bare index arrays = test indices
+            if isinstance(f, (tuple, list)) and len(f) == 2 \
+                    and np.ndim(f[0]) == 1 and np.ndim(f[1]) == 1 \
+                    and not np.isscalar(f[0]):
+                out.append(np.asarray(f[1], dtype=int))
+            else:
+                out.append(np.asarray(f, dtype=int))
+        return out
     rng = np.random.RandomState(seed)
     if stratified:
         out = [[] for _ in range(nfold)]

@@ -773,25 +773,37 @@ class GPModel:
 
     # ------------------------------------------------------------------
     def summary(self):
+        from .utils.log import _emit, _state
         r = self._require_fit()
-        print("Covariance parameters (random effects):")
+        out = ["Covariance parameters (random effects):"]
         names = self._par_names
         if r.std_dev_cov_pars is not None:
             for n_, p, s in zip(names, r.cov_pars, r.std_dev_cov_pars):
-                print(f"  {n_}: {p:.6g} (std dev {s:.4g})")
+                out.append(f"  {n_}: {p:.6g} (std dev {s:.4g})")
         else:
             for n_, p in zip(names, r.cov_pars):
-                print(f"  {n_}: {p:.6g}")
+                out.append(f"  {n_}: {p:.6g}")
+        if getattr(r, "aux_pars", None) is not None \
+                and self._likelihood_obj is not None \
+                and self._likelihood_obj.num_aux:
+            out.append("Additional parameters (likelihood):")
+            for n_, p in zip(self._likelihood_obj.aux_names, r.aux_pars):
+                out.append(f"  {n_}: {p:.6g}")
         if r.coef is not None:
-            print("Linear regression coefficients:")
+            out.append("Linear regression coefficients:")
             for i, b in enumerate(r.coef):
-                print(f"  Covariate_{i + 1}: {b:.6g}")
-        print(f"Negative log-likelihood: {r.neg_log_likelihood:.6f}")
-        print(f"Number of optimization iterations: {r.num_it}")
+                out.append(f"  Covariate_{i + 1}: {b:.6g}")
+        out.append(f"Negative log-likelihood: {r.neg_log_likelihood:.6f}")
+        out.append(f"Number of optimization iterations: {r.num_it}")
+        _emit("\n".join(out), _state["info_method"])
         return self
 
     # ------------------------------------------------------------------
     def model_to_dict(self, include_response_data=True):
+        """Full state dict (basic.py:6927 model_to_dict schema): covariance /
+        aux / coefficient estimates with std errors plus every model-defining
+        constructor argument, so a reloaded model predicts under the same
+        settings it was fit with."""
         r = self._require_fit()
         d = {
             "likelihood": self.likelihood,
@@ -802,17 +814,44 @@ class GPModel:
             "num_optim_iter": r.num_it,
             "neg_log_likelihood": r.neg_log_likelihood,
             "model_has_been_fitted": self.model_has_been_fitted,
+            "matrix_inversion_method": self.matrix_inversion_method,
+            "seed": self.seed,
         }
+        for attr in ("num_neighbors", "vecchia_ordering", "num_ind_points",
+                     "ind_points_selection", "cov_fct_taper_range",
+                     "cov_fct_taper_shape", "likelihood_additional_param"):
+            v = getattr(self, attr, None)
+            if v is not None:
+                d[attr] = v
+        d["vecchia_pred_type"] = self.vecchia_pred_type
+        if self.num_neighbors_pred is not None:
+            d["num_neighbors_pred"] = self.num_neighbors_pred
         if r.coef is not None:
             d["coefs"] = r.coef.tolist()
+        if getattr(r, "aux_pars", None) is not None:
+            d["aux_pars"] = np.asarray(r.aux_pars).tolist()
+        if getattr(r, "std_dev_cov_pars", None) is not None:
+            d["std_dev_cov_pars"] = np.asarray(r.std_dev_cov_pars).tolist()
+        if getattr(r, "std_dev_coef", None) is not None:
+            d["std_dev_coef"] = np.asarray(r.std_dev_coef).tolist()
         if include_response_data and self.y is not None:
             d["y"] = np.asarray(self.y).tolist()
+        if self.X is not None:
+            d["X"] = np.asarray(self.X).tolist()
         if self.gp_coords is not None:
             d["gp_coords"] = self.gp_coords.tolist()
         if self.group_data is not None:
             d["group_data"] = self.group_data.tolist()
+        if self.group_rand_coef_data is not None:
+            d["group_rand_coef_data"] = self.group_rand_coef_data.tolist()
+            d["ind_effect_group_rand_coef"] = (
+                np.asarray(self.ind_effect_group_rand_coef) + 1).tolist()
+        if self.gp_rand_coef_data is not None:
+            d["gp_rand_coef_data"] = self.gp_rand_coef_data.tolist()
         if self.cluster_ids is not None:
             d["cluster_ids"] = self.cluster_ids.tolist()
+        if self.weights is not None:
+            d["weights"] = np.asarray(self.weights).tolist()
         return d
 
     def save_model(self, filename):
@@ -827,7 +866,7 @@ class GPModel:
             with open(model_file) as f:
                 model_dict = json.load(f)
         d = model_dict
-        self.__init__(
+        kw = dict(
             likelihood=d["likelihood"],
             gp_coords=None if d.get("gp_coords") is None else np.asarray(d["gp_coords"]),
             group_data=None if d.get("group_data") is None else np.asarray(d["group_data"]),
@@ -835,17 +874,46 @@ class GPModel:
             cov_fct_shape=d["cov_fct_shape"],
             gp_approx=d.get("gp_approx", "none"),
             cluster_ids=None if d.get("cluster_ids") is None else np.asarray(d["cluster_ids"]),
+            matrix_inversion_method=d.get("matrix_inversion_method",
+                                          "cholesky"),
+            seed=d.get("seed", 0),
         )
+        for attr in ("num_neighbors", "vecchia_ordering", "num_ind_points",
+                     "ind_points_selection", "cov_fct_taper_range",
+                     "cov_fct_taper_shape", "likelihood_additional_param"):
+            if d.get(attr) is not None:
+                kw[attr] = d[attr]
+        if d.get("group_rand_coef_data") is not None:
+            kw["group_rand_coef_data"] = np.asarray(d["group_rand_coef_data"])
+            kw["ind_effect_group_rand_coef"] = np.asarray(
+                d["ind_effect_group_rand_coef"])
+        if d.get("gp_rand_coef_data") is not None:
+            kw["gp_rand_coef_data"] = np.asarray(d["gp_rand_coef_data"])
+        if d.get("weights") is not None:
+            kw["weights"] = np.asarray(d["weights"])
+        self.__init__(**kw)
+        if d.get("vecchia_pred_type"):
+            self.vecchia_pred_type = d["vecchia_pred_type"]
+        if d.get("num_neighbors_pred") is not None:
+            self.num_neighbors_pred = d["num_neighbors_pred"]
         r = OptimResult(cov_pars=np.asarray(d["cov_pars"]),
                         num_it=d.get("num_optim_iter", 0),
                         neg_log_likelihood=d.get("neg_log_likelihood", np.nan),
                         converged=True)
         if d.get("coefs") is not None:
             r.coef = np.asarray(d["coefs"])
+        if d.get("aux_pars") is not None:
+            r.aux_pars = np.asarray(d["aux_pars"])
+        if d.get("std_dev_cov_pars") is not None:
+            r.std_dev_cov_pars = np.asarray(d["std_dev_cov_pars"])
+        if d.get("std_dev_coef") is not None:
+            r.std_dev_coef = np.asarray(d["std_dev_coef"])
         self._fit_result = r
         self.model_has_been_fitted = d.get("model_has_been_fitted", True)
         if d.get("y") is not None:
             self.y = np.asarray(d["y"])
+        if d.get("X") is not None:
+            self.X = np.asarray(d["X"])
 
 
 def _gp_cov_par_names(cov_function, dim):

@@ -1,0 +1,169 @@
+"""Lossless model persistence: GPModel save/load round trips (aux pars,
+std errors, approximation settings) and the combined booster+GP file.
+
+Reference: basic.py:6927 model_to_dict / :7003 save_model; combined file with
+"has_gp_model": 1 (basic.py:2451-2515); R-side save/load round-trip asserts
+in test_GPModel_gaussian_process.R:2641-2712.
+"""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+@pytest.fixture(scope="module")
+def spatial_pois():
+    rng = np.random.RandomState(0)
+    n = 200
+    coords = rng.rand(n, 2)
+    D = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    lat = np.linalg.cholesky(np.exp(-D / 0.2) + 1e-8 * np.eye(n)) \
+        @ rng.randn(n)
+    y = rng.poisson(np.exp(0.3 + lat)).astype(float)
+    return dict(coords=coords, y=y, pred=rng.rand(5, 2))
+
+
+def _tmpfile():
+    fd, fn = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    return fn
+
+
+class TestGPModelRoundTrip:
+    def test_gaussian_with_stderr(self, spatial_pois):
+        d = spatial_pois
+        yg = np.log1p(d["y"]) + 0.1
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           y=yg, params={"std_dev": True})
+        fn = _tmpfile()
+        m.save_model(fn)
+        m2 = gpb.GPModel(model_file=fn)
+        np.testing.assert_allclose(m2.get_cov_pars(std_err=False),
+                                   m.get_cov_pars(std_err=False))
+        np.testing.assert_allclose(
+            np.asarray(m2.get_cov_pars(std_err=True)),
+            np.asarray(m.get_cov_pars(std_err=True)))
+        p1 = m.predict(gp_coords_pred=d["pred"], predict_var=True)
+        p2 = m2.predict(gp_coords_pred=d["pred"], predict_var=True)
+        np.testing.assert_allclose(p2["mu"], p1["mu"], rtol=1e-10)
+        np.testing.assert_allclose(p2["var"], p1["var"], rtol=1e-10)
+        os.unlink(fn)
+
+    def test_vecchia_nongaussian_aux(self, spatial_pois):
+        d = spatial_pois
+        ygam = d["y"] + 0.5
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           likelihood="gamma", gp_approx="vecchia",
+                           num_neighbors=30, vecchia_ordering="none",
+                           y=ygam, params={"maxit": 20})
+        fn = _tmpfile()
+        m.save_model(fn)
+        m2 = gpb.GPModel(model_file=fn)
+        # approximation settings survive
+        assert m2.gp_approx == "vecchia"
+        assert m2.num_neighbors == 30
+        assert m2.vecchia_ordering == "none"
+        # aux pars survive
+        r1, r2 = m._fit_result, m2._fit_result
+        if r1.aux_pars is not None:
+            np.testing.assert_allclose(r2.aux_pars, r1.aux_pars)
+        p1 = m.predict(gp_coords_pred=d["pred"], predict_var=True,
+                       predict_response=True)
+        p2 = m2.predict(gp_coords_pred=d["pred"], predict_var=True,
+                        predict_response=True)
+        np.testing.assert_allclose(p2["mu"], p1["mu"], rtol=1e-8)
+        np.testing.assert_allclose(p2["var"], p1["var"], rtol=1e-8)
+        os.unlink(fn)
+
+    def test_weights_survive(self, spatial_pois):
+        d = spatial_pois
+        yg = np.log1p(d["y"])
+        w = np.linspace(0.5, 2.0, len(yg))
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           y=yg, weights=w)
+        fn = _tmpfile()
+        m.save_model(fn)
+        m2 = gpb.GPModel(model_file=fn)
+        np.testing.assert_allclose(m2.weights, w)
+        os.unlink(fn)
+
+
+class TestCombinedBoosterGP:
+    def test_round_trip(self, spatial_pois):
+        d = spatial_pois
+        rng = np.random.RandomState(1)
+        X = rng.rand(len(d["y"]), 3)
+        yg = np.log1p(d["y"]) + X[:, 0]
+        gp_model = gpb.GPModel(gp_coords=d["coords"],
+                               cov_function="exponential")
+        ds = gpb.Dataset(X, label=yg)
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "min_data_in_leaf": 5, "verbose": 0},
+                        ds, num_boost_round=5, gp_model=gp_model)
+        fn = _tmpfile()
+        bst.save_model(fn)
+        with open(fn) as f:
+            blob = json.load(f)
+        assert blob["has_gp_model"] == 1
+        bst2 = gpb.Booster(model_file=fn)
+        Xp = rng.rand(4, 3)
+        p1 = bst.predict(Xp, gp_coords_pred=d["pred"][:4])
+        p2 = bst2.predict(Xp, gp_coords_pred=d["pred"][:4])
+        np.testing.assert_allclose(p2["response_mean"], p1["response_mean"],
+                                   rtol=1e-10)
+        os.unlink(fn)
+
+
+class TestLogger:
+    def test_register_logger(self):
+        msgs = []
+
+        class L:
+            def info(self, m):
+                msgs.append(("i", m))
+
+            def warning(self, m):
+                msgs.append(("w", m))
+
+        gpb.register_logger(L())
+        try:
+            gpb.Log.info("hello")
+            gpb.Log.warning("careful")
+            gpb.set_log_level("warning")
+            gpb.Log.info("suppressed")
+        finally:
+            gpb.register_logger(None)
+            gpb.set_log_level("info")
+        assert ("i", "[GPBoost] [Info] hello") in msgs
+        assert ("w", "[GPBoost] [Warning] careful") in msgs
+        assert all("suppressed" not in m for _, m in msgs)
+
+    def test_fatal_raises(self):
+        with pytest.raises(RuntimeError):
+            gpb.Log.fatal("boom")
+
+    def test_summary_routed(self, spatial_pois):
+        d = spatial_pois
+        yg = np.log1p(d["y"])
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           y=yg)
+        msgs = []
+
+        class L:
+            def info(self, m_):
+                msgs.append(m_)
+
+            def warning(self, m_):
+                msgs.append(m_)
+
+        gpb.register_logger(L())
+        try:
+            m.summary()
+        finally:
+            gpb.register_logger(None)
+        assert any("Covariance parameters" in m_ for m_ in msgs)
