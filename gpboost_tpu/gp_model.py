@@ -232,11 +232,24 @@ class GPModel:
         else:
             gp_approx_engine = gp_approx
         gp_approx = gp_approx_engine
+        if gp_approx == "vecchia_latent":
+            # Vecchia on the LATENT process for Gaussian data, driven through
+            # the non-Gaussian (Laplace) code path with the error variance as
+            # a likelihood aux parameter (re_model_template.h:207-210,
+            # :615; the Laplace approximation is exact here)
+            if likelihood != "gaussian":
+                raise ValueError("gp_approx='vecchia_latent' requires "
+                                 "likelihood='gaussian'")
+            likelihood = "gaussian_latent"
+            self.likelihood = "gaussian_latent"
+            self._par_names = [nm for nm in self._par_names
+                               if nm != "Error_term"]
+            gp_approx = "vecchia"
         if gp_approx not in ("none", "vecchia", "fitc"):
             raise NotImplementedError(
                 f"gp_approx '{gp_approx}' is not implemented yet "
-                "(currently: 'none', 'vecchia', 'fitc', 'tapering', "
-                "'full_scale_tapering')")
+                "(currently: 'none', 'vecchia', 'vecchia_latent', 'fitc', "
+                "'tapering', 'full_scale_tapering')")
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
                 if gp_approx != "vecchia":
@@ -544,10 +557,11 @@ class GPModel:
                 num_post_samples=100, num_prior_samples=None, seed=None):
         """Posterior predictions (basic.py:6187 GPModel.predict).
 
-        sample_posterior / sample_prior draw joint Gaussian samples at the
-        prediction points (Gaussian likelihood; Sample_Posterior_LaplaceApprox
-        for non-Gaussian lands later): 'posterior_samples' / 'prior_samples'
-        of shape (n_pred, num_samples)."""
+        sample_posterior / sample_prior draw joint samples of the latent
+        predictive distribution at the prediction points — for non-Gaussian
+        likelihoods from the Laplace-approximated posterior
+        (Sample_Posterior_LaplaceApprox_*, likelihoods.h:8784-9207):
+        'posterior_samples' / 'prior_samples' of shape (n_pred, num_samples)."""
         if sample_prior:
             n_s = num_prior_samples or num_post_samples
             pd = self._build_pred_data(group_data_pred,

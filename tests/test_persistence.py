@@ -167,3 +167,36 @@ class TestLogger:
         finally:
             gpb.register_logger(None)
         assert any("Covariance parameters" in m_ for m_ in msgs)
+
+
+class TestPosteriorSampling:
+    """sample_posterior / sample_prior (basic.py:6191, likelihoods.h:8784
+    Sample_Posterior_LaplaceApprox_*)."""
+
+    def test_nongaussian_posterior_samples_match_moments(self, spatial_pois):
+        d = spatial_pois
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           likelihood="poisson", y=d["y"],
+                           params={"maxit": 20})
+        p = m.predict(gp_coords_pred=d["pred"], sample_posterior=True,
+                      num_post_samples=4000, predict_response=False, seed=1)
+        assert p["posterior_samples"].shape == (5, 4000)
+        np.testing.assert_allclose(p["posterior_samples"].mean(1), p["mu"],
+                                   atol=0.05)
+        pv = m.predict(gp_coords_pred=d["pred"], predict_var=True,
+                       predict_response=False)
+        np.testing.assert_allclose(p["posterior_samples"].var(1), pv["var"],
+                                   rtol=0.15)
+
+    def test_prior_samples(self, spatial_pois):
+        d = spatial_pois
+        yg = np.log1p(d["y"])
+        m = gpb.fitGPModel(gp_coords=d["coords"], cov_function="exponential",
+                           y=yg)
+        p = m.predict(gp_coords_pred=d["pred"], sample_prior=True,
+                      num_prior_samples=2000, predict_response=False, seed=2)
+        assert p["prior_samples"].shape == (5, 2000)
+        # prior variance ~= GP variance
+        v = np.asarray(m.get_cov_pars())[1]
+        np.testing.assert_allclose(p["prior_samples"].var(1),
+                                   np.full(5, v), rtol=0.2)

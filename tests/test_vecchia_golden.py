@@ -169,3 +169,36 @@ class TestVecchiaAnisotropic:
                     vecchia_ordering="time")
         nll = m.neg_log_likelihood(cov_pars=[0.1, 1.0, 0.5, 0.2], y=y)
         assert np.isfinite(nll)
+
+
+class TestVecchiaLatent:
+    """gp_approx='vecchia_latent': Vecchia on the latent process for Gaussian
+    data via the Laplace path with the nugget as aux parameter
+    (re_model_template.h:207-210; test_GPModel_gaussian_process.R:1115-1136)."""
+
+    def test_nll_equals_exact(self, gp_sim_data):
+        from gpboost_tpu import GPModel
+        y = gp_sim_data["y"]
+        coords = gp_sim_data["coords"]
+        m0 = GPModel(gp_coords=coords, cov_function="exponential")
+        exp_nll = m0.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        m = GPModel(gp_coords=coords, cov_function="exponential",
+                    gp_approx="vecchia_latent", num_neighbors=99,
+                    vecchia_ordering="none")
+        nll = m.neg_log_likelihood(cov_pars=[1.6, 0.2], y=y, aux_pars=[0.1])
+        assert abs(nll - exp_nll) < 1e-5
+
+    def test_nll_iterative(self, gp_sim_data):
+        from gpboost_tpu import GPModel
+        y = gp_sim_data["y"]
+        coords = gp_sim_data["coords"]
+        m0 = GPModel(gp_coords=coords, cov_function="exponential")
+        exp_nll = m0.neg_log_likelihood(cov_pars=[0.1, 1.6, 0.2], y=y)
+        m = GPModel(gp_coords=coords, cov_function="exponential",
+                    gp_approx="vecchia_latent", num_neighbors=99,
+                    vecchia_ordering="none",
+                    matrix_inversion_method="iterative")
+        m.set_optim_params(params=dict(num_rand_vec_trace=1000,
+                                       seed_rand_vec_trace=1))
+        nll = m.neg_log_likelihood(cov_pars=[1.6, 0.2], y=y, aux_pars=[0.1])
+        assert abs(nll - exp_nll) < 0.25
