@@ -29,14 +29,24 @@ _OBJ_ALIASES = {
     "mean_squared_error": "gaussian", "mse": "gaussian",
     "binary": "bernoulli_logit", "binary_logloss": "bernoulli_logit",
     "poisson": "poisson", "gamma": "gamma",
+    "multiclass": "multiclass", "softmax": "multiclass",
+    "quantile": "quantile", "regression_l1": "quantile",
+    "cross_entropy": "cross_entropy", "xentropy": "cross_entropy",
 }
+
+# objectives handled by dedicated gradient formulas instead of the
+# likelihood registry (src/LightGBM/objective/: multiclass_objective.hpp,
+# regression_objective.hpp RegressionQuantileloss, xentropy_objective.hpp)
+_SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy")
 
 _BOOST_PARAM_DEFAULTS = dict(
     boosting="gbdt",                       # gbdt | dart | goss
     drop_rate=0.1, max_drop=50, skip_drop=0.5, drop_seed=4,    # DART
     top_rate=0.2, other_rate=0.1,                              # GOSS
     learning_rate=0.1, num_leaves=31, max_depth=-1, min_data_in_leaf=20,
-    lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3, min_gain_to_split=0.0,
+    lambda_l2=0.0, lambda_l1=0.0, min_sum_hessian_in_leaf=1e-3,
+    min_gain_to_split=0.0, monotone_constraints=None, num_class=1,
+    alpha=0.9,
     objective="regression", train_gp_model_cov_pars=True,
     use_gp_model_for_validation=True, leaves_newton_update=False,
     line_search_step_length=False,
@@ -60,6 +70,8 @@ _PARAM_ALIASES = {
     "min_data_per_leaf": "min_data_in_leaf",
     "min_child_samples": "min_data_in_leaf",
     "lambda": "lambda_l2", "reg_lambda": "lambda_l2",
+    "reg_alpha": "lambda_l1", "l1_regularization": "lambda_l1",
+    "monotone_constraint": "monotone_constraints",
     "min_split_gain": "min_gain_to_split",
     "num_iterations": "num_boost_round", "num_trees": "num_boost_round",
     "n_estimators": "num_boost_round", "num_round": "num_boost_round",
@@ -111,6 +123,8 @@ class Booster:
             max_depth=int(p["max_depth"]),
             min_data_in_leaf=int(p["min_data_in_leaf"]),
             lambda_l2=float(p["lambda_l2"]),
+            lambda_l1=float(p["lambda_l1"]),
+            monotone_constraints=p.get("monotone_constraints"),
             min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
             min_gain_to_split=float(p["min_gain_to_split"]),
             mesh=mesh)
@@ -120,7 +134,21 @@ class Booster:
         else:
             self.objective_name = _OBJ_ALIASES.get(
                 p["objective"], p["objective"])
-        if gp_model is None and self.objective_name != "gaussian":
+        if gp_model is None and self.objective_name in _SPECIAL_OBJECTIVES:
+            self._lik = None
+            if self.objective_name == "multiclass":
+                K = int(p.get("num_class", 1))
+                if K < 2:
+                    raise ValueError("objective='multiclass' needs "
+                                     "num_class >= 2")
+                yv = self.y.astype(int)
+                if not np.all((yv >= 0) & (yv < K)):
+                    raise ValueError("multiclass labels must be in "
+                                     f"[0, {K})")
+            elif self.objective_name == "cross_entropy":
+                if not np.all((self.y >= 0) & (self.y <= 1)):
+                    raise ValueError("cross_entropy labels must be in [0, 1]")
+        elif gp_model is None and self.objective_name != "gaussian":
             self._lik = get_likelihood(self.objective_name)
             self._lik.check_y(self.y)
             self._aux = jnp.asarray(self._lik.init_aux(self.y))
@@ -132,6 +160,11 @@ class Booster:
         # iteration, one per predictor block, interleaved in self.trees
         self._nsets = 1
         self.init_score2 = 0.0
+        if gp_model is None and self.objective_name == "multiclass":
+            self._nsets = int(p["num_class"])
+            if p["boosting"] != "gbdt":
+                raise ValueError("objective='multiclass' supports "
+                                 "boosting='gbdt' only")
         if gp_model is not None and gp_model.likelihood != "gaussian" \
                 and getattr(gp_model._likelihood_obj, "num_sets_fe", 1) == 2:
             self._nsets = 2
@@ -143,14 +176,23 @@ class Booster:
                                  "two-predictor likelihoods")
 
         self.trees = []
-        self.init_score = self._boost_from_average()
-        if self._nsets == 2:
+        if gp_model is None and self.objective_name == "multiclass":
+            # boost from the log class priors (multiclass BoostFromScore)
+            K = self._nsets
+            counts = np.bincount(self.y.astype(int), minlength=K)
+            self._init_scores = np.log(np.maximum(counts, 1)
+                                       / float(self.n))
+            self.init_score = float(self._init_scores[0])
+            self.F = np.repeat(self._init_scores, self.n)
+        elif self._nsets == 2:
+            self.init_score = self._boost_from_average()
             lik = gp_model._likelihood_obj
             self.init_score2 = float(lik.init_intercept2(self.y, 1.0)) \
                 if hasattr(lik, "init_intercept2") else 0.0
             self.F = np.concatenate([np.full(self.n, self.init_score),
                                      np.full(self.n, self.init_score2)])
         else:
+            self.init_score = self._boost_from_average()
             self.F = np.full(self.n, self.init_score)
         self._gp_init_pars = None
         self.current_iteration_ = 0
@@ -202,6 +244,12 @@ class Booster:
     # ------------------------------------------------------------------
     def _boost_from_average(self):
         """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283)."""
+        if self.gp_model is None and self.objective_name == "quantile":
+            return float(np.quantile(self.y,
+                                     float(self.params.get("alpha", 0.9))))
+        if self.gp_model is None and self.objective_name == "cross_entropy":
+            pbar = float(np.clip(np.mean(self.y), 1e-12, 1 - 1e-12))
+            return float(np.log(pbar / (1.0 - pbar)))
         if self.gp_model is not None:
             if self.gp_model.likelihood == "gaussian":
                 return float(np.mean(self.y))
@@ -220,6 +268,32 @@ class Booster:
         if gp is None:
             if self.objective_name == "gaussian":
                 g, h = self.F - self.y, np.ones(self.n)
+            elif self.objective_name == "multiclass":
+                # softmax gradients (multiclass_objective.hpp:87-108)
+                K = self._nsets
+                S = self.F.reshape(K, self.n)
+                S = S - S.max(0, keepdims=True)
+                P = np.exp(S)
+                P /= P.sum(0, keepdims=True)
+                onehot = np.zeros((K, self.n))
+                onehot[self.y.astype(int), np.arange(self.n)] = 1.0
+                factor = K / (K - 1.0)
+                g = (P - onehot).reshape(-1)
+                h = np.maximum(factor * P * (1.0 - P), 1e-12).reshape(-1)
+                if w is not None:
+                    g, h = g * np.tile(w, K), h * np.tile(w, K)
+                return g, h
+            elif self.objective_name == "quantile":
+                # pinball loss (regression_objective.hpp:601-616)
+                alpha = float(self.params.get("alpha", 0.9))
+                delta = self.F - self.y
+                g = np.where(delta >= 0, 1.0 - alpha, -alpha)
+                h = np.ones(self.n)
+            elif self.objective_name == "cross_entropy":
+                # (xentropy_objective.hpp:84-85)
+                z = 1.0 / (1.0 + np.exp(-self.F))
+                g = z - self.y
+                h = np.maximum(z * (1.0 - z), 1e-12)
             else:
                 Fd = jnp.asarray(self.F)
                 yd = jnp.asarray(self.y)
@@ -355,13 +429,14 @@ class Booster:
     def update(self, train_set=None, fobj=None):
         """One boosting iteration (gbdt.cpp:412 TrainOneIter; dart.hpp for
         boosting='dart', goss.hpp for boosting='goss')."""
-        if self._nsets == 2:
-            # two trees per iteration, one per predictor block
-            # (gbdt.cpp TrainOneIter over num_class_ models)
+        if self._nsets > 1:
+            # one tree per predictor block and iteration: two-predictor
+            # likelihoods or multiclass (gbdt.cpp TrainOneIter over
+            # num_class_ models)
             grad, hess = self._gradients()
             row_mask, feat_mask = self._sampling_masks()
             lr = float(self.params["learning_rate"])
-            for k in range(2):
+            for k in range(self._nsets):
                 gk = grad[k * self.n:(k + 1) * self.n]
                 hk = hess[k * self.n:(k + 1) * self.n]
                 tree, slot_of_row, leaf_value_of_slot = self.learner.train(
@@ -394,6 +469,11 @@ class Booster:
                 row_mask = gm
         tree, slot_of_row, leaf_value_of_slot = self.learner.train(
             grad, hess, row_mask=row_mask, feat_mask=feat_mask)
+        if self.params.get("linear_tree"):
+            _fit_linear_leaves(tree, self.train_set.data, grad, hess,
+                               slot_of_row,
+                               float(self.params.get("linear_lambda", 0.0))
+                               + float(self.params["lambda_l2"]))
 
         gp = self.gp_model
         if gp is not None and gp.likelihood == "gaussian" and (
@@ -442,7 +522,10 @@ class Booster:
             # dart.hpp:137: new tree weight lr/(k+1)
             lr = lr / (1.0 + len(drop_idx))
         tree.shrinkage(lr)
-        self.F = self.F + lr * leaf_value_of_slot[slot_of_row]
+        if tree.leaf_linear:
+            self.F = self.F + tree.predict_raw(self.train_set.data)
+        else:
+            self.F = self.F + lr * leaf_value_of_slot[slot_of_row]
         if drop_idx:
             # dart.hpp:158 Normalize: dropped trees keep k/(k+1) of their
             # weight; training score gets the rescaled contribution back
@@ -488,6 +571,20 @@ class Booster:
                 phi /= len(used)
             phi[:, -1] += self.init_score
             return phi
+        if self._nsets > 1 and self.gp_model is None:
+            # standalone multiclass: K interleaved trees per iteration
+            K = self._nsets
+            nit = num_iteration if num_iteration else len(self.trees) // K
+            used = self.trees[K * start_iteration: K * (start_iteration + nit)]
+            Fk = np.tile(self._init_scores[:, None], (1, len(X)))
+            for i, tree in enumerate(used):
+                Fk[i % K] += tree.predict_raw(X)
+            if raw_score:
+                return Fk.T                       # (n, K) raw scores
+            S = Fk - Fk.max(0, keepdims=True)
+            P = np.exp(S)
+            P /= P.sum(0, keepdims=True)
+            return P.T                            # (n, K) probabilities
         if self._nsets == 2:
             # interleaved trees: even -> mean block, odd -> second block
             nit = num_iteration if num_iteration else len(self.trees) // 2
@@ -512,6 +609,8 @@ class Booster:
 
         gp = self.gp_model
         if gp is None or ignore_gp_model:
+            if not raw_score and self.objective_name == "cross_entropy":
+                return 1.0 / (1.0 + np.exp(-F_pred))
             if raw_score or self._lik is None:
                 return F_pred
             return np.asarray(self._lik.cond_mean(jnp.asarray(F_pred), self._aux))
@@ -599,6 +698,13 @@ class Booster:
             if np.any(internal):
                 needed = max(needed, int(t.split_feature[:nn][internal].max()) + 1)
         return needed
+
+    def _tree_train_contrib(self, tree, slot_of_row, leaf_value_of_slot):
+        """Per-row contribution of a freshly grown tree on the training data
+        (linear leaves need the raw features, not just the leaf constant)."""
+        if tree.leaf_linear:
+            return tree.predict_raw(self.train_set.data)
+        return leaf_value_of_slot[slot_of_row]
 
     def reset_parameter(self, params):
         """Update training parameters between iterations (used by the
@@ -882,3 +988,43 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
     booster.best_iteration = best_iter if vsets else -1
     booster.best_score = best_score if vsets else None
     return booster
+
+
+def _fit_linear_leaves(tree, X, grad, hess, slot_of_row, lam):
+    """Fit a ridge-regularized linear model in every leaf against the
+    Newton targets (linear_tree_learner.cpp: LinearTreeLearner fits leaf-wise
+    linear models on the features used along the split path).
+
+    The constant part replaces leaf_value; slopes go to tree.leaf_linear."""
+    # features on the path to each leaf
+    path_feats = {0: []}
+    for node in range(tree.num_nodes):
+        if not tree.is_leaf[node]:
+            f = int(tree.split_feature[node])
+            base = path_feats.get(node, [])
+            path_feats[int(tree.left[node])] = base + [f]
+            path_feats[int(tree.right[node])] = base + [f]
+    slot_to_node = getattr(tree, "slot_to_node", None)
+    if slot_to_node is None:
+        return
+    cat_feats = {int(tree.split_feature[nd]) for nd in tree.cat_left_bins}
+    for slot, node in slot_to_node.items():
+        feats = sorted(set(f for f in path_feats.get(node, [])
+                           if f not in cat_feats))
+        rows = np.where(slot_of_row == slot)[0]
+        if len(feats) == 0 or len(rows) < 2 * (len(feats) + 1):
+            continue
+        Xf = np.nan_to_num(X[np.ix_(rows, feats)])
+        A = np.column_stack([np.ones(len(rows)), Xf])
+        h = hess[rows]
+        g = grad[rows]
+        M = A.T @ (A * h[:, None]) + (lam + 1e-8) * np.eye(A.shape[1])
+        rhs = -A.T @ g
+        try:
+            w = np.linalg.solve(M, rhs)
+        except np.linalg.LinAlgError:
+            continue
+        if not np.all(np.isfinite(w)):
+            continue
+        tree.leaf_value[node] = w[0]
+        tree.leaf_linear[node] = (np.asarray(feats, dtype=int), w[1:])

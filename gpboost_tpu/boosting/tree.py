@@ -22,6 +22,13 @@ class Tree:
         self.num_leaves = 1
         self.max_depth_used = 0
         self.shrinkage_applied = 1.0
+        # categorical splits (tree.h cat_threshold_): node -> raw left-going
+        # category values, and node -> left-going bin bitmask (bool array)
+        self.cat_left_values = {}
+        self.cat_left_bins = {}
+        # linear leaves (linear_tree_learner.cpp): node -> (feature indices,
+        # coefficients); the constant part stays in leaf_value
+        self.leaf_linear = {}
 
     def split(self, node, feature, bin_threshold, real_threshold,
               left_value, right_value):
@@ -41,6 +48,9 @@ class Tree:
     def shrinkage(self, rate):
         """tree.h Shrinkage: scale all leaf values."""
         self.leaf_value[self.is_leaf] *= rate
+        for k in self.leaf_linear:
+            feats, coefs = self.leaf_linear[k]
+            self.leaf_linear[k] = (feats, coefs * rate)
         self.shrinkage_applied *= rate
 
     def predict_binned(self, bins):
@@ -51,14 +61,22 @@ class Tree:
         n = len(bins)
         node = np.zeros(n, dtype=np.int32)
         while True:
-            active = ~self.is_leaf[node]
-            if not np.any(active):
+            active_idx = np.where(~self.is_leaf[node])[0]
+            if len(active_idx) == 0:
                 break
-            f = self.split_feature[node[active]]
-            go_left = bins[active, f] <= self.threshold_bin[node[active]]
-            nxt = np.where(go_left, self.left[node[active]],
-                           self.right[node[active]])
-            node[active] = nxt
+            nd = node[active_idx]
+            f = self.split_feature[nd]
+            b = bins[active_idx, f]
+            go_left = b <= self.threshold_bin[nd]
+            if self.cat_left_bins:
+                for i in np.unique(nd):
+                    mask_bins = self.cat_left_bins.get(int(i))
+                    if mask_bins is not None:
+                        sel = nd == i
+                        go_left[sel] = mask_bins[
+                            np.clip(b[sel], 0, len(mask_bins) - 1)]
+            node[active_idx] = np.where(go_left, self.left[nd],
+                                        self.right[nd])
         return node
 
     def predict_raw(self, X):
@@ -68,16 +86,31 @@ class Tree:
         n = len(X)
         node = np.zeros(n, dtype=np.int32)
         while True:
-            active = ~self.is_leaf[node]
-            if not np.any(active):
+            active_idx = np.where(~self.is_leaf[node])[0]
+            if len(active_idx) == 0:
                 break
-            f = self.split_feature[node[active]]
-            x = X[active, f]
-            go_left = x <= self.threshold_real[node[active]]
+            nd = node[active_idx]
+            f = self.split_feature[nd]
+            x = X[active_idx, f]
+            go_left = x <= self.threshold_real[nd]
             go_left = np.where(np.isfinite(x), go_left, False)
-            node[active] = np.where(go_left, self.left[node[active]],
-                                    self.right[node[active]])
-        return self.leaf_value[node]
+            if self.cat_left_values:
+                for i in np.unique(nd):
+                    vals = self.cat_left_values.get(int(i))
+                    if vals is not None:
+                        sel = nd == i
+                        go_left[sel] = np.isin(x[sel], vals) \
+                            & np.isfinite(x[sel])
+            node[active_idx] = np.where(go_left, self.left[nd],
+                                        self.right[nd])
+        out = self.leaf_value[node].copy()
+        if self.leaf_linear:
+            for leaf, (feats, coefs) in self.leaf_linear.items():
+                sel = node == leaf
+                if np.any(sel):
+                    Xf = np.nan_to_num(X[np.ix_(sel, feats)])
+                    out[sel] += Xf @ coefs
+        return out
 
     def to_dict(self):
         n = self.num_nodes
@@ -92,6 +125,13 @@ class Tree:
             "is_leaf": self.is_leaf[:n].tolist(),
             "cover": self.cover[:n].tolist(),
             "split_gain": self.split_gain[:n].tolist(),
+            "cat_left_values": {str(k): np.asarray(v).tolist()
+                                for k, v in self.cat_left_values.items()},
+            "cat_left_bins": {str(k): np.asarray(v).astype(int).tolist()
+                              for k, v in self.cat_left_bins.items()},
+            "leaf_linear": {str(k): [np.asarray(f).tolist(),
+                                     np.asarray(c).tolist()]
+                            for k, (f, c) in self.leaf_linear.items()},
         }
 
     @classmethod
@@ -111,5 +151,12 @@ class Tree:
             t.cover[:n] = d["cover"]
         if "split_gain" in d:
             t.split_gain[:n] = d["split_gain"]
+        for k, v in (d.get("cat_left_values") or {}).items():
+            t.cat_left_values[int(k)] = np.asarray(v, dtype=np.float64)
+        for k, v in (d.get("cat_left_bins") or {}).items():
+            t.cat_left_bins[int(k)] = np.asarray(v, dtype=bool)
+        for k, (f, c) in (d.get("leaf_linear") or {}).items():
+            t.leaf_linear[int(k)] = (np.asarray(f, dtype=int),
+                                     np.asarray(c, dtype=np.float64))
         t.num_leaves = int(np.sum(t.is_leaf[:n]))
         return t

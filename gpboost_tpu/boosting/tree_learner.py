@@ -53,20 +53,62 @@ def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block):
     return hist
 
 
+def _thresholded(G, l1):
+    """ThresholdL1 (feature_histogram.hpp ThresholdL1): soft-threshold the
+    gradient sum for L1 regularization."""
+    return jnp.sign(G) * jnp.maximum(jnp.abs(G) - l1, 0.0)
+
+
+def _cat_order(hist_f, cat_smooth=10.0):
+    """Bin ordering for categorical split search: sort bins by G/(H+smooth)
+    (feature_histogram.hpp categorical one-vs-rest/sorted-prefix search);
+    empty bins sort last."""
+    g, h, c = hist_f[..., 0, :], hist_f[..., 1, :], hist_f[..., 2, :]
+    ratio = g / (h + cat_smooth)
+    ratio = jnp.where(c > 0, ratio, jnp.inf)
+    return jnp.argsort(ratio, axis=-1)
+
+
 def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
-                        feat_mask=None):
+                        feat_mask=None, lambda_l1=0.0, monotone=None,
+                        cat_mask=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
-    hist (p, 3, B). gain = GL^2/(HL+l2) + GR^2/(HR+l2) - G^2/(H+l2)."""
+    hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
+    - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
+
+    monotone (p,) in {-1,0,+1}: monotone-constraint directions
+    (monotone_constraints.hpp) — a split on a +1 feature is valid only when
+    left_output <= right_output (and mirrored for -1)."""
     G = jnp.sum(hist[:, 0, :], axis=1, keepdims=True)
     H = jnp.sum(hist[:, 1, :], axis=1, keepdims=True)
     C = jnp.sum(hist[:, 2, :], axis=1, keepdims=True)
     GL = jnp.cumsum(hist[:, 0, :], axis=1)
     HL = jnp.cumsum(hist[:, 1, :], axis=1)
     CL = jnp.cumsum(hist[:, 2, :], axis=1)
-    gain = (GL * GL / (HL + lambda_l2) + (G - GL) ** 2 / (H - HL + lambda_l2)
-            - G * G / (H + lambda_l2))
+    if cat_mask is not None:
+        # categorical features: prefix scan in G/H-sorted bin order; bin
+        # index b then encodes "the first b+1 sorted bins go left"
+        order = _cat_order(hist)                          # (p, B)
+        gs = jnp.take_along_axis(hist[:, 0, :], order, axis=1)
+        hs = jnp.take_along_axis(hist[:, 1, :], order, axis=1)
+        cs = jnp.take_along_axis(hist[:, 2, :], order, axis=1)
+        cm = cat_mask[:, None] > 0
+        GL = jnp.where(cm, jnp.cumsum(gs, axis=1), GL)
+        HL = jnp.where(cm, jnp.cumsum(hs, axis=1), HL)
+        CL = jnp.where(cm, jnp.cumsum(cs, axis=1), CL)
+    GR = G - GL
+    HR = H - HL
+    gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
+            + _thresholded(GR, lambda_l1) ** 2 / (HR + lambda_l2)
+            - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
+    if monotone is not None:
+        wl = -_thresholded(GL, lambda_l1) / (HL + lambda_l2)
+        wr = -_thresholded(GR, lambda_l1) / (HR + lambda_l2)
+        m = monotone[:, None]
+        valid = valid & jnp.where(
+            m == 0, True, jnp.where(m > 0, wl <= wr, wl >= wr))
     if feat_mask is not None:
         valid = valid & (feat_mask[:, None] > 0)
     gain = jnp.where(valid & (gain > min_gain), gain, -jnp.inf)
@@ -75,10 +117,11 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
     return gain.reshape(-1)[flat], flat // B, flat % B
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 14))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 17))
 def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
-               lambda_l2, min_data, min_hess, min_gain, feat_mask, mesh=None):
+               lambda_l2, min_data, min_hess, min_gain, feat_mask,
+               lambda_l1, monotone, cat_mask, mesh=None):
     """Grow one leaf-wise tree; returns (split records, leaf values, rows).
 
     feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
@@ -120,7 +163,8 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
 
     def best_of(hist):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
-                                   min_gain, feat_mask)
+                                   min_gain, feat_mask, lambda_l1, monotone,
+                                   cat_mask)
 
     hist0 = hist_fn(node0, jnp.int32(0))
     g0, f0, b0 = best_of(hist0)
@@ -132,10 +176,12 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
     leaf_depth = jnp.zeros((L,), jnp.int32)
     rec = jnp.full((L - 1, 4), -1, jnp.int32)   # (parent_slot, feat, bin, ok)
     rec_gain = jnp.zeros((L - 1,), hist0.dtype)  # split gains (importance)
+    n_words = -(-num_bins // 32)
+    rec_cat = jnp.zeros((L - 1, n_words), jnp.uint32)  # left-bin bitsets
 
     def split_step(s, carry):
         (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-         rec, rec_gain) = carry
+         rec, rec_gain, rec_cat) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -146,10 +192,25 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
 
         def do_split(args):
             (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             rec, rec_gain) = args
+             rec, rec_gain, rec_cat) = args
             feat_col = jnp.take(bins_T, f, axis=0)           # (n,)
             in_leaf = node == l
-            node2 = jnp.where(in_leaf & (feat_col > b), new_slot, node)
+            is_cat = cat_mask[f] > 0
+            # categorical: rank of each bin in this leaf's G/H ordering;
+            # the recorded bin index b means "ranks <= b go left"
+            order_f = _cat_order(leaf_hist[l, f])            # (B,)
+            rank = jnp.argsort(order_f)                      # bin -> rank
+            go_right_cat = rank[feat_col] > b
+            go_right = jnp.where(is_cat, go_right_cat, feat_col > b)
+            node2 = jnp.where(in_leaf & go_right, new_slot, node)
+            left_bins = (rank <= b) & is_cat                 # (B,) bool
+            lb = left_bins.astype(jnp.uint32)
+            n_words_ = rec_cat.shape[1]
+            pad = n_words_ * 32 - lb.shape[0]
+            lb = jnp.pad(lb, (0, pad))
+            words = jnp.sum(lb.reshape(n_words_, 32)
+                            << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                            axis=1).astype(jnp.uint32)
             hist_left = hist_fn(node2, l)
             hist_right = leaf_hist[l] - hist_left
             d = leaf_depth[l] + 1
@@ -167,23 +228,26 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             leaf_depth = leaf_depth.at[l].set(d).at[new_slot].set(d)
             rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
             rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
+            rec_cat2 = rec_cat.at[s].set(words)
             return (node2, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
-                    leaf_depth, rec2, rec_gain2)
+                    leaf_depth, rec2, rec_gain2, rec_cat2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (node, leaf_hist, leaf_gain, leaf_feat,
-                             leaf_bin, leaf_depth, rec, rec_gain))
+                             leaf_bin, leaf_depth, rec, rec_gain, rec_cat))
 
     carry = (node0, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             rec, rec_gain)
+             rec, rec_gain, rec_cat)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec, rec_gain = carry
+    (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec,
+     rec_gain, rec_cat) = carry
     # totals from one feature's bins (every feature's bins sum to the totals)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
     Hs = jnp.sum(leaf_hist[:, 0, 1, :], axis=1)
     Cs = jnp.sum(leaf_hist[:, 0, 2, :], axis=1)
-    leaf_values = jnp.where(Cs > 0, -Gs / (Hs + lambda_l2), 0.0)
-    return rec, leaf_values, node, rec_gain
+    leaf_values = jnp.where(
+        Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
+    return rec, leaf_values, node, rec_gain, rec_cat
 
 
 class SerialTreeLearner:
@@ -192,7 +256,7 @@ class SerialTreeLearner:
     def __init__(self, dataset, num_leaves=31, max_depth=-1,
                  min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
-                 mesh=None):
+                 mesh=None, lambda_l1=0.0, monotone_constraints=None):
         dataset.construct()
         self.ds = dataset
         self.mesh = mesh
@@ -221,6 +285,17 @@ class SerialTreeLearner:
         self.max_depth = max_depth if max_depth and max_depth > 0 else 10 ** 6
         self.min_data_in_leaf = float(min_data_in_leaf)
         self.lambda_l2 = float(lambda_l2)
+        self.lambda_l1 = float(lambda_l1)
+        cat = np.zeros(self.p_pad, dtype=np.int32)
+        for j, m in enumerate(dataset.mappers):
+            if getattr(m, "is_categorical", False):
+                cat[j] = 1
+        self.cat_mask = cat
+        mono = np.zeros(self.p_pad, dtype=np.int32)
+        if monotone_constraints is not None:
+            mc = np.asarray(monotone_constraints, dtype=np.int32)
+            mono[:len(mc)] = mc
+        self.monotone = mono
         self.min_sum_hessian = float(min_sum_hessian_in_leaf)
         self.min_gain = float(min_gain_to_split)
 
@@ -255,14 +330,16 @@ class SerialTreeLearner:
             import jax as _jax
             node0_d = _jax.device_put(node0_d, self._row_sharding)
             stats_d = _jax.device_put(stats_d, self._col_sharding)
-        rec, leaf_values, node, rec_gain = _grow_tree(
+        rec, leaf_values, node, rec_gain, rec_cat = _grow_tree(
             self.bins_T, node0_d, stats_d,
             self.num_bins, self.num_leaves, self.max_depth,
             self.use_pallas, self.row_block, self.feat_chunk,
             jnp.float32(self.lambda_l2), jnp.float32(self.min_data_in_leaf),
             jnp.float32(self.min_sum_hessian), jnp.float32(self.min_gain),
-            jnp.asarray(fm), self.mesh)
+            jnp.asarray(fm), jnp.float32(self.lambda_l1),
+            jnp.asarray(self.monotone), jnp.asarray(self.cat_mask), self.mesh)
         rec = np.asarray(rec)
+        rec_cat = np.asarray(rec_cat)
         rec_gain = np.asarray(rec_gain, dtype=np.float64)
         leaf_values = np.asarray(leaf_values, dtype=np.float64)
         slot_of_row = np.asarray(node)[:n]
@@ -276,13 +353,29 @@ class SerialTreeLearner:
             if ok != 1:
                 break
             node_id = slot_to_node[int(parent_slot)]
-            thr = self.ds.mappers[int(f)].bin_to_threshold(int(b))
+            mapper = self.ds.mappers[int(f)]
+            thr = mapper.bin_to_threshold(int(b))
             li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0)
             tree.split_gain[node_id] = rec_gain[s]
+            if self.cat_mask[int(f)]:
+                words = rec_cat[s]
+                left_bins = np.zeros(len(words) * 32, dtype=bool)
+                for w, word in enumerate(words):
+                    for bit in range(32):
+                        if (int(word) >> bit) & 1:
+                            left_bins[32 * w + bit] = True
+                left_bins = left_bins[: self.num_bins]
+                tree.cat_left_bins[node_id] = left_bins
+                tree.cat_left_values[node_id] = mapper.bins_to_values(
+                    left_bins)
             slot_to_node[int(parent_slot)] = li
             slot_to_node[s + 1] = ri
         for slot, node_id in slot_to_node.items():
             tree.leaf_value[node_id] = leaf_values[slot]
+        if np.any(self.monotone != 0):
+            _enforce_monotone(tree, self.monotone)
+            for slot, node_id in slot_to_node.items():
+                leaf_values[slot] = tree.leaf_value[node_id]
         leaf_value_of_slot = np.zeros(self.num_leaves + 8)
         for slot, node_id in slot_to_node.items():
             leaf_value_of_slot[slot] = tree.leaf_value[node_id]
@@ -297,3 +390,48 @@ class SerialTreeLearner:
                 tree.cover[i] = tree.cover[tree.left[i]] \
                     + tree.cover[tree.right[i]]
         return tree, slot_of_row, leaf_value_of_slot
+
+
+def _enforce_monotone(tree, monotone):
+    """Clip leaf values so every monotone-constrained split satisfies
+    max(left subtree) <= min(right subtree) for +1 constraints (mirrored for
+    -1) — the 'basic' method of monotone_constraints.hpp: split candidates
+    were already filtered during growth; this pass guarantees the property
+    also holds across nested splits."""
+
+    def leaves_under(node):
+        stack, out = [node], []
+        while stack:
+            i = stack.pop()
+            if tree.is_leaf[i]:
+                out.append(i)
+            else:
+                stack.extend([int(tree.left[i]), int(tree.right[i])])
+        return out
+
+    def visit(node):
+        if tree.is_leaf[node]:
+            return
+        f = int(tree.split_feature[node])
+        li, ri = int(tree.left[node]), int(tree.right[node])
+        m = int(monotone[f]) if f < len(monotone) else 0
+        if m != 0:
+            ll = leaves_under(li)
+            rl = leaves_under(ri)
+            lv = np.array([tree.leaf_value[i] for i in ll])
+            rv = np.array([tree.leaf_value[i] for i in rl])
+            mid = 0.5 * (lv.mean() + rv.mean())
+            if m > 0:
+                for i in ll:
+                    tree.leaf_value[i] = min(tree.leaf_value[i], mid)
+                for i in rl:
+                    tree.leaf_value[i] = max(tree.leaf_value[i], mid)
+            else:
+                for i in ll:
+                    tree.leaf_value[i] = max(tree.leaf_value[i], mid)
+                for i in rl:
+                    tree.leaf_value[i] = min(tree.leaf_value[i], mid)
+        visit(li)
+        visit(ri)
+
+    visit(0)

@@ -18,6 +18,10 @@ _METRIC_ALIASES = {
     "l1": "mae", "mae": "mae", "mean_absolute_error": "mae",
     "binary_logloss": "binary_logloss", "binary": "binary_logloss",
     "auc": "auc",
+    "multi_logloss": "multi_logloss", "multiclass": "multi_logloss",
+    "softmax": "multi_logloss", "multi_error": "multi_error",
+    "quantile": "quantile", "cross_entropy": "cross_entropy",
+    "xentropy": "cross_entropy",
     "binary_error": "binary_error",
     "neg_log_likelihood": "neg_log_likelihood",
     "approx_neg_marginal_log_likelihood": "approx_neg_marginal_log_likelihood",
@@ -79,6 +83,25 @@ def _metric_fn(name):
             (1 - y) * np.log(np.clip(1 - p, 1e-15, 1))))
     if name == "binary_error":
         return lambda y, p: float(np.mean((p > 0.5).astype(int) != y))
+    if name == "multi_logloss":
+        def mll(y, p):
+            p = np.asarray(p)
+            pc = np.clip(p[np.arange(len(y)), y.astype(int)], 1e-15, 1.0)
+            return float(-np.mean(np.log(pc)))
+        return mll
+    if name == "multi_error":
+        return lambda y, p: float(np.mean(np.asarray(p).argmax(1)
+                                          != y.astype(int)))
+    if name == "quantile":
+        # the alpha used in training is not visible here; default 0.9
+        def pinball(y, p, alpha=0.9):
+            d = y - p
+            return float(np.mean(np.maximum(alpha * d, (alpha - 1) * d)))
+        return pinball
+    if name == "cross_entropy":
+        return lambda y, p: float(-np.mean(
+            y * np.log(np.clip(p, 1e-15, 1))
+            + (1 - y) * np.log(np.clip(1 - p, 1e-15, 1))))
     if name == "auc":
         def auc(y, p):
             order = np.argsort(p)
@@ -229,7 +252,9 @@ def cv(params=None, train_set=None, num_boost_round=100, gp_model=None,
         test_mask = np.zeros(n, dtype=bool)
         test_mask[test_idx] = True
         tr = ~test_mask
-        ds_tr = Dataset(X[tr], label=y[tr], max_bin=train_set.max_bin)
+        ds_tr = Dataset(X[tr], label=y[tr], max_bin=train_set.max_bin,
+                        categorical_feature=train_set.categorical_feature
+                        or None)
         gp_tr = _clone_gp_model(gp_model, tr)
         bst = Booster(params=params, train_set=ds_tr, gp_model=gp_tr)
         pred_kw = {}

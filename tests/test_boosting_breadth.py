@@ -1,0 +1,215 @@
+"""Boosting breadth: multiclass/quantile/cross-entropy objectives,
+lambda_l1, monotone constraints, categorical features, linear trees.
+
+Reference: src/LightGBM/objective/{multiclass,regression,xentropy}_
+objective.hpp, treelearner/feature_histogram.hpp (L1 / monotone),
+io/bin.cpp categorical bins, treelearner/linear_tree_learner.cpp.
+"""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import gpboost_tpu as gpb
+
+
+class TestMulticlass:
+    @pytest.fixture(scope="class")
+    def mc_data(self):
+        rng = np.random.RandomState(2)
+        n = 900
+        X = rng.rand(n, 4)
+        logits = np.stack([2 * X[:, 0], 2 * X[:, 1], 2 * X[:, 2]])
+        y = np.argmax(logits + 0.3 * rng.gumbel(size=(3, n)),
+                      axis=0).astype(float)
+        return dict(X=X, y=y)
+
+    def test_train_predict(self, mc_data):
+        d = mc_data
+        ds = gpb.Dataset(d["X"][:700], label=d["y"][:700])
+        bst = gpb.train({"objective": "multiclass", "num_class": 3,
+                         "num_leaves": 15, "min_data_in_leaf": 10,
+                         "verbose": 0}, ds, num_boost_round=40)
+        P = bst.predict(d["X"][700:])
+        assert P.shape == (200, 3)
+        np.testing.assert_allclose(P.sum(1), 1.0, rtol=1e-10)
+        assert (P.argmax(1) == d["y"][700:]).mean() > 0.6
+        raw = bst.predict(d["X"][700:], raw_score=True)
+        assert raw.shape == (200, 3)
+
+    def test_multi_logloss_metric(self, mc_data):
+        d = mc_data
+        ds = gpb.Dataset(d["X"][:700], label=d["y"][:700])
+        vs = gpb.Dataset(d["X"][700:], label=d["y"][700:])
+        ev = {}
+        gpb.train({"objective": "multiclass", "num_class": 3,
+                   "num_leaves": 15, "min_data_in_leaf": 10, "verbose": 0,
+                   "metric": "multi_logloss"}, ds, num_boost_round=10,
+                  valid_sets=[vs], evals_result=ev)
+        hist = ev["valid_0"]["multi_logloss"]
+        assert len(hist) == 10 and hist[-1] < hist[0]
+
+
+class TestQuantileXentropy:
+    def test_quantile_coverage(self):
+        rng = np.random.RandomState(3)
+        n = 900
+        X = rng.rand(n, 4)
+        y = 3 * X[:, 0] + 0.5 * rng.randn(n)
+        ds = gpb.Dataset(X[:700], label=y[:700])
+        bst = gpb.train({"objective": "quantile", "alpha": 0.9,
+                         "num_leaves": 15, "min_data_in_leaf": 10,
+                         "verbose": 0}, ds, num_boost_round=60)
+        cover = (y[700:] <= bst.predict(X[700:])).mean()
+        assert 0.8 < cover < 0.98
+
+    def test_cross_entropy(self):
+        rng = np.random.RandomState(3)
+        n = 900
+        X = rng.rand(n, 4)
+        y = np.clip(X[:, 0] + 0.1 * rng.randn(n), 0, 1)
+        ds = gpb.Dataset(X[:700], label=y[:700])
+        bst = gpb.train({"objective": "cross_entropy", "num_leaves": 15,
+                         "min_data_in_leaf": 10, "verbose": 0},
+                        ds, num_boost_round=60)
+        p = bst.predict(X[700:])
+        assert np.all((p >= 0) & (p <= 1))
+        assert np.corrcoef(p, y[700:])[0, 1] > 0.8
+
+
+class TestRegularizationAndConstraints:
+    def test_lambda_l1_shrinks_leaves(self):
+        rng = np.random.RandomState(1)
+        n = 500
+        X = rng.rand(n, 3)
+        y = X[:, 0] + 0.5 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y)
+        b0 = gpb.train({"objective": "regression", "num_leaves": 31,
+                        "min_data_in_leaf": 5, "verbose": 0},
+                       ds, num_boost_round=5)
+        b1 = gpb.train({"objective": "regression", "num_leaves": 31,
+                        "min_data_in_leaf": 5, "verbose": 0,
+                        "lambda_l1": 50.0}, ds, num_boost_round=5)
+        s0 = sum(np.abs(t.leaf_value[:t.num_nodes][t.is_leaf[:t.num_nodes]])
+                 .sum() for t in b0.trees)
+        s1 = sum(np.abs(t.leaf_value[:t.num_nodes][t.is_leaf[:t.num_nodes]])
+                 .sum() for t in b1.trees)
+        assert s1 < s0
+
+    def test_monotone_increasing(self):
+        rng = np.random.RandomState(1)
+        n = 600
+        X = rng.rand(n, 3)
+        y = 2 * X[:, 0] + np.sin(6 * X[:, 1]) + 0.2 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "regression", "num_leaves": 31,
+                         "min_data_in_leaf": 10, "verbose": 0,
+                         "monotone_constraints": [1, 0, 0]},
+                        ds, num_boost_round=40)
+        xs = np.linspace(0.02, 0.98, 60)
+        base = np.full((60, 3), 0.5)
+        base[:, 0] = xs
+        p = bst.predict(base)
+        assert (np.diff(p) >= -1e-10).all()
+
+    def test_monotone_decreasing(self):
+        rng = np.random.RandomState(1)
+        n = 600
+        X = rng.rand(n, 3)
+        y = -2 * X[:, 0] + 0.2 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "regression", "num_leaves": 15,
+                         "min_data_in_leaf": 10, "verbose": 0,
+                         "monotone_constraints": [-1, 0, 0]},
+                        ds, num_boost_round=30)
+        xs = np.linspace(0.02, 0.98, 60)
+        base = np.full((60, 3), 0.5)
+        base[:, 0] = xs
+        p = bst.predict(base)
+        assert (np.diff(p) <= 1e-10).all()
+
+
+class TestCategorical:
+    @pytest.fixture(scope="class")
+    def cat_data(self):
+        rng = np.random.RandomState(4)
+        n = 1200
+        cat = rng.randint(0, 12, n).astype(float)
+        effect = np.array([3.0, -2, 1.5, 0.2, -3, 2.2, -1, 0.5, 2.8,
+                           -0.7, -2.5, 1.0])
+        X = np.column_stack([cat, rng.rand(n)])
+        y = effect[cat.astype(int)] + 0.3 * rng.randn(n)
+        return dict(X=X, y=y)
+
+    def test_fit_and_round_trip(self, cat_data):
+        d = cat_data
+        ds = gpb.Dataset(d["X"][:900], label=d["y"][:900],
+                         categorical_feature=[0])
+        bst = gpb.train({"objective": "regression", "num_leaves": 15,
+                         "min_data_in_leaf": 10, "verbose": 0},
+                        ds, num_boost_round=30)
+        p = bst.predict(d["X"][900:])
+        assert np.mean((p - d["y"][900:]) ** 2) < 0.2
+        # categorical split sets survive JSON round trips
+        fn = tempfile.mktemp(suffix=".json")
+        bst.save_model(fn)
+        b2 = gpb.Booster(model_file=fn)
+        np.testing.assert_allclose(b2.predict(d["X"][900:]), p)
+        os.unlink(fn)
+        assert any(t.cat_left_values for t in bst.trees)
+
+    def test_one_tree_separates_categories(self, cat_data):
+        """A single tree with enough leaves should isolate the 12 category
+        means — impossible for numeric splits at depth limits that low if
+        category ids are not ordered by effect."""
+        d = cat_data
+        ds = gpb.Dataset(d["X"][:900], label=d["y"][:900],
+                         categorical_feature=[0])
+        bst = gpb.train({"objective": "regression", "num_leaves": 4,
+                         "max_depth": 2, "min_data_in_leaf": 10,
+                         "learning_rate": 1.0, "verbose": 0},
+                        ds, num_boost_round=1)
+        dsn = gpb.Dataset(d["X"][:900], label=d["y"][:900])
+        bn = gpb.train({"objective": "regression", "num_leaves": 4,
+                        "max_depth": 2, "min_data_in_leaf": 10,
+                        "learning_rate": 1.0, "verbose": 0},
+                       dsn, num_boost_round=1)
+        mse_cat = np.mean((bst.predict(d["X"][900:]) - d["y"][900:]) ** 2)
+        mse_num = np.mean((bn.predict(d["X"][900:]) - d["y"][900:]) ** 2)
+        assert mse_cat < mse_num
+
+
+class TestLinearTree:
+    def test_linear_trees_beat_constant_leaves_on_linear_data(self):
+        rng = np.random.RandomState(5)
+        n = 800
+        X = rng.rand(n, 3)
+        y = 3 * X[:, 0] + 2 * X[:, 1] + 0.1 * rng.randn(n)
+        ds = gpb.Dataset(X[:600], label=y[:600])
+        b_lin = gpb.train({"objective": "regression", "num_leaves": 7,
+                           "min_data_in_leaf": 20, "verbose": 0,
+                           "linear_tree": True}, ds, num_boost_round=20)
+        b_std = gpb.train({"objective": "regression", "num_leaves": 7,
+                           "min_data_in_leaf": 20, "verbose": 0},
+                          ds, num_boost_round=20)
+        m_lin = np.mean((b_lin.predict(X[600:]) - y[600:]) ** 2)
+        m_std = np.mean((b_std.predict(X[600:]) - y[600:]) ** 2)
+        assert m_lin < m_std * 0.6
+
+    def test_round_trip(self):
+        rng = np.random.RandomState(5)
+        n = 400
+        X = rng.rand(n, 3)
+        y = 3 * X[:, 0] + 0.1 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "min_data_in_leaf": 20, "verbose": 0,
+                         "linear_tree": True}, ds, num_boost_round=5)
+        fn = tempfile.mktemp(suffix=".json")
+        bst.save_model(fn)
+        b2 = gpb.Booster(model_file=fn)
+        np.testing.assert_allclose(b2.predict(X), bst.predict(X))
+        os.unlink(fn)
