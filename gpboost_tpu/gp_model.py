@@ -252,19 +252,23 @@ class GPModel:
                 "'tapering', 'full_scale_tapering')")
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
-                if gp_approx != "vecchia":
-                    raise NotImplementedError(
-                        "gp_approx='fitc' with non-Gaussian likelihoods lands "
-                        "with the FITC-Laplace engine")
-                from .models.vecchia_laplace import VecchiaLaplaceEngine
                 self._likelihood_obj = get_likelihood(
                     likelihood, likelihood_additional_param)
-                self._engine = VecchiaLaplaceEngine(
-                    self.components, self.num_data, self._likelihood_obj,
-                    num_neighbors=num_neighbors if num_neighbors else 20,
-                    vecchia_ordering=vecchia_ordering, seed=seed,
-                    dtype=self._dtype,
-                    matrix_inversion_method=matrix_inversion_method)
+                if gp_approx == "fitc":
+                    from .models.fitc_laplace import FITCLaplaceEngine
+                    self._engine = FITCLaplaceEngine(
+                        self.components, self.num_data, self._likelihood_obj,
+                        num_ind_points=num_ind_points,
+                        ind_points_selection=ind_points_selection, seed=seed,
+                        dtype=self._dtype)
+                else:
+                    from .models.vecchia_laplace import VecchiaLaplaceEngine
+                    self._engine = VecchiaLaplaceEngine(
+                        self.components, self.num_data, self._likelihood_obj,
+                        num_neighbors=num_neighbors if num_neighbors else 20,
+                        vecchia_ordering=vecchia_ordering, seed=seed,
+                        dtype=self._dtype,
+                        matrix_inversion_method=matrix_inversion_method)
                 self.num_cov_par = self._engine.num_cov_par
                 self.params = OptimConfig()
                 self._fit_result = None
