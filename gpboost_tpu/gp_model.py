@@ -156,10 +156,44 @@ class GPModel:
             # (re_comp.h:1812-1815 GetTaperMu)
             taper_mu = (1.0 + gp_coords.shape[1]) / 2.0 \
                 + cov_fct_taper_shape + 0.5
-            cov_fn = CovarianceFunction(
-                cov_function, shape=cov_fct_shape, dim=gp_coords.shape[1],
-                taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape,
-                taper_mu=taper_mu)
+            if cov_function.startswith("ar1_mf_"):
+                from .ops.cov_fcts import AR1MultifidelityCovariance
+                fid = gp_coords[:, -1]
+                if not np.all(np.isin(fid, (0.0, 1.0))):
+                    raise ValueError(
+                        "The last column of gp_coords must contain only 0 "
+                        "(low fidelity) and 1 (high fidelity) for AR1 "
+                        "multifidelity covariance functions")
+                cov_fn = AR1MultifidelityCovariance(
+                    cov_function[len("ar1_mf_"):], shape=cov_fct_shape,
+                    dim=gp_coords.shape[1])
+            else:
+                cov_fn = CovarianceFunction(
+                    cov_function, shape=cov_fct_shape, dim=gp_coords.shape[1],
+                    taper_range=cov_fct_taper_range, taper_shape=cov_fct_taper_shape,
+                    taper_mu=taper_mu)
+            if gp_approx in ("full_scale_vecchia",
+                             "full_scale_vecchia_correlation_based"):
+                from .ops.taper import VIFCovarianceFunction
+                from .models.fitc import kmeanspp_indices
+                m_ip = min(num_ind_points if num_ind_points else 500,
+                           len(gp_coords))
+                if ind_points_selection == "random":
+                    rng = np.random.RandomState(seed)
+                    ip = gp_coords[rng.choice(len(gp_coords), m_ip,
+                                              replace=False)]
+                else:
+                    ip = kmeanspp_indices(gp_coords, m_ip, seed=seed)
+                init_al = None
+                if gp_approx.endswith("correlation_based"):
+                    comp0 = GPComponent(gp_coords, cov_fn)
+                    init_al = cov_fn.range_to_transformed(
+                        np.asarray(_init_ranges(comp0)))
+                cov_fn = VIFCovarianceFunction(
+                    cov_fn, ip, gp_coords,
+                    num_neighbors if num_neighbors else 30,
+                    correlation_based=gp_approx.endswith("correlation_based"),
+                    init_alphas=init_al)
             if gp_approx in ("tapering", "full_scale_tapering",
                              "full_scale_tapering_pred_var_exact",
                              "full_scale_tapering_pred_var_exact_stable"):
@@ -224,7 +258,9 @@ class GPModel:
         self.num_neighbors_pred = None
         _taper_approxes = ("tapering", "full_scale_tapering",
                            "full_scale_tapering_pred_var_exact",
-                           "full_scale_tapering_pred_var_exact_stable")
+                           "full_scale_tapering_pred_var_exact_stable",
+                           "full_scale_vecchia",
+                           "full_scale_vecchia_correlation_based")
         if gp_approx in _taper_approxes:
             # the tapered/FSA kernel adapters ride the dense (or Laplace)
             # engine — reset to the plain dense dispatch below
@@ -232,6 +268,11 @@ class GPModel:
         else:
             gp_approx_engine = gp_approx
         gp_approx = gp_approx_engine
+        if gp_approx == "vecchia_euclidean":
+            # distance-based neighbor selection for ar1_mf models (the plain
+            # 'vecchia' re-determines neighbors by correlation there,
+            # Vecchia_utils.h:192); our Vecchia engine is distance-based
+            gp_approx = "vecchia"
         if gp_approx == "vecchia_latent":
             # Vecchia on the LATENT process for Gaussian data, driven through
             # the non-Gaussian (Laplace) code path with the error variance as
@@ -539,6 +580,27 @@ class GPModel:
     def get_num_optim_iter(self):
         return self._require_fit().num_it
 
+    def get_num_mode_finding_steps(self):
+        """Newton iterations of the last Laplace mode finding
+        (re_model.h:153 GetNumModeFindingSteps)."""
+        n = getattr(self._engine, "last_num_mode_it", None)
+        if n is None:
+            raise ValueError("no mode finding has run (Gaussian likelihood "
+                             "or model not evaluated yet)")
+        return int(n)
+
+    def get_total_num_mode_finding_steps(self):
+        return int(getattr(self._engine, "total_num_mode_it", 0))
+
+    def get_num_cg_steps(self):
+        """CG iterations of the last iterative solve (re_model.h:145
+        GetNumCGSteps; matrix_inversion_method='iterative' engines)."""
+        n = getattr(self._engine, "last_num_cg_it", None)
+        if n is None:
+            raise ValueError("no CG solve has run "
+                             "(matrix_inversion_method != 'iterative')")
+        return int(n)
+
     def get_current_neg_log_likelihood(self):
         return self._require_fit().neg_log_likelihood
 
@@ -764,6 +826,13 @@ class GPModel:
                 cp = np.asarray(gp_coords_pred, dtype=np.float64)
                 if cp.ndim == 1:
                     cp = cp[:, None]
+                if self.cov_function_name.startswith("ar1_mf_"):
+                    bad = cp[~np.isin(cp[:, -1], (0.0, 1.0)), -1]
+                    if len(bad):
+                        raise ValueError(
+                            "The last column of gp_coords_pred must contain "
+                            "only 0 (low fidelity) and 1 (high fidelity), "
+                            f"found {bad[0]:g}")
                 pd["coords_pred"] = cp
                 n_pred = len(cp)
                 if comp.z is not None:
@@ -937,6 +1006,10 @@ class GPModel:
 def _gp_cov_par_names(cov_function, dim):
     """Covariance-parameter names for one GP component, mirroring the
     reference (basic.py:5057-5076)."""
+    if cov_function.startswith("ar1_mf_"):
+        base = _gp_cov_par_names(cov_function[len("ar1_mf_"):], dim - 1)
+        return (["low_" + nm for nm in base]
+                + ["discrepancy_" + nm for nm in base] + ["rho"])
     if cov_function == "space_time_gneiting":
         return ["sigma2", "a", "c", "alpha", "nu", "beta", "delta"]
     if cov_function == "matern_space_time":
@@ -961,6 +1034,15 @@ def _gp_cov_par_names(cov_function, dim):
 def _init_ranges(comp):
     """Initial transformed->original ranges via the median-distance rule
     (cov_fcts.h:1599-1668 FindInitCovPar)."""
+    cf0 = comp.cov_fn
+    if getattr(cf0, "cov_fct_type", "").startswith("ar1_mf_"):
+        # compose the base rule on the spatial coords for both levels
+        # (cov_fcts.h InitializeAR1Multifidelity + base FindInitCovPar);
+        # discrepancy variance starts at 1, rho at 0 (transformed 1)
+        from .models.components import GPComponent
+        base_comp = GPComponent(comp.coords[:, :-1], cf0.base_low)
+        base_init = _init_ranges(base_comp)
+        return base_init + [1.0] + base_init + [0.0]
     coords = comp.coords
     n = len(coords)
     if n > 1000:

@@ -54,6 +54,10 @@ class GPComponent:
 
     def corr(self, D_or_none, alphas):
         """Correlation matrix on training data given transformed ranges."""
+        if hasattr(self.cov_fn, "corr_train"):
+            # approximation adapters (VIF) use a dedicated training-block
+            # evaluation anchored to the training rows
+            return self.cov_fn.corr_train(alphas)
         if self.cov_fn.is_isotropic:
             return self.cov_fn.corr_from_dist(D_or_none, alphas)
         return self.cov_fn.corr_from_coords(

@@ -189,7 +189,7 @@ class FITCGaussianEngine:
     def _orig_to_internal_jnp(self, pars_orig):
         from .gaussian_gp import _range_to_transformed_jnp
         sigma2 = pars_orig[0]
-        alpha = _range_to_transformed_jnp(self.comp, pars_orig[2:])
+        alpha = _range_to_transformed_jnp(self.comp, pars_orig[2:], var=v)
         return jnp.concatenate([jnp.log(pars_orig[1] / sigma2)[None],
                                 jnp.log(alpha)]), sigma2
 
@@ -204,7 +204,8 @@ class FITCGaussianEngine:
     def back_transform_pars(self, pars_internal):
         t = np.asarray(pars_internal, dtype=np.float64)
         out = [t[0], t[1] * t[0]]
-        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(t[2:])))
+        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(
+            t[2:], var=t[1] * t[0])))
         return np.asarray(out)
 
     def total_re_variance_original(self, pars_orig):

@@ -177,10 +177,10 @@ class FITCLaplaceEngine:
                 bad = ~jnp.isfinite(obj_new)
                 return (b_new, obj_new, it + 1, jnp.logical_or(conv, bad))
 
-            b_fin, _, _, _ = jax.lax.while_loop(
+            b_fin, _, nit, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(~c[3], c[2] < MAXIT_MODE_NEWTON),
                 newton_body, (b_init, obj0, 0, False))
-            return b_fin
+            return b_fin, nit
 
         def _g(u, F, b, y):
             theta_log = u[:self.num_theta]
@@ -205,12 +205,12 @@ class FITCLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             dd, U = self._parts_latent(theta_log)
-            b = _mode_solve(dd, U, aux, y, F, b_init)
-            return _g(u, F, b, y), b
+            b, nit = _mode_solve(dd, U, aux, y, F, b_init)
+            return _g(u, F, b, y), (b, nit)
 
         def nll_fwd(u, F, y, b_init):
             out = nll_fn(u, F, y, b_init)
-            return out, (u, F, y, out[1])
+            return out, (u, F, y, out[1][0])
 
         def nll_bwd(res, ct):
             ct_nll = ct[0]
@@ -244,19 +244,27 @@ class FITCLaplaceEngine:
     def _cast(self, v):
         return jnp.asarray(np.asarray(v), self.dtype)
 
+    def _note_it(self, nit):
+        self.last_num_mode_it = int(nit)
+        self.total_num_mode_it = getattr(self, "total_num_mode_it", 0) \
+            + int(nit)
+
     def laplace_nll(self, u, y, F, a_init):
-        nll, b = self._nll_fn(self._cast(u), self._cast(F), self._cast(y),
-                              a_init)
+        nll, (b, nit) = self._nll_fn(self._cast(u), self._cast(F),
+                                     self._cast(y), a_init)
+        self._note_it(nit)
         return float(nll), b
 
     def laplace_vag(self, u, y, F, a_init):
-        (nll, b), g = self._vag(self._cast(u), self._cast(F), self._cast(y),
-                                a_init)
+        (nll, (b, nit)), g = self._vag(self._cast(u), self._cast(F),
+                                       self._cast(y), a_init)
+        self._note_it(nit)
         return float(nll), np.asarray(g), b
 
     def laplace_vag_F(self, u, y, F, a_init):
-        (nll, b), (gu, gF) = self._vag_F(self._cast(u), self._cast(F),
-                                         self._cast(y), a_init)
+        (nll, (b, nit)), (gu, gF) = self._vag_F(self._cast(u), self._cast(F),
+                                                self._cast(y), a_init)
+        self._note_it(nit)
         return float(nll), np.asarray(gu), np.asarray(gF), b
 
     # parameter transforms (sigma2 = 1 for non-Gaussian)
@@ -264,13 +272,15 @@ class FITCLaplaceEngine:
         pars_orig = np.asarray(pars_orig, dtype=np.float64)
         out = [pars_orig[0]]
         out.extend(np.atleast_1d(
-            self.comp.cov_fn.range_to_transformed(pars_orig[1:])))
+            self.comp.cov_fn.range_to_transformed(pars_orig[1:],
+                                                  var=pars_orig[0])))
         return np.asarray(out)
 
     def back_transform_pars(self, t):
         t = np.asarray(t, dtype=np.float64)
         out = [t[0]]
-        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(t[1:])))
+        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(
+            t[1:], var=t[0])))
         return np.asarray(out)
 
     def neg_log_likelihood(self, pars_orig, y, aux_pars=None,
@@ -311,7 +321,8 @@ class FITCLaplaceEngine:
             else jnp.zeros(self.n, self.dtype)
         if a_init is None:
             a_init = self.zero_mode()
-        nll, b = self._nll_fn(jnp.asarray(u, self.dtype), Fp, yp, a_init)
+        nll, (b, _nit) = self._nll_fn(jnp.asarray(u, self.dtype), Fp, yp,
+                                      a_init)
 
         cf = self.comp.cov_fn
         v = t[0]

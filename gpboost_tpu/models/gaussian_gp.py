@@ -62,9 +62,9 @@ def assemble_pred_covs(components, par_offsets, comp_vars, theta_log,
     return K_cross, K_pred
 
 
-def _range_to_transformed_jnp(comp, rho):
+def _range_to_transformed_jnp(comp, rho, var=None):
     """Differentiable rho -> alpha transform (mirrors CovarianceFunction)."""
-    return comp.cov_fn.range_to_transformed_jnp(rho)
+    return comp.cov_fn.range_to_transformed_jnp(rho, var=var)
 
 
 class DenseSigmaAssembly:
@@ -208,7 +208,7 @@ class DenseGaussianEngine:
             parts.append(jnp.log(v / sigma2)[None])
             if comp.num_range_par > 0:
                 rho = pars_orig[2 + off: 1 + off + comp.num_cov_par]
-                alpha = _range_to_transformed_jnp(comp, rho)
+                alpha = _range_to_transformed_jnp(comp, rho, var=v)
                 parts.append(jnp.log(alpha))
         return jnp.concatenate(parts), sigma2
 
@@ -341,7 +341,8 @@ class DenseGaussianEngine:
             out.append(v / sigma2)
             if comp.num_range_par > 0:
                 rho = pars_orig[2 + off: 1 + off + comp.num_cov_par]
-                out.extend(np.atleast_1d(comp.cov_fn.range_to_transformed(rho)))
+                out.extend(np.atleast_1d(
+                    comp.cov_fn.range_to_transformed(rho, var=v)))
         return np.asarray(out)
 
     def back_transform_pars(self, pars_internal):
@@ -350,10 +351,12 @@ class DenseGaussianEngine:
         sigma2 = t[0]
         out = [sigma2]
         for comp, off in zip(self.components, self.par_offsets):
-            out.append(t[1 + off] * sigma2)
+            v_orig = t[1 + off] * sigma2
+            out.append(v_orig)
             if comp.num_range_par > 0:
                 alphas = t[2 + off: 1 + off + comp.num_cov_par]
-                out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(alphas)))
+                out.extend(np.atleast_1d(
+                    comp.cov_fn.range_from_transformed(alphas, var=v_orig)))
         return np.asarray(out)
 
     def total_re_variance_original(self, pars_orig):

@@ -293,11 +293,11 @@ class LaplaceDenseEngine:
             Sigma = sigma_fn(theta_log)
             a, mode, obj, nit = _mode_solve(Sigma, aux, y, F, a_init)
             nll = _g(u, F, a, y)
-            return nll, a
+            return nll, (a, nit)
 
         def nll_fwd(u, F, y, a_init):
             out = nll_fn(u, F, y, a_init)
-            return out, (u, F, y, out[1])
+            return out, (u, F, y, out[1][0])
 
         def nll_bwd(res, ct):
             ct_nll = ct[0]           # cotangent of a (ct[1]) is ignored:
@@ -392,15 +392,26 @@ class LaplaceDenseEngine:
         return jnp.zeros(self.n, dtype=self.dtype)
 
     def laplace_nll(self, u, y, F, a_init):
-        nll, a = self._nll_fn(jnp.asarray(u, self.dtype), F, y, a_init)
+        nll, (a, nit) = self._nll_fn(jnp.asarray(u, self.dtype), F, y, a_init)
+        self.last_num_mode_it = int(nit)
+        self.total_num_mode_it = getattr(self, "total_num_mode_it", 0) \
+            + int(nit)
         return float(nll), a
 
     def laplace_vag(self, u, y, F, a_init):
-        (nll, a), grad = self._vag(jnp.asarray(u, self.dtype), F, y, a_init)
+        (nll, (a, nit)), grad = self._vag(jnp.asarray(u, self.dtype), F, y,
+                                          a_init)
+        self.last_num_mode_it = int(nit)
+        self.total_num_mode_it = getattr(self, "total_num_mode_it", 0) \
+            + int(nit)
         return float(nll), np.asarray(grad), a
 
     def laplace_vag_F(self, u, y, F, a_init):
-        (nll, a), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype), F, y, a_init)
+        (nll, (a, nit)), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype),
+                                                F, y, a_init)
+        self.last_num_mode_it = int(nit)
+        self.total_num_mode_it = getattr(self, "total_num_mode_it", 0) \
+            + int(nit)
         return float(nll), np.asarray(gu), np.asarray(gF), a
 
     # parameter transforms (sigma2 = 1 for non-Gaussian, cov_fcts.h:501)
@@ -411,7 +422,8 @@ class LaplaceDenseEngine:
             out.append(pars_orig[off])
             if comp.num_cov_par > 1:
                 rho = pars_orig[off + 1: off + comp.num_cov_par]
-                out.extend(np.atleast_1d(comp.cov_fn.range_to_transformed(rho)))
+                out.extend(np.atleast_1d(comp.cov_fn.range_to_transformed(
+                    rho, var=pars_orig[off])))
         return np.asarray(out)
 
     def back_transform_pars(self, pars_internal):
@@ -421,7 +433,8 @@ class LaplaceDenseEngine:
             out.append(t[off])
             if comp.num_cov_par > 1:
                 alphas = t[off + 1: off + comp.num_cov_par]
-                out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(alphas)))
+                out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(
+                    alphas, var=t[off])))
         return np.asarray(out)
 
     def training_re(self, u, a_state, predict_var=False):

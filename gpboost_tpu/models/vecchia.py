@@ -147,16 +147,22 @@ class VecchiaGaussianEngine:
             raise ValueError(f"vecchia_ordering '{vecchia_ordering}'")
         self.perm = perm
         self.coords_ord = comp.coords[perm]
+        # ar1 multifidelity: euclidean neighbor search runs on the SPATIAL
+        # coordinates only (the fidelity indicator is not a distance axis)
+        self._search_cols = slice(0, -1) \
+            if getattr(comp.cov_fn, "cov_fct_type", "").startswith("ar1_mf_") \
+            else slice(None)
+        search_coords = self.coords_ord[:, self._search_cols]
         idx = mask = None
-        if self.n >= 20000 and self.coords_ord.shape[1] == 2:
+        if self.n >= 20000 and search_coords.shape[1] == 2:
             # native cell-bucketed search (the reference's fast-heuristic
             # analogue, Vecchia_utils.h:238): ~20x faster, >99% same neighbors
             from ..native import nn_preceding_2d
-            res = nn_preceding_2d(self.coords_ord, self.m)
+            res = nn_preceding_2d(search_coords, self.m)
             if res is not None:
                 idx, mask = res
         if idx is None:
-            idx, mask = nearest_preceding_neighbors(self.coords_ord, self.m)
+            idx, mask = nearest_preceding_neighbors(search_coords, self.m)
         self._nn_idx = jnp.asarray(idx)
         self._nn_mask = jnp.asarray(mask)
         self._coords_d = jnp.asarray(self.coords_ord, dtype=dtype)
@@ -320,7 +326,7 @@ class VecchiaGaussianEngine:
         sigma2 = pars_orig[0]
         v = pars_orig[1]
         rho = pars_orig[2: 1 + self.num_theta]
-        alpha = _range_to_transformed_jnp(self.comp, rho)
+        alpha = _range_to_transformed_jnp(self.comp, rho, var=v)
         return jnp.concatenate([jnp.log(v / sigma2)[None], jnp.log(alpha)]), sigma2
 
     # ------------------------------------------------------------------
@@ -331,7 +337,8 @@ class VecchiaGaussianEngine:
         out = [sigma2, pars_orig[1] / sigma2]
         if self.num_theta > 1:
             out.extend(np.atleast_1d(
-                self.comp.cov_fn.range_to_transformed(pars_orig[2:])))
+                self.comp.cov_fn.range_to_transformed(pars_orig[2:],
+                                                      var=pars_orig[1])))
         return np.asarray(out)
 
     def back_transform_pars(self, pars_internal):
@@ -339,7 +346,8 @@ class VecchiaGaussianEngine:
         out = [t[0], t[1] * t[0]]
         if self.num_theta > 1:
             out.extend(np.atleast_1d(
-                self.comp.cov_fn.range_from_transformed(t[2:])))
+                self.comp.cov_fn.range_from_transformed(t[2:],
+                                                        var=t[1] * t[0])))
         return np.asarray(out)
 
     def total_re_variance_original(self, pars_orig):
@@ -414,7 +422,9 @@ class VecchiaGaussianEngine:
     def _knn_obs(self, coords_pred, k):
         """k nearest observed points per prediction point (host cKDTree)."""
         from scipy.spatial import cKDTree
-        dist, idx = cKDTree(self.coords_ord).query(coords_pred, k=k)
+        sc = self._search_cols
+        dist, idx = cKDTree(self.coords_ord[:, sc]).query(
+            np.asarray(coords_pred)[:, sc], k=k)
         p = len(coords_pred)
         return idx.reshape(p, -1), dist.reshape(p, -1)
 

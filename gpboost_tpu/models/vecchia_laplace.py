@@ -163,7 +163,7 @@ class VecchiaLaplaceEngine:
             b_fin, obj_fin, nit, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(~c[3], c[2] < MAXIT_MODE_NEWTON),
                 newton_body, (b_init, obj0, 0, False))
-            return b_fin
+            return b_fin, nit
 
         def _g(u, F, b, y):
             theta_log = u[:self.num_theta]
@@ -188,12 +188,12 @@ class VecchiaLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             Q, _ = self._Q_logdetQ(theta_log)
-            b = _mode_solve(Q, aux, y, F, b_init)
-            return _g(u, F, b, y), b
+            b, nit = _mode_solve(Q, aux, y, F, b_init)
+            return _g(u, F, b, y), (b, jnp.stack([nit, 0]))
 
         def nll_fwd(u, F, y, b_init):
             out = nll_fn(u, F, y, b_init)
-            return out, (u, F, y, out[1])
+            return out, (u, F, y, out[1][0])
 
         def nll_bwd(res, ct):
             ct_nll = ct[0]
@@ -231,20 +231,35 @@ class VecchiaLaplaceEngine:
                 [v[: self.n][self.perm], v[self.n:][self.perm]]), self.dtype)
         return jnp.asarray(v[self.perm], self.dtype)
 
+    def _note_it(self, stats):
+        stats = np.asarray(stats).ravel()
+        self.last_num_mode_it = int(stats[0])
+        self.total_num_mode_it = getattr(self, "total_num_mode_it", 0) \
+            + int(stats[0])
+        if len(stats) > 1 and int(stats[1]) > 0:
+            self.last_num_cg_it = int(stats[1])
+            self.total_num_cg_it = getattr(self, "total_num_cg_it", 0) \
+                + int(stats[1])
+
     def laplace_nll(self, u, y, F, a_init):
-        nll, b = self._nll_fn(jnp.asarray(u, self.dtype), self._permute(F),
-                              self._permute(y), a_init)
+        nll, (b, nit) = self._nll_fn(jnp.asarray(u, self.dtype),
+                                     self._permute(F), self._permute(y),
+                                     a_init)
+        self._note_it(nit)
         return float(nll), b
 
     def laplace_vag(self, u, y, F, a_init):
-        (nll, b), g = self._vag(jnp.asarray(u, self.dtype), self._permute(F),
-                                self._permute(y), a_init)
+        (nll, (b, nit)), g = self._vag(jnp.asarray(u, self.dtype),
+                                       self._permute(F), self._permute(y),
+                                       a_init)
+        self._note_it(nit)
         return float(nll), np.asarray(g), b
 
     def laplace_vag_F(self, u, y, F, a_init):
-        (nll, b), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype),
-                                         self._permute(F), self._permute(y),
-                                         a_init)
+        (nll, (b, nit)), (gu, gF) = self._vag_F(jnp.asarray(u, self.dtype),
+                                                self._permute(F),
+                                                self._permute(y), a_init)
+        self._note_it(nit)
         gF = np.asarray(gF)
         if len(gF) == 2 * self.n:     # two-predictor: un-permute each block
             gF_unperm = np.empty(2 * self.n)
@@ -260,13 +275,15 @@ class VecchiaLaplaceEngine:
         pars_orig = np.asarray(pars_orig, dtype=np.float64)
         out = [pars_orig[0]]
         out.extend(np.atleast_1d(
-            self.comp.cov_fn.range_to_transformed(pars_orig[1:])))
+            self.comp.cov_fn.range_to_transformed(pars_orig[1:],
+                                                  var=pars_orig[0])))
         return np.asarray(out)
 
     def back_transform_pars(self, pars_internal):
         t = np.asarray(pars_internal, dtype=np.float64)
         out = [t[0]]
-        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(t[1:])))
+        out.extend(np.atleast_1d(self.comp.cov_fn.range_from_transformed(
+            t[1:], var=t[0])))
         return np.asarray(out)
 
     def neg_log_likelihood(self, pars_orig, y, aux_pars=None, fixed_effects=None):
@@ -320,7 +337,8 @@ class VecchiaLaplaceEngine:
         Fp = self._permute(F)
         if a_init is None:
             a_init = self.zero_mode()
-        nll, b = self._nll_fn(jnp.asarray(u, self.dtype), Fp, yp, a_init)
+        nll, (b, _nit) = self._nll_fn(jnp.asarray(u, self.dtype), Fp, yp,
+                                      a_init)
         if self.matrix_inversion_method == "iterative":
             return self._predict_iterative(u, yp, Fp, b, pred_data,
                                            predict_var, predict_response,
@@ -481,11 +499,19 @@ class VecchiaLaplaceEngine:
         cg_tol = self.cg_delta_conv
         cg_maxit = self.cg_max_num_it
 
+        from ..ops.iterative import pcg_it
+
         def _solve_qw(A, D, W, rhs, x0=None):
             pd = _qw_precond_diag((A, D, W))
             return pcg(lambda v: _qw_matvec((A, D, W), v), rhs,
                        precond=lambda r: r / pd, tol=cg_tol, maxit=cg_maxit,
                        x0=x0)
+
+        def _solve_qw_it(A, D, W, rhs, x0=None):
+            pd = _qw_precond_diag((A, D, W))
+            return pcg_it(lambda v: _qw_matvec((A, D, W), v), rhs,
+                          precond=lambda r: r / pd, tol=cg_tol,
+                          maxit=cg_maxit, x0=x0)
 
         self._solve_qw = _solve_qw
 
@@ -496,12 +522,13 @@ class VecchiaLaplaceEngine:
                 + _loglik(y, b_init + F1, F2, aux)
 
             def newton_body(carry):
-                b, obj, it, done = carry
+                b, obj, it, done, cg = carry
                 loc = b + F1
                 d1 = _d1(y, loc, F2, aux)
                 W = _W_mode(y, loc, F2, aux)
                 grad = d1 - _Qv(A, D, b)
-                delta = _solve_qw(A, D, W, grad)
+                delta, cg_it = _solve_qw_it(A, D, W, grad)
+                cg = cg + cg_it
                 gdd = grad @ delta
 
                 def bt_cond(bt):
@@ -525,12 +552,13 @@ class VecchiaLaplaceEngine:
                 conv = jnp.where(it == 0, jnp.abs(obj_new - obj) < rel,
                                  (obj_new - obj) < rel)
                 bad = ~jnp.isfinite(obj_new)
-                return (b_new, obj_new, it + 1, jnp.logical_or(conv, bad))
+                return (b_new, obj_new, it + 1, jnp.logical_or(conv, bad),
+                        cg)
 
-            b_fin, _, _, _ = jax.lax.while_loop(
+            b_fin, _, nit, _, cg_tot = jax.lax.while_loop(
                 lambda c: jnp.logical_and(~c[3], c[2] < MAXIT_MODE_NEWTON),
-                newton_body, (b_init, obj0, 0, False))
-            return b_fin
+                newton_body, (b_init, obj0, 0, False, 0))
+            return b_fin, nit, cg_tot
 
         def _g(u, F, b, y):
             theta_log = u[:self.num_theta]
@@ -555,12 +583,12 @@ class VecchiaLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             A, D = self._vecchia._bd(theta_log, latent=True)
-            b = _mode_solve(A, D, aux, y, F, b_init)
-            return _g(u, F, b, y), b
+            b, nit, cg = _mode_solve(A, D, aux, y, F, b_init)
+            return _g(u, F, b, y), (b, jnp.stack([nit, cg]))
 
         def nll_fwd(u, F, y, b_init):
             out = nll_fn(u, F, y, b_init)
-            return out, (u, F, y, out[1])
+            return out, (u, F, y, out[1][0])
 
         def nll_bwd(res, ct):
             ct_nll = ct[0]

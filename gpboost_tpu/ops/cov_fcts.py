@@ -171,7 +171,7 @@ class CovarianceFunction:
 
     # ------------------------------------------------------------------
     # parameter transforms (original range rho <-> transformed alpha)
-    def range_to_transformed(self, ranges):
+    def range_to_transformed(self, ranges, var=None):
         r = np.asarray(ranges, dtype=np.float64)
         t = self.cov_fct_type
         if t in ("exponential",):
@@ -192,7 +192,7 @@ class CovarianceFunction:
             return out
         raise AssertionError(t)
 
-    def range_from_transformed(self, alphas):
+    def range_from_transformed(self, alphas, var=None):
         a = np.asarray(alphas, dtype=np.float64)
         t = self.cov_fct_type
         if t in ("exponential",):
@@ -212,7 +212,7 @@ class CovarianceFunction:
             return out
         raise AssertionError(t)
 
-    def range_to_transformed_jnp(self, rho):
+    def range_to_transformed_jnp(self, rho, var=None):
         """Differentiable rho -> alpha transform (used by the original-scale
         Fisher-information path)."""
         t = self.cov_fct_type
@@ -379,3 +379,126 @@ class CovarianceFunction:
             D = pairwise_dist(x1, x2)
             return self.corr_from_dist(D, alphas)
         raise AssertionError(t)
+
+
+class AR1MultifidelityCovariance:
+    """Two-level AR1 multifidelity covariance (cov_fcts.h:1690
+    InitializeAR1Multifidelity, :1798 CalculateCovMatAR1Multifidelity):
+
+        K(x, x') = L(f) L(f') K_low(s, s') + f f' K_disc(s, s'),
+        L(f) = 1 + f (rho - 1),
+
+    with s the spatial coordinates, f in {0,1} the fidelity indicator in the
+    LAST coordinate column, and rho the (possibly negative) AR1 coefficient.
+    User parameter order (after the error variance):
+    [var_low, ranges_low..., var_disc, ranges_disc..., rho]. The engine's
+    variance slot carries var_low; internally the discrepancy variance is
+    kept as the sigma-invariant ratio var_disc/var_low and rho as exp(rho).
+    """
+
+    is_isotropic = False
+    needs_coords = True
+
+    def __init__(self, base_type, shape=None, dim=None):
+        if dim is None or dim < 2:
+            raise ValueError(
+                "AR1 multifidelity covariance functions require at least one "
+                "input coordinate and a fidelity indicator in the last column")
+        if base_type in ("wendland",) or base_type.startswith("ar1_mf_"):
+            raise ValueError(
+                f"invalid base covariance '{base_type}' for AR1 "
+                "multifidelity models")
+        self.cov_fct_type = "ar1_mf_" + base_type
+        self.base_type = base_type
+        self.dim = dim
+        self.spatial_dim = dim - 1
+        self.base_low = CovarianceFunction(base_type, shape=shape,
+                                           dim=self.spatial_dim)
+        self.base_disc = CovarianceFunction(base_type, shape=shape,
+                                            dim=self.spatial_dim)
+        self.shape = self.base_low.shape
+        self.ncb = self.base_low.num_cov_par      # var + base ranges
+
+    @property
+    def num_range_par(self):
+        # [ranges_low..., var_disc, ranges_disc..., rho]
+        return 2 * self.ncb
+
+    @property
+    def num_cov_par(self):
+        return 1 + self.num_range_par             # 2*ncb + 1 with var_low
+
+    def _split_user(self, rest):
+        nb = self.ncb - 1
+        return (rest[..., :nb], rest[..., nb], rest[..., nb + 1: 2 * nb + 1],
+                rest[..., -1])
+
+    def range_to_transformed(self, rest, var=None):
+        rest = np.asarray(rest, dtype=np.float64)
+        rl, vd, rd, rho = self._split_user(rest)
+        out = []
+        if self.ncb > 1:
+            out.append(np.atleast_1d(self.base_low.range_to_transformed(rl)))
+        ratio = vd / (var if var is not None else 1.0)
+        out.append(np.atleast_1d(ratio))
+        if self.ncb > 1:
+            out.append(np.atleast_1d(self.base_disc.range_to_transformed(rd)))
+        out.append(np.atleast_1d(np.exp(rho)))
+        return np.concatenate(out)
+
+    def range_from_transformed(self, a, var=None):
+        a = np.asarray(a, dtype=np.float64)
+        nb = self.ncb - 1
+        out = []
+        if nb:
+            out.append(np.atleast_1d(
+                self.base_low.range_from_transformed(a[:nb])))
+        out.append(np.atleast_1d(a[nb] * (var if var is not None else 1.0)))
+        if nb:
+            out.append(np.atleast_1d(
+                self.base_disc.range_from_transformed(a[nb + 1: 2 * nb + 1])))
+        out.append(np.atleast_1d(np.log(a[-1])))
+        return np.concatenate(out)
+
+    def range_to_transformed_jnp(self, rest, var=None):
+        nb = self.ncb - 1
+        parts = []
+        if nb:
+            parts.append(jnp.atleast_1d(
+                self.base_low.range_to_transformed_jnp(rest[:nb])))
+        ratio = rest[nb] / (var if var is not None else 1.0)
+        parts.append(jnp.atleast_1d(ratio))
+        if nb:
+            parts.append(jnp.atleast_1d(
+                self.base_disc.range_to_transformed_jnp(
+                    rest[nb + 1: 2 * nb + 1])))
+        parts.append(jnp.atleast_1d(jnp.exp(rest[-1])))
+        return jnp.concatenate(parts)
+
+    def _base_pointwise(self, base, xa, xb, alphas):
+        """Base-kernel correlation between coordinate arrays [..., d]."""
+        if base.is_isotropic:
+            d = _safe_sqrt(((xa - xb) ** 2).sum(-1))
+            return base.corr_from_dist(d, alphas)
+        if base.needs_coords:
+            return base.corr_pointwise(xa, xb, alphas)
+        scale = base.aniso_scale(alphas, xa.shape[-1])
+        d = _safe_sqrt((((xa - xb) * scale) ** 2).sum(-1))
+        return base.base_corr_scaled_dist(d, alphas)
+
+    def corr_pointwise(self, xa, xb, alphas):
+        nb = self.ncb - 1
+        a_low = alphas[:nb]
+        ratio = alphas[nb]
+        a_disc = alphas[nb + 1: 2 * nb + 1]
+        rho = jnp.log(alphas[-1])
+        sa, fa = xa[..., :-1], xa[..., -1]
+        sb, fb = xb[..., :-1], xb[..., -1]
+        La = 1.0 + fa * (rho - 1.0)
+        Lb = 1.0 + fb * (rho - 1.0)
+        c_low = self._base_pointwise(self.base_low, sa, sb, a_low)
+        c_disc = self._base_pointwise(self.base_disc, sa, sb, a_disc)
+        return La * Lb * c_low + ratio * fa * fb * c_disc
+
+    def corr_from_coords(self, x1, x2, alphas):
+        return self.corr_pointwise(x1[:, None, :], x2[None, :, :], alphas)

@@ -52,6 +52,38 @@ def pcg(matvec, b, precond=None, tol=1e-6, maxit=1000, x0=None):
     return x
 
 
+def pcg_it(matvec, b, precond=None, tol=1e-6, maxit=1000, x0=None):
+    """pcg variant that also returns the iteration count (the reference's
+    GetNumCGSteps introspection, re_model.h:145)."""
+    import jax
+    bnorm = jnp.linalg.norm(b)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    if precond is None:
+        precond = lambda v: v
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def cond(carry):
+        x, r, p, rz, it = carry
+        return jnp.logical_and(jnp.linalg.norm(r) > tol * bnorm, it < maxit)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x, it
+
+
 def lanczos_tridiag(matvec, z, rank):
     """Lanczos tridiagonalization of A restricted to K_rank(A, z).
 

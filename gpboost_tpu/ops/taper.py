@@ -96,3 +96,119 @@ class FSACovarianceFunction(_CovAdapterBase):
         U = self._low_rank(x1, x2, alphas)
         T = self.taper._wendland_taper(pairwise_dist(x1, x2))
         return U + T * (K - U)
+
+
+class VIFCovarianceFunction(_CovAdapterBase):
+    """full_scale_vecchia (VIF): inducing-point predictive process plus a
+    Vecchia approximation of the RESIDUAL process on the training block
+    (Vecchia_utils.cpp:1476, re_model_template.h FSVA paths).
+
+    Training-block correlation: V'V + B^{-1} D B^{-T} where V = L_uu^{-1}K_uf
+    and (B, D) are the Vecchia factors of the residual kernel
+    r(x,x') = k(x,x') - V(x)'V(x'); cross/prediction blocks use the exact
+    kernel (the residual Vecchia graph is anchored to the training rows).
+    Dense assembly — the engine's Cholesky dominates at the same O(n^3); the
+    CG/FSVA-preconditioner formulation is the scale path.
+    """
+
+    def __init__(self, base, inducing_points, train_coords, num_neighbors,
+                 correlation_based=False, init_alphas=None,
+                 dtype=jnp.float64):
+        super().__init__(base)
+        import numpy as np
+        self.ip = jnp.asarray(inducing_points, dtype)
+        self.train_coords = np.asarray(train_coords, dtype=np.float64)
+        self.n = len(self.train_coords)
+        self.m_nn = int(min(num_neighbors, self.n - 1))
+        self._train_d = jnp.asarray(self.train_coords, dtype)
+        if correlation_based and init_alphas is not None:
+            idx, mask = self._corr_neighbors(np.asarray(init_alphas))
+        else:
+            from ..models.vecchia import nearest_preceding_neighbors
+            idx, mask = nearest_preceding_neighbors(self.train_coords,
+                                                    self.m_nn)
+        self._nn_idx = jnp.asarray(idx)
+        self._nn_mask = jnp.asarray(mask)
+
+    def _corr_neighbors(self, init_alphas):
+        """Neighbor selection by |residual correlation| at initial parameters
+        (the reference's correlation-based kNN, Vecchia_utils.h:192)."""
+        import numpy as np
+        R = np.asarray(self._residual_corr_dense(jnp.asarray(init_alphas)))
+        n, m = self.n, self.m_nn
+        idx = np.zeros((n, m), dtype=np.int64)
+        mask = np.zeros((n, m), dtype=bool)
+        for i in range(1, n):
+            k = min(m, i)
+            c = np.abs(R[i, :i])
+            sel = np.argpartition(-c, k - 1)[:k] if k < i else np.arange(i)
+            idx[i, :k] = sel
+            mask[i, :k] = True
+            idx[i, k:] = i
+        return idx, mask
+
+    def _V_of(self, x, alphas):
+        """L_uu^{-1} k(u, x) (m_ip, len(x))."""
+        K_uu = self._base_corr(self.ip, self.ip, alphas) \
+            + _JITTER * jnp.eye(self.ip.shape[0], dtype=self.ip.dtype)
+        L = jnp.linalg.cholesky(K_uu)
+        return jsl.solve_triangular(L, self._base_corr(self.ip, x, alphas),
+                                    lower=True)
+
+    def _residual_corr_dense(self, alphas):
+        V = self._V_of(self._train_d, alphas)
+        return self._base_corr(self._train_d, self._train_d, alphas) \
+            - V.T @ V
+
+    def corr_from_coords(self, x1, x2, alphas):
+        # cross / prediction blocks: exact kernel (the residual Vecchia
+        # graph is anchored to the training rows)
+        return self._base_corr(x1, x2, alphas)
+
+    def corr_train(self, alphas):
+        """VIF-approximated training-block correlation (called by
+        GPComponent.corr for the training covariance)."""
+        n, m = self.n, self.m_nn
+        V = self._V_of(self._train_d, alphas)                # (m_ip, n)
+        idx, mask = self._nn_idx, self._nn_mask
+        cn = self._train_d[idx]                              # (n, m, d)
+        ci = self._train_d
+        # batched residual kernels among neighbor sets
+        c_nn = self._pair_corr(cn[:, :, None, :], cn[:, None, :, :], alphas)
+        c_ni = self._pair_corr(cn, ci[:, None, :], alphas)
+        Vn = V.T[idx]                                        # (n, m, m_ip)
+        r_nn = c_nn - jnp.einsum("nik,njk->nij", Vn, Vn)
+        r_ni = c_ni - jnp.einsum("nik,nk->ni", Vn, V.T)
+        r_ii = 1.0 - jnp.sum(V.T * V.T, axis=1)
+        dt = self._train_d.dtype
+        pair = mask[:, :, None] & mask[:, None, :]
+        r_nn = jnp.where(pair, r_nn, jnp.eye(m, dtype=dt)[None, :, :])
+        r_nn = r_nn + 1e-10 * jnp.eye(m, dtype=dt)[None, :, :]
+        r_ni = jnp.where(mask, r_ni, 0.0)
+        L = jnp.linalg.cholesky(r_nn)
+        A = jsl.cho_solve((L, True), r_ni[..., None])[..., 0]
+        D = jnp.maximum(r_ii - jnp.sum(A * r_ni, axis=1), 1e-12)
+        # dense B = I - M from the neighbor records; R = B^{-1} D B^{-T}
+        rows = jnp.arange(n)
+        onehot = (idx[:, :, None] == rows[None, None, :]).astype(dt)
+        M = jnp.einsum("nm,nmj->nj", jnp.where(mask, A, 0.0), onehot)
+        B = jnp.eye(n, dtype=dt) - M
+        Binv = jsl.solve_triangular(B, jnp.eye(n, dtype=dt), lower=True)
+        R = (Binv * D[None, :]) @ Binv.T
+        return V.T @ V + R
+
+    def _pair_corr(self, xa, xb, alphas):
+        base = self.base
+        if base.is_isotropic:
+            d = _safe_sqrt_t(((xa - xb) ** 2).sum(-1))
+            return base.corr_from_dist(d, alphas)
+        if base.needs_coords:
+            return base.corr_pointwise(xa, xb, alphas)
+        scale = base.aniso_scale(alphas, xa.shape[-1])
+        d = _safe_sqrt_t((((xa - xb) * scale) ** 2).sum(-1))
+        return base.base_corr_scaled_dist(d, alphas)
+
+
+def _safe_sqrt_t(s):
+    zero = s == 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
