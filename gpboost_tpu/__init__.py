@@ -27,6 +27,7 @@ from .tuner import tune_pars_TPE_algorithm_optuna  # noqa: E402
 from .sklearn import (GPBoostModel, GPBoostRegressor,  # noqa: E402
                       GPBoostClassifier)
 from .utils.log import Log, register_logger, set_log_level  # noqa: E402
+from .utils.timer import Timer, global_timer, device_trace  # noqa: E402
 from . import callback  # noqa: E402
 from .plotting import (plot_importance, plot_metric,  # noqa: E402
                        plot_split_value_histogram, plot_tree,
@@ -51,6 +52,9 @@ __all__ = [
     "plot_tree",
     "create_tree_digraph",
     "Log",
+    "Timer",
+    "global_timer",
+    "device_trace",
     "register_logger",
     "set_log_level",
     "__version__",

@@ -13,6 +13,40 @@ loops.
 import numpy as np
 
 
+def load_svmlight(path, n_features=None):
+    """Parse a LibSVM-format file "label idx:val idx:val ..." into
+    (X dense (n, p), y (n,)) (reference: io/parser.cpp LibSVM parser).
+    Indices may be 0- or 1-based; missing entries are 0."""
+    labels = []
+    rows = []
+    max_idx = -1
+    min_idx = 10 ** 9
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            labels.append(float(parts[0]))
+            feats = {}
+            for tok in parts[1:]:
+                k, v = tok.split(":")
+                k = int(k)
+                feats[k] = float(v)
+                max_idx = max(max_idx, k)
+                min_idx = min(min_idx, k)
+            rows.append(feats)
+    base = 1 if min_idx >= 1 else 0
+    p = n_features if n_features is not None else (max_idx - base + 1)
+    X = np.zeros((len(rows), p))
+    for i, feats in enumerate(rows):
+        for k, v in feats.items():
+            j = k - base
+            if 0 <= j < p:
+                X[i, j] = v
+    return X, np.asarray(labels)
+
+
 class BinMapper:
     """Quantile-based binning of one feature (bin.h FindBin semantics,
     simplified: no exclusive-feature-bundling, NaN -> the last bin)."""
@@ -83,12 +117,85 @@ class CategoricalBinMapper:
         return self.categories[sel]
 
 
+class FeatureBundle:
+    """Exclusive feature bundling (io/dataset_loader.cpp FindGroups /
+    io/bin.cpp bundling): mutually (near-)exclusive sparse features share one
+    histogram column; bundle bin = offset_j + (bin_j - 1) + 1 for the single
+    nonzero feature j of the row, 0 when all features are at their default
+    (zero) bin."""
+
+    def __init__(self, feature_ids, mappers):
+        self.feature_ids = list(feature_ids)
+        self.mappers = list(mappers)
+        self.offsets = []
+        off = 1                       # bin 0 = all-default
+        for m in self.mappers:
+            self.offsets.append(off)
+            off += m.num_bins
+        self.num_bins = off
+
+    def encode(self, X):
+        """Bundle-bin column for raw feature matrix X (n, p_full)."""
+        n = len(X)
+        out = np.zeros(n, dtype=np.int32)
+        for fid, m, off in zip(self.feature_ids, self.mappers, self.offsets):
+            col = X[:, fid]
+            nz = np.isfinite(col) & (col != 0.0)
+            out[nz] = off + m.transform(col[nz])
+        return out
+
+    def to_dict(self):
+        return {"feature_ids": self.feature_ids,
+                "upper_bounds": [np.asarray(m.upper_bounds).tolist()
+                                 for m in self.mappers]}
+
+    is_categorical = False
+    has_nan = False
+
+    def bin_to_threshold(self, b):
+        # bundle splits live in bin space; prediction re-encodes raw rows
+        return float("inf")
+
+    @classmethod
+    def from_dict(cls, d):
+        ms = []
+        for ub in d["upper_bounds"]:
+            m = BinMapper.__new__(BinMapper)
+            m.upper_bounds = np.asarray(ub)
+            m.has_nan = False
+            m.num_bins = len(m.upper_bounds)
+            m.nan_bin = -1
+            ms.append(m)
+        return cls(d["feature_ids"], ms)
+
+
 class Dataset:
     """Training dataset (basic.py:1180 Dataset API subset)."""
 
     def __init__(self, data, label=None, max_bin=255, weight=None,
                  categorical_feature=None, feature_name=None, params=None,
                  free_raw_data=False, reference=None):
+        if isinstance(data, str):
+            # file path (basic.py Dataset(data=<path>)): LibSVM when entries
+            # look like idx:val, else delimited text with the label in the
+            # first column
+            with open(data) as f:
+                first = f.readline()
+            if ":" in first.split("#", 1)[0]:
+                X, y = load_svmlight(data)
+                data = X
+                if label is None:
+                    label = y
+            else:
+                sep = "\t" if "\t" in first else ","
+                has_header = any(c.isalpha() for c in first.split(sep)[0])
+                M = np.genfromtxt(data, delimiter=sep,
+                                  skip_header=1 if has_header else 0)
+                if M.ndim == 1:
+                    M = M[:, None]
+                data = M[:, 1:]
+                if label is None:
+                    label = M[:, 0]
         self.data = np.asarray(data, dtype=np.float64)
         if self.data.ndim == 1:
             self.data = self.data[:, None]
@@ -111,6 +218,11 @@ class Dataset:
         self.num_data, self.num_features = self.data.shape
         self._reference = reference
         self._constructed = False
+        self.enable_bundle = bool((params or {}).get("enable_bundle", False))
+        self.max_conflict_rate = float(
+            (params or {}).get("max_conflict_rate", 0.0))
+        self.bundles = []
+        self.kept_features = None
 
     def construct(self):
         if self._constructed:
@@ -118,17 +230,65 @@ class Dataset:
         if self._reference is not None:
             self._reference.construct()
             self.mappers = self._reference.mappers
+            self.bundles = self._reference.bundles
+            self.kept_features = self._reference.kept_features
         else:
             self.mappers = [
                 CategoricalBinMapper(self.data[:, j], self.max_bin)
                 if j in self.categorical_feature
                 else BinMapper(self.data[:, j], self.max_bin)
                 for j in range(self.num_features)]
-        self.bins = np.column_stack([
-            m.transform(self.data[:, j]) for j, m in enumerate(self.mappers)])
-        self.num_bins = max(m.num_bins for m in self.mappers)
+            if self.enable_bundle:
+                self._find_bundles()
+        if self.bundles:
+            kept = self.kept_features
+            cols = [self.mappers[j].transform(self.data[:, j])
+                    for j in kept]
+            cols += [b.encode(self.data) for b in self.bundles]
+            self.bins = np.column_stack(cols) if cols else                 np.zeros((self.num_data, 0), dtype=np.int32)
+            self.learner_mappers = [self.mappers[j] for j in kept]                 + self.bundles
+            self.num_bins = max(m.num_bins for m in self.learner_mappers)
+        else:
+            self.bins = np.column_stack([
+                m.transform(self.data[:, j])
+                for j, m in enumerate(self.mappers)])
+            self.learner_mappers = self.mappers
+            self.num_bins = max(m.num_bins for m in self.mappers)
         self._constructed = True
         return self
+
+    def _find_bundles(self):
+        """Greedy exclusive-feature grouping (dataset_loader.cpp FindGroups):
+        sparse numeric features whose nonzero sets conflict on at most
+        max_conflict_rate of the rows share a bundle."""
+        n = self.num_data
+        max_conflicts = int(self.max_conflict_rate * n)
+        nz = {}
+        for j in range(self.num_features):
+            if j in self.categorical_feature:
+                continue
+            col = self.data[:, j]
+            mask = np.isfinite(col) & (col != 0.0)
+            if mask.sum() <= 0.5 * n:       # only sparse features bundle
+                nz[j] = mask
+        order = sorted(nz, key=lambda j: -nz[j].sum())
+        groups = []                          # (feature_ids, used_mask)
+        for j in order:
+            placed = False
+            for g in groups:
+                if int((g[1] & nz[j]).sum()) <= max_conflicts:
+                    g[0].append(j)
+                    g[1] |= nz[j]
+                    placed = True
+                    break
+            if not placed:
+                groups.append([[j], nz[j].copy()])
+        self.bundles = [
+            FeatureBundle(g[0], [self.mappers[j] for j in g[0]])
+            for g in groups if len(g[0]) > 1]
+        bundled = {j for b in self.bundles for j in b.feature_ids}
+        self.kept_features = [j for j in range(self.num_features)
+                              if j not in bundled]
 
     def set_label(self, label):
         self.label = np.asarray(label, dtype=np.float64)
@@ -142,3 +302,14 @@ class Dataset:
 
     def num_feature(self):
         return self.num_features
+
+    def encode_raw(self, X):
+        """Learner-space bin matrix for raw rows (identity when no EFB
+        bundles are active)."""
+        self.construct()
+        X = np.asarray(X, dtype=np.float64)
+        cols = [self.mappers[j].transform(X[:, j])
+                for j in (self.kept_features
+                          if self.bundles else range(self.num_features))]
+        cols += [b.encode(X) for b in self.bundles]
+        return np.column_stack(cols)

@@ -560,6 +560,9 @@ class Booster:
                 f"data has {X.shape[1]} feature(s) but the model's trees "
                 f"split on feature index {needed - 1}; pass a 2-D array "
                 f"with at least {needed} columns")
+        if pred_contrib and getattr(self.train_set, "bundles", None):
+            raise NotImplementedError(
+                "pred_contrib is not supported with EFB feature bundling")
         if pred_contrib:
             from ..native import tree_shap
             phi = np.zeros((len(X), X.shape[1] + 1))
@@ -578,7 +581,7 @@ class Booster:
             used = self.trees[K * start_iteration: K * (start_iteration + nit)]
             Fk = np.tile(self._init_scores[:, None], (1, len(X)))
             for i, tree in enumerate(used):
-                Fk[i % K] += tree.predict_raw(X)
+                Fk[i % K] += self._tree_predict(tree, X)
             if raw_score:
                 return Fk.T                       # (n, K) raw scores
             S = Fk - Fk.max(0, keepdims=True)
@@ -593,16 +596,16 @@ class Booster:
             F2 = np.full(len(X), self.init_score2)
             for i, tree in enumerate(used):
                 if i % 2 == 0:
-                    F1 = F1 + tree.predict_raw(X)
+                    F1 = F1 + self._tree_predict(tree, X)
                 else:
-                    F2 = F2 + tree.predict_raw(X)
+                    F2 = F2 + self._tree_predict(tree, X)
             F_pred = np.concatenate([F1, F2])
         else:
             F_pred = np.zeros(len(X))
             ntrees = num_iteration if num_iteration else len(self.trees)
             used = self.trees[start_iteration:start_iteration + ntrees]
             for tree in used:
-                F_pred = F_pred + tree.predict_raw(X)
+                F_pred = F_pred + self._tree_predict(tree, X)
             if self.params.get("boosting") == "rf" and used:
                 F_pred = F_pred / len(used)     # rf.hpp: average_output_
             F_pred = F_pred + self.init_score
@@ -699,6 +702,14 @@ class Booster:
                 needed = max(needed, int(t.split_feature[:nn][internal].max()) + 1)
         return needed
 
+    def _tree_predict(self, tree, X):
+        """Per-tree prediction for raw rows; EFB-bundled datasets re-encode
+        into learner-space bins (bundle splits live in bin space)."""
+        if getattr(self.train_set, "bundles", None):
+            return tree.leaf_value[tree.leaf_index_binned(
+                self.train_set.encode_raw(X))]
+        return tree.predict_raw(X)
+
     def _tree_train_contrib(self, tree, slot_of_row, leaf_value_of_slot):
         """Per-row contribution of a freshly grown tree on the training data
         (linear leaves need the raw features, not just the leaf constant)."""
@@ -736,6 +747,15 @@ class Booster:
             "trees": [t.to_dict() for t in self.trees],
             "has_gp_model": 1 if self.gp_model is not None else 0,
         }
+        if getattr(self.train_set, "bundles", None):
+            d["efb"] = {
+                "kept_features": list(self.train_set.kept_features),
+                "kept_upper_bounds": [
+                    np.asarray(self.train_set.mappers[j].upper_bounds).tolist()
+                    for j in self.train_set.kept_features],
+                "bundles": [b.to_dict() for b in self.train_set.bundles],
+                "num_features": self.train_set.num_features,
+            }
         if self.gp_model is not None and self.gp_model.model_has_been_fitted:
             d["gp_model"] = self.gp_model.model_to_dict()
             d["residual_or_y"] = (self.y - self.F).tolist() \
@@ -760,6 +780,30 @@ class Booster:
         self.params = dict(_BOOST_PARAM_DEFAULTS)
         self.params.update(d.get("params", {}))
         self.trees = [Tree.from_dict(td) for td in d["trees"]]
+        self.train_set = None
+        if d.get("efb"):
+            # reconstruct a minimal Dataset carrying the EFB encoder
+            from .dataset import Dataset, BinMapper, FeatureBundle
+            efb = d["efb"]
+            ds = Dataset.__new__(Dataset)
+            ds.bundles = [FeatureBundle.from_dict(bd)
+                          for bd in efb["bundles"]]
+            ds.kept_features = list(efb["kept_features"])
+            ds.num_features = efb["num_features"]
+            mappers = [None] * efb["num_features"]
+            for j, ub in zip(ds.kept_features, efb["kept_upper_bounds"]):
+                m = BinMapper.__new__(BinMapper)
+                m.upper_bounds = np.asarray(ub)
+                m.has_nan = False
+                m.num_bins = len(m.upper_bounds)
+                m.nan_bin = -1
+                mappers[j] = m
+            for b in ds.bundles:
+                for fid, bm in zip(b.feature_ids, b.mappers):
+                    mappers[fid] = bm
+            ds.mappers = mappers
+            ds._constructed = True
+            self.train_set = ds
         self.current_iteration_ = len(self.trees)
         self.gp_model = None
         self._lik = None if self.objective_name == "gaussian" \

@@ -259,6 +259,7 @@ class SerialTreeLearner:
                  mesh=None, lambda_l1=0.0, monotone_constraints=None):
         dataset.construct()
         self.ds = dataset
+        self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
         self.mesh = mesh
         n, p = dataset.bins.shape
         import jax as _jax
@@ -287,7 +288,7 @@ class SerialTreeLearner:
         self.lambda_l2 = float(lambda_l2)
         self.lambda_l1 = float(lambda_l1)
         cat = np.zeros(self.p_pad, dtype=np.int32)
-        for j, m in enumerate(dataset.mappers):
+        for j, m in enumerate(self.mappers):
             if getattr(m, "is_categorical", False):
                 cat[j] = 1
         self.cat_mask = cat
@@ -353,7 +354,7 @@ class SerialTreeLearner:
             if ok != 1:
                 break
             node_id = slot_to_node[int(parent_slot)]
-            mapper = self.ds.mappers[int(f)]
+            mapper = self.mappers[int(f)]
             thr = mapper.bin_to_threshold(int(b))
             li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0)
             tree.split_gain[node_id] = rec_gain[s]

@@ -213,3 +213,87 @@ class TestLinearTree:
         b2 = gpb.Booster(model_file=fn)
         np.testing.assert_allclose(b2.predict(X), bst.predict(X))
         os.unlink(fn)
+
+
+class TestEFB:
+    """Exclusive feature bundling (io/dataset_loader.cpp FindGroups,
+    io/bin.cpp bundling)."""
+
+    def _exclusive_data(self, n=600, k=3, seed=1):
+        rng = np.random.RandomState(seed)
+        Z = np.zeros((n, k))
+        sel = rng.randint(0, k, n)
+        Z[np.arange(n), sel] = 1.0
+        y = np.linspace(-1, 1, k)[sel]
+        return Z, y, sel
+
+    def test_bundles_formed_and_exact(self):
+        Z, y, sel = self._exclusive_data()
+        ds = gpb.Dataset(Z, label=y, params={"enable_bundle": True})
+        ds.construct()
+        assert len(ds.bundles) == 1
+        assert ds.bins.shape[1] == 1        # 3 features -> 1 column
+        bst = gpb.train({"objective": "regression", "num_leaves": 8,
+                         "min_data_in_leaf": 5, "verbose": 0,
+                         "learning_rate": 1.0}, ds, num_boost_round=1)
+        assert np.mean((bst.predict(Z) - y) ** 2) < 1e-10
+
+    def test_round_trip(self):
+        Z, y, sel = self._exclusive_data()
+        ds = gpb.Dataset(Z, label=y, params={"enable_bundle": True})
+        bst = gpb.train({"objective": "regression", "num_leaves": 8,
+                         "min_data_in_leaf": 5, "verbose": 0},
+                        ds, num_boost_round=5)
+        fn = tempfile.mktemp(suffix=".json")
+        bst.save_model(fn)
+        b2 = gpb.Booster(model_file=fn)
+        np.testing.assert_allclose(b2.predict(Z), bst.predict(Z))
+        os.unlink(fn)
+
+    def test_dense_features_not_bundled(self):
+        rng = np.random.RandomState(0)
+        X = rng.rand(300, 3)                # dense -> no bundling
+        ds = gpb.Dataset(X, label=X[:, 0],
+                         params={"enable_bundle": True})
+        ds.construct()
+        assert len(ds.bundles) == 0
+
+    def test_conflict_rate(self):
+        rng = np.random.RandomState(2)
+        n = 600
+        Z = np.zeros((n, 3))
+        sel = rng.randint(0, 3, n)
+        Z[np.arange(n), sel] = 1.0
+        # introduce 5% conflicts
+        clash = rng.rand(n) < 0.05
+        Z[clash] = 1.0
+        ds0 = gpb.Dataset(Z, label=np.ones(n),
+                          params={"enable_bundle": True})
+        ds0.construct()
+        assert len(ds0.bundles) == 0        # strict: conflicts block bundling
+        ds1 = gpb.Dataset(Z, label=np.ones(n),
+                          params={"enable_bundle": True,
+                                  "max_conflict_rate": 0.1})
+        ds1.construct()
+        assert len(ds1.bundles) == 1
+
+
+class TestDatasetIO:
+    def test_libsvm(self):
+        fn = tempfile.mktemp()
+        with open(fn, "w") as f:
+            f.write("1.5 1:2.0 3:0.5\n-0.5 2:1.0\n2.0 1:1.0 2:3.0 3:1.5\n")
+        ds = gpb.Dataset(fn)
+        assert ds.data.shape == (3, 3)
+        np.testing.assert_allclose(ds.get_label(), [1.5, -0.5, 2.0])
+        assert ds.data[0, 0] == 2.0 and ds.data[2, 2] == 1.5
+        os.unlink(fn)
+
+    def test_csv_with_header(self):
+        fn = tempfile.mktemp(suffix=".csv")
+        M = np.column_stack([np.arange(4.0), np.eye(4)])
+        np.savetxt(fn, M, delimiter=",", header="y,a,b,c,d", comments="")
+        ds = gpb.Dataset(fn)
+        assert ds.data.shape == (4, 4)
+        assert ds.get_label()[3] == 3.0
+        os.unlink(fn)
