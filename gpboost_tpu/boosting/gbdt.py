@@ -32,12 +32,15 @@ _OBJ_ALIASES = {
     "multiclass": "multiclass", "softmax": "multiclass",
     "quantile": "quantile", "regression_l1": "quantile",
     "cross_entropy": "cross_entropy", "xentropy": "cross_entropy",
+    "tobit": "tobit", "grabit": "tobit",
+    "mean_scale_regression": "mean_scale_regression",
 }
 
 # objectives handled by dedicated gradient formulas instead of the
 # likelihood registry (src/LightGBM/objective/: multiclass_objective.hpp,
 # regression_objective.hpp RegressionQuantileloss, xentropy_objective.hpp)
-_SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy")
+_SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy",
+                       "tobit", "mean_scale_regression")
 
 _BOOST_PARAM_DEFAULTS = dict(
     boosting="gbdt",                       # gbdt | dart | goss
@@ -165,6 +168,8 @@ class Booster:
             if p["boosting"] != "gbdt":
                 raise ValueError("objective='multiclass' supports "
                                  "boosting='gbdt' only")
+        if gp_model is None and self.objective_name == "mean_scale_regression":
+            self._nsets = 2
         if gp_model is not None and gp_model.likelihood != "gaussian" \
                 and getattr(gp_model._likelihood_obj, "num_sets_fe", 1) == 2:
             self._nsets = 2
@@ -183,6 +188,16 @@ class Booster:
             self._init_scores = np.log(np.maximum(counts, 1)
                                        / float(self.n))
             self.init_score = float(self._init_scores[0])
+            self.F = np.repeat(self._init_scores, self.n)
+        elif gp_model is None \
+                and self.objective_name == "mean_scale_regression":
+            # BoostFromScore per block: mean and log variance
+            # (regression_objective.hpp:1056-1095 MeanScaleLoss)
+            self._init_scores = np.array([
+                float(np.mean(self.y)),
+                float(np.log(max(np.var(self.y), 1e-30)))])
+            self.init_score = float(self._init_scores[0])
+            self.init_score2 = float(self._init_scores[1])
             self.F = np.repeat(self._init_scores, self.n)
         elif self._nsets == 2:
             self.init_score = self._boost_from_average()
@@ -282,6 +297,45 @@ class Booster:
                 h = np.maximum(factor * P * (1.0 - P), 1e-12).reshape(-1)
                 if w is not None:
                     g, h = g * np.tile(w, K), h * np.tile(w, K)
+                return g, h
+            elif self.objective_name == "tobit":
+                # censored-Gaussian (Grabit) gradients
+                # (regression_objective.hpp:938-960)
+                from scipy.stats import norm
+                sig = float(self.params.get("sigma", 1.0))
+                yl = float(self.params.get("yl", -np.inf))
+                yu = float(self.params.get("yu", np.inf))
+                diff = (self.y - self.F) / sig
+                logpdf = norm.logpdf(diff)
+                lower = self.y <= yl
+                upper = self.y >= yu
+                with np.errstate(divide="ignore"):
+                    lcdf_lo = norm.logcdf(diff)
+                    lcdf_up = norm.logcdf(-diff)
+                r_lo = np.exp(logpdf - lcdf_lo)
+                r_up = np.exp(logpdf - lcdf_up)
+                g = np.where(lower, r_lo / sig,
+                             np.where(upper, -r_up / sig, -diff / sig))
+                h = np.where(lower,
+                             (r_lo * diff + r_lo ** 2) / sig ** 2,
+                             np.where(upper,
+                                      (-r_up * diff + r_up ** 2) / sig ** 2,
+                                      1.0 / sig ** 2))
+                h = np.maximum(h, 1e-12)
+            elif self.objective_name == "mean_scale_regression":
+                # (regression_objective.hpp:1010-1034 MeanScaleLoss)
+                m = self.F[: self.n]
+                sv = self.F[self.n:]
+                inv_var = np.exp(-sv)
+                neg_resid = m - self.y
+                g1 = inv_var * neg_resid
+                h1 = inv_var
+                h2 = inv_var * neg_resid ** 2 / 2.0
+                g2 = -h2 + 0.5
+                g = np.concatenate([g1, g2])
+                h = np.maximum(np.concatenate([h1, h2]), 1e-12)
+                if w is not None:
+                    g, h = g * np.tile(w, 2), h * np.tile(w, 2)
                 return g, h
             elif self.objective_name == "quantile":
                 # pinball loss (regression_objective.hpp:601-616)
@@ -574,6 +628,21 @@ class Booster:
                 phi /= len(used)
             phi[:, -1] += self.init_score
             return phi
+        if self._nsets > 1 and self.gp_model is None \
+                and self.objective_name == "mean_scale_regression":
+            used = self.trees[2 * start_iteration:]
+            if num_iteration:
+                used = used[: 2 * num_iteration]
+            m = np.full(len(X), self._init_scores[0])
+            sv = np.full(len(X), self._init_scores[1])
+            for i, tree in enumerate(used):
+                if i % 2 == 0:
+                    m = m + self._tree_predict(tree, X)
+                else:
+                    sv = sv + self._tree_predict(tree, X)
+            if raw_score:
+                return np.concatenate([m, sv])
+            return {"pred_mean": m, "pred_var": np.exp(sv)}
         if self._nsets > 1 and self.gp_model is None:
             # standalone multiclass: K interleaved trees per iteration
             K = self._nsets
