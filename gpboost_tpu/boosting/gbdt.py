@@ -382,9 +382,12 @@ class Booster:
             elif not gp.model_has_been_fitted:
                 gp.fit(y=resid)
                 self._gp_init_pars = gp._fit_result.cov_pars
-            # grad = Psi_tilde^-1 resid on the nugget-scaled parameterization
+            # grad = Sigma^-1 (F - y) = Psi_tilde^-1 resid / sigma2 on the
+            # nugget-scaled parameterization (re_model_template.h:9691
+            # CalcYAux divides y_aux by marg_variance) — the 1/sigma2 is what
+            # makes small-noise fits converge at the reference's rate
             t = eng.transform_pars(gp._fit_result.cov_pars)
-            grad = _psi_tilde_inv_apply(eng, t, resid)
+            grad = _psi_tilde_inv_apply(eng, t, resid) / float(t[0])
             return grad, np.ones(self.n)
         else:
             # LaGaBoost: estimate cov/aux pars given F, gradient wrt F
@@ -687,6 +690,10 @@ class Booster:
                 return F_pred
             return np.asarray(self._lik.cond_mean(jnp.asarray(F_pred), self._aux))
 
+        gp_kwargs = {k: kwargs[k] for k in
+                     ("cov_pars", "sample_posterior", "sample_prior",
+                      "num_post_samples", "num_prior_samples", "seed")
+                     if k in kwargs}
         if gp.likelihood == "gaussian":
             resid = self.y - self.F
             pred = gp.predict(
@@ -696,14 +703,22 @@ class Booster:
                 gp_rand_coef_data_pred=gp_rand_coef_data_pred,
                 cluster_ids_pred=cluster_ids_pred,
                 predict_var=predict_var, predict_cov_mat=predict_cov_mat,
-                predict_response=not pred_latent)
+                predict_response=not pred_latent, **gp_kwargs)
+            # random_effect_cov carries the (co-)variances — the matrix when
+            # predict_cov_mat, else the variance vector (basic.py:3787)
             out = {"fixed_effect": F_pred, "random_effect_mean": pred["mu"],
-                   "random_effect_cov": pred.get("cov"),
+                   "random_effect_cov": pred.get("cov") if predict_cov_mat
+                   else pred.get("var"),
                    "random_effect_var": pred.get("var"),
                    "response_mean": F_pred + pred["mu"]}
             if not pred_latent:
                 # predict_response=True -> var includes the error term
                 out["response_var"] = pred.get("var")
+            for k in ("posterior_samples", "prior_samples"):
+                if pred.get(k) is not None:
+                    # samples include the tree ensemble's fixed effect
+                    # (R test: mean(posterior_samples) ~ pred_re + pred_fe)
+                    out[k] = pred[k] + F_pred[:, None]
             return out
         else:
             pred = gp.predict(
@@ -715,13 +730,17 @@ class Booster:
                 cluster_ids_pred=cluster_ids_pred,
                 predict_var=predict_var, predict_cov_mat=predict_cov_mat,
                 predict_response=not pred_latent,
-                fixed_effects_pred=F_pred)
+                fixed_effects_pred=F_pred, **gp_kwargs)
             out = {"fixed_effect": F_pred, "random_effect_mean": pred["mu"],
-                   "random_effect_cov": pred.get("cov"),
+                   "random_effect_cov": pred.get("cov") if predict_cov_mat
+                   else pred.get("var"),
                    "random_effect_var": pred.get("var")}
             if not pred_latent:
                 out["response_mean"] = pred["mu"]
                 out["response_var"] = pred.get("var")
+            for k in ("posterior_samples", "prior_samples"):
+                if pred.get(k) is not None:
+                    out[k] = pred[k]
             return out
 
     def predict_training_data_random_effects(self, predict_var=False):

@@ -457,7 +457,42 @@ class GPModel:
                 # the Vecchia engine's jitted graphs expect ordering-permuted data
                 y_fit = y[self._engine.perm]
                 X_fit = None if self.X is None else self.X[self._engine.perm]
-            self._fit_result = optimize_gaussian(self._engine, y_fit, cfg, X=X_fit)
+            aniso_vecchia = (
+                self._vecchia
+                and hasattr(self._engine, "redetermine_neighbors")
+                and not self._engine.comp.cov_fn.is_isotropic
+                and not getattr(self._engine.comp.cov_fn, "needs_coords",
+                                False))
+            if not aniso_vecchia:
+                self._fit_result = optimize_gaussian(self._engine, y_fit,
+                                                     cfg, X=X_fit)
+            else:
+                # anisotropic (ARD/space-time) kernels: interleave chunks of
+                # optimization with neighbor re-determination in the
+                # range-scaled coordinate space, warm-starting each chunk
+                # (UpdateNearestNeighbors, Vecchia_utils.h:354;
+                # re_model_template.h:5105)
+                budget = cfg.max_iter
+                chunk = max(10, budget // 10)
+                total_it = 0
+                r = None
+                while budget > 0:
+                    step_cfg = OptimConfig(**{**cfg.__dict__,
+                                              "max_iter": min(chunk, budget)})
+                    if r is not None:
+                        step_cfg.init_cov_pars = r.cov_pars
+                        if r.coef is not None:
+                            step_cfg.init_coef = r.coef
+                    r = optimize_gaussian(self._engine, y_fit, step_cfg,
+                                          X=X_fit)
+                    total_it += r.num_it
+                    budget -= min(chunk, budget)
+                    t_fit = self._engine.transform_pars(r.cov_pars)
+                    changed = self._engine.redetermine_neighbors(t_fit[2:])
+                    if not changed and r.num_it < min(chunk, budget + chunk):
+                        break
+                r.num_it = total_it
+                self._fit_result = r
         self.model_has_been_fitted = True
         return self
 

@@ -53,10 +53,6 @@ class FITCGaussianEngine:
                  ind_points_selection="kmeans++", seed=0, dtype=jnp.float64):
         assert len(components) == 1 and components[0].kind == "gp", (
             "gp_approx='fitc' requires exactly one GP component")
-        if not components[0].cov_fn.is_isotropic:
-            raise NotImplementedError(
-                "gp_approx='fitc' currently supports isotropic covariance "
-                "functions only")
         self.components = list(components)
         self.comp = components[0]
         self.n = int(num_data)
@@ -79,16 +75,27 @@ class FITCGaussianEngine:
             ((self.ip[:, None, :] - coords[None, :, :]) ** 2).sum(-1), 0))
         self._d_uu = jnp.asarray(d_uu, dtype)
         self._d_uf = jnp.asarray(d_uf, dtype)
+        self._ip_d = jnp.asarray(self.ip, dtype)
+        self._coords_d = jnp.asarray(coords, dtype)
         self._build_jitted()
+
+    def _kernel_blocks(self, alpha):
+        """(K_uu, K_uf) for isotropic (precomputed distances) or general
+        (ARD/space-time/coords-based) kernels."""
+        cf = self.comp.cov_fn
+        if cf.is_isotropic:
+            return (cf.corr_from_dist(self._d_uu, alpha),
+                    cf.corr_from_dist(self._d_uf, alpha))
+        return (cf.corr_from_coords(self._ip_d, self._ip_d, alpha),
+                cf.corr_from_coords(self._ip_d, self._coords_d, alpha))
 
     def _parts(self, theta_log):
         """Ddiag (n,), W (n, m) of Psi_tilde = Ddiag + W W'."""
         cf = self.comp.cov_fn
         v = jnp.exp(theta_log[0])
         alpha = jnp.exp(theta_log[1:])
-        K_uu = cf.corr_from_dist(self._d_uu, alpha) \
-            + JITTER * jnp.eye(self.m, dtype=self.dtype)
-        K_uf = cf.corr_from_dist(self._d_uf, alpha)        # (m, n)
+        K_uu, K_uf = self._kernel_blocks(alpha)
+        K_uu = K_uu + JITTER * jnp.eye(self.m, dtype=self.dtype)
         L_uu = jnp.linalg.cholesky(K_uu)
         V = jsl.solve_triangular(L_uu, K_uf, lower=True)   # L^-1 K_uf (m, n)
         rho = jnp.sum(V * V, axis=0)                       # k' Kuu^-1 k
@@ -252,9 +259,15 @@ class FITCGaussianEngine:
         n_pred = len(cp)
 
         Ddiag, W, L_uu, V = self._parts(theta_log)
-        d_up = np.sqrt(np.maximum(
-            ((self.ip[:, None, :] - cp[None, :, :]) ** 2).sum(-1), 0))
-        K_up = cf.corr_from_dist(jnp.asarray(d_up, self.dtype), alpha)  # (m,np)
+        if cf.is_isotropic:
+            d_up = np.sqrt(np.maximum(
+                ((self.ip[:, None, :] - cp[None, :, :]) ** 2).sum(-1), 0))
+            K_up = cf.corr_from_dist(jnp.asarray(d_up, self.dtype),
+                                     jnp.asarray(alpha))   # (m, np)
+        else:
+            K_up = cf.corr_from_coords(self._ip_d,
+                                       jnp.asarray(cp, self.dtype),
+                                       jnp.asarray(alpha))
         Vp = jsl.solve_triangular(L_uu, K_up, lower=True)
         Wp = np.sqrt(v) * np.asarray(Vp).T                              # (np,m)
         # Psi_tilde^-1 y via Woodbury

@@ -66,9 +66,8 @@ class FITCLaplaceEngine:
         cf = self.comp.cov_fn
         v = jnp.exp(theta_log[0])
         alpha = jnp.exp(theta_log[1:])
-        K_uu = cf.corr_from_dist(self._fitc._d_uu, alpha) \
-            + JITTER * jnp.eye(self.m, dtype=self.dtype)
-        K_uf = cf.corr_from_dist(self._fitc._d_uf, alpha)
+        K_uu, K_uf = self._fitc._kernel_blocks(alpha)
+        K_uu = K_uu + JITTER * jnp.eye(self.m, dtype=self.dtype)
         L_uu = jnp.linalg.cholesky(K_uu)
         V = jsl.solve_triangular(L_uu, K_uf, lower=True)     # (m, n)
         rho = jnp.sum(V * V, axis=0)
@@ -336,14 +335,22 @@ class FITCLaplaceEngine:
         dd = np.asarray(dd)
         U = np.asarray(U)
         # U_p = sqrt(v) (L_uu^{-1} K_up)'
-        K_uu = np.asarray(cf.corr_from_dist(self._fitc._d_uu,
-                                            jnp.asarray(alpha))) \
-            + JITTER * np.eye(self.m)
-        d_up = np.sqrt(np.maximum(
-            ((np.asarray(self.ip)[:, None, :] - cp[None, :, :]) ** 2
-             ).sum(-1), 0))
-        K_up = np.asarray(cf.corr_from_dist(jnp.asarray(d_up, self.dtype),
-                                            jnp.asarray(alpha)))
+        if cf.is_isotropic:
+            K_uu = np.asarray(cf.corr_from_dist(self._fitc._d_uu,
+                                                jnp.asarray(alpha))) \
+                + JITTER * np.eye(self.m)
+            d_up = np.sqrt(np.maximum(
+                ((np.asarray(self.ip)[:, None, :] - cp[None, :, :]) ** 2
+                 ).sum(-1), 0))
+            K_up = np.asarray(cf.corr_from_dist(
+                jnp.asarray(d_up, self.dtype), jnp.asarray(alpha)))
+        else:
+            K_uu = np.asarray(cf.corr_from_coords(
+                self._fitc._ip_d, self._fitc._ip_d, jnp.asarray(alpha))) \
+                + JITTER * np.eye(self.m)
+            K_up = np.asarray(cf.corr_from_coords(
+                self._fitc._ip_d, jnp.asarray(cp, self.dtype),
+                jnp.asarray(alpha)))
         import scipy.linalg as sla
         L_uu = np.linalg.cholesky(K_uu)
         Vp = sla.solve_triangular(L_uu, K_up, lower=True)     # (m, n_pred)

@@ -199,6 +199,34 @@ class VecchiaGaussianEngine:
         self._build_jitted()
 
     # ------------------------------------------------------------------
+    def redetermine_neighbors(self, alphas):
+        """Re-determine nearest neighbors in the coordinate space scaled by
+        the current anisotropic ranges (UpdateNearestNeighbors,
+        Vecchia_utils.h:354; re_model_template.h:5105). Returns True when the
+        neighbor sets changed (the jitted graphs are rebuilt then)."""
+        cf = self.comp.cov_fn
+        if cf.is_isotropic or cf.needs_coords:
+            return False
+        import numpy as np
+        scale = np.asarray(cf.aniso_scale(jnp.asarray(alphas),
+                                          self.coords_ord.shape[1]))
+        scaled = self.coords_ord[:, self._search_cols] \
+            * scale[self._search_cols]
+        idx, mask = nearest_preceding_neighbors(scaled, self.m)
+        if np.array_equal(idx, np.asarray(self._nn_idx)) \
+                and np.array_equal(mask, np.asarray(self._nn_mask)):
+            return False
+        self._nn_idx = jnp.asarray(idx)
+        self._nn_mask = jnp.asarray(mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P("data", None))
+            self._nn_idx = jax.device_put(self._nn_idx, sh)
+            self._nn_mask = jax.device_put(self._nn_mask, sh)
+        self._pred_cache = {}
+        self._build_jitted()
+        return True
+
     def _bd(self, theta_log, latent=False):
         """Batched Vecchia factors: A (n, m) coefficients, D (n,) diagonals.
 

@@ -202,3 +202,58 @@ class TestVecchiaLatent:
                                        seed_rand_vec_trace=1))
         nll = m.neg_log_likelihood(cov_pars=[1.6, 0.2], y=y, aux_pars=[0.1])
         assert abs(nll - exp_nll) < 0.25
+
+
+class TestNeighborRedetermination:
+    """UpdateNearestNeighbors for anisotropic kernels (Vecchia_utils.h:354,
+    re_model_template.h:5105): neighbors live in the range-scaled coordinate
+    space and are re-determined as ranges change."""
+
+    @pytest.fixture(scope="class")
+    def aniso_data(self):
+        rng = np.random.RandomState(0)
+        n = 400
+        coords = rng.rand(n, 2)
+        sc = np.array([1 / 0.05, 1 / 0.5])
+        D = np.sqrt(((((coords * sc))[:, None, :]
+                      - (coords * sc)[None, :, :]) ** 2).sum(-1))
+        y = np.linalg.cholesky(np.exp(-D) + 1e-8 * np.eye(n)) \
+            @ rng.randn(n) + 0.3 * rng.randn(n)
+        return dict(coords=coords, y=y)
+
+    def test_redetermination_improves_nll(self, aniso_data):
+        import numpy as np
+        from gpboost_tpu import GPModel
+        d = aniso_data
+        pars = [0.1, 1.2, 0.07, 0.7]
+        m = GPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                    cov_fct_shape=0.5, gp_approx="vecchia",
+                    num_neighbors=10, vecchia_ordering="none")
+        nll_unscaled = m.neg_log_likelihood(cov_pars=pars, y=d["y"])
+        t = m._engine.transform_pars(np.asarray(pars))
+        assert m._engine.redetermine_neighbors(t[2:])
+        nll_scaled = m.neg_log_likelihood(cov_pars=pars, y=d["y"])
+        m0 = GPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                     cov_fct_shape=0.5)
+        nll_exact = m0.neg_log_likelihood(cov_pars=pars, y=d["y"])
+        # scaled-space neighbors approximate the exact NLL much better
+        assert nll_scaled < nll_unscaled
+        assert abs(nll_scaled - nll_exact) < 0.3 * abs(nll_unscaled
+                                                       - nll_exact)
+
+    def test_ard_fit_recovers_anisotropy(self, aniso_data):
+        from gpboost_tpu import fitGPModel
+        d = aniso_data
+        m = fitGPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                       cov_fct_shape=0.5, gp_approx="vecchia",
+                       num_neighbors=30, vecchia_ordering="none",
+                       y=d["y"], params={"optimizer_cov": "lbfgs",
+                                         "maxit": 100})
+        m0 = fitGPModel(gp_coords=d["coords"], cov_function="matern_ard",
+                        cov_fct_shape=0.5, y=d["y"],
+                        params={"optimizer_cov": "lbfgs", "maxit": 100})
+        est, est0 = np.asarray(m.get_cov_pars()), np.asarray(m0.get_cov_pars())
+        # both recover the 10x range anisotropy
+        assert est[3] / est[2] > 5 and est0[3] / est0[2] > 5
+        assert abs(m.get_current_neg_log_likelihood()
+                   - m0.get_current_neg_log_likelihood()) < 2.0
