@@ -47,26 +47,121 @@ def load_svmlight(path, n_features=None):
     return X, np.asarray(labels)
 
 
+#: |x| <= kZeroThreshold is "zero" and gets a dedicated bin (bin.h)
+_KZERO = 1e-35
+
+
+def _greedy_find_bin(distinct, counts, max_bin, total_cnt, min_data_in_bin):
+    """Upper bin bounds for one sign-range of a feature (io/bin.cpp:78
+    GreedyFindBin). distinct must be sorted ascending with per-value counts.
+
+    Two regimes: few distinct values -> one bin per value but merging until
+    each bin holds >= min_data_in_bin samples; many values -> equal-count
+    bins with 'big' values (count >= mean bin size) forced into their own
+    bin. Returns a list ending in +inf."""
+    nd = len(distinct)
+    bounds = []
+    if nd == 0 or max_bin <= 0:
+        return [np.inf]
+    if nd <= max_bin:
+        cur = 0
+        for i in range(nd - 1):
+            cur += counts[i]
+            if cur >= min_data_in_bin:
+                val = np.nextafter((distinct[i] + distinct[i + 1]) / 2.0,
+                                   np.inf)
+                if not bounds or val > bounds[-1]:
+                    bounds.append(val)
+                    cur = 0
+        bounds.append(np.inf)
+        return bounds
+    if min_data_in_bin > 0:
+        max_bin = max(1, min(max_bin, int(total_cnt) // min_data_in_bin))
+    mean_bin_size = total_cnt / max_bin
+    is_big = np.asarray(counts) >= mean_bin_size
+    rest_bin_cnt = max_bin - int(is_big.sum())
+    rest_sample_cnt = int(total_cnt - np.asarray(counts)[is_big].sum())
+    mean_bin_size = (rest_sample_cnt / rest_bin_cnt) if rest_bin_cnt > 0 \
+        else np.inf
+    uppers, lowers = [], [distinct[0]]
+    cur = 0
+    bin_cnt = 0
+    for i in range(nd - 1):
+        if not is_big[i]:
+            rest_sample_cnt -= counts[i]
+        cur += counts[i]
+        if (is_big[i] or cur >= mean_bin_size
+                or (is_big[i + 1] and cur >= max(1.0, mean_bin_size * 0.5))):
+            uppers.append(distinct[i])
+            bin_cnt += 1
+            lowers.append(distinct[i + 1])
+            if bin_cnt >= max_bin - 1:
+                break
+            cur = 0
+            if not is_big[i]:
+                rest_bin_cnt -= 1
+                mean_bin_size = (rest_sample_cnt / rest_bin_cnt) \
+                    if rest_bin_cnt > 0 else np.inf
+    for i in range(len(uppers)):
+        val = np.nextafter((uppers[i] + lowers[i + 1]) / 2.0, np.inf)
+        if not bounds or val > bounds[-1]:
+            bounds.append(val)
+    bounds.append(np.inf)
+    return bounds
+
+
+def _find_bin_zero_as_one_bin(distinct, counts, max_bin, total_cnt,
+                              min_data_in_bin):
+    """io/bin.cpp:257 FindBinWithZeroAsOneBin: negatives and positives are
+    binned separately with a count-proportional bin budget; zero always gets
+    its own bin [-kZero, kZero]."""
+    nd = len(distinct)
+    counts = np.asarray(counts)
+    left_sel = distinct <= -_KZERO
+    right_sel = distinct > _KZERO
+    cnt_left = int(counts[left_sel].sum())
+    cnt_right = int(counts[right_sel].sum())
+    cnt_zero = int(total_cnt) - cnt_left - cnt_right
+    left_cnt = int(np.argmax(~left_sel)) if not left_sel.all() else nd
+    bounds = []
+    if left_cnt > 0 and max_bin > 1:
+        left_max_bin = max(1, int(cnt_left / (total_cnt - cnt_zero)
+                                  * (max_bin - 1)))
+        bounds = _greedy_find_bin(distinct[:left_cnt], counts[:left_cnt],
+                                  left_max_bin, cnt_left, min_data_in_bin)
+        if bounds:
+            bounds[-1] = -_KZERO
+    right_start = -1
+    for i in range(left_cnt, nd):
+        if distinct[i] > _KZERO:
+            right_start = i
+            break
+    right_max_bin = max_bin - 1 - len(bounds)
+    if right_start >= 0 and right_max_bin > 0:
+        rb = _greedy_find_bin(distinct[right_start:], counts[right_start:],
+                              right_max_bin, cnt_right, min_data_in_bin)
+        bounds.append(_KZERO)
+        bounds.extend(rb)
+    else:
+        bounds.append(np.inf)
+    return bounds
+
+
 class BinMapper:
-    """Quantile-based binning of one feature (bin.h FindBin semantics,
-    simplified: no exclusive-feature-bundling, NaN -> the last bin)."""
+    """Quantile-based binning of one feature, matching the reference's
+    bin.cpp FindBin semantics (min_data_in_bin merging, dedicated zero bin,
+    count-proportional budgets); NaN -> the last bin."""
 
     is_categorical = False
 
     def __init__(self, values, max_bin=255, min_data_in_bin=3):
         v = np.asarray(values, dtype=np.float64)
         finite = v[np.isfinite(v)]
-        uniq = np.unique(finite)
+        uniq, counts = np.unique(finite, return_counts=True)
         self.has_nan = bool(np.any(~np.isfinite(v)))
         max_real_bins = max_bin - (1 if self.has_nan else 0)
-        if len(uniq) <= max_real_bins:
-            # one bin per distinct value
-            self.upper_bounds = np.concatenate([
-                (uniq[:-1] + uniq[1:]) / 2.0, [np.inf]])
-        else:
-            qs = np.linspace(0, 1, max_real_bins + 1)[1:-1]
-            cuts = np.unique(np.quantile(finite, qs, method="linear"))
-            self.upper_bounds = np.concatenate([cuts, [np.inf]])
+        self.upper_bounds = np.asarray(_find_bin_zero_as_one_bin(
+            uniq, counts, max_real_bins, len(finite), min_data_in_bin))
         self.num_bins = len(self.upper_bounds) + (1 if self.has_nan else 0)
         self.nan_bin = self.num_bins - 1 if self.has_nan else -1
 
@@ -202,6 +297,7 @@ class Dataset:
         self.label = None if label is None else np.asarray(label, dtype=np.float64)
         self.weight = None if weight is None else np.asarray(weight, dtype=np.float64)
         self.max_bin = int((params or {}).get("max_bin", max_bin))
+        self.min_data_in_bin = int((params or {}).get("min_data_in_bin", 3))
         self.feature_name = feature_name
         cf = categorical_feature
         if cf is None:
@@ -236,7 +332,8 @@ class Dataset:
             self.mappers = [
                 CategoricalBinMapper(self.data[:, j], self.max_bin)
                 if j in self.categorical_feature
-                else BinMapper(self.data[:, j], self.max_bin)
+                else BinMapper(self.data[:, j], self.max_bin,
+                               self.min_data_in_bin)
                 for j in range(self.num_features)]
             if self.enable_bundle:
                 self._find_bundles()

@@ -42,6 +42,17 @@ _OBJ_ALIASES = {
 _SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy",
                        "tobit", "mean_scale_regression")
 
+def _nesterov_schedule(i, version=1, rate=0.5, offset=0):
+    """Momentum rate at boosting iteration i (gbdt.h:399 NesterovSchedule)."""
+    if i < offset:
+        return 0.0
+    if version == 0:
+        return float(rate)
+    if version == 1:
+        return 1.0 - 3.0 / (6.0 + i)
+    return 0.0
+
+
 _BOOST_PARAM_DEFAULTS = dict(
     boosting="gbdt",                       # gbdt | dart | goss
     drop_rate=0.1, max_drop=50, skip_drop=0.5, drop_seed=4,    # DART
@@ -53,6 +64,9 @@ _BOOST_PARAM_DEFAULTS = dict(
     objective="regression", train_gp_model_cov_pars=True,
     use_gp_model_for_validation=True, leaves_newton_update=False,
     line_search_step_length=False,
+    # Nesterov-accelerated boosting (config.h:195, nesterov_boosting.h)
+    use_nesterov_acc=False, nesterov_acc_rate=0.5, momentum_offset=0,
+    momentum_schedule_version=1,
     verbose=1, max_bin=255,
     # stochastic sampling (config.h: bagging_fraction, bagging_freq,
     # feature_fraction and their seeds)
@@ -210,6 +224,8 @@ class Booster:
             self.init_score = self._boost_from_average()
             self.F = np.full(self.n, self.init_score)
         self._gp_init_pars = None
+        self._gp_refit_iter = -1
+        self._F_lag1 = None
         self.current_iteration_ = 0
         self._bag_rng = np.random.RandomState(int(p["bagging_seed"]))
         self._feat_rng = np.random.RandomState(int(p["feature_fraction_seed"]))
@@ -358,30 +374,15 @@ class Booster:
                 g, h = g * w, h * w
             return g, h
 
-        train_cov = self.params["train_gp_model_cov_pars"]
+        # covariance parameters are (re-)estimated on the residuals AFTER the
+        # latest tree (gbdt.cpp:549 calls Boosting() again at the end of each
+        # TrainOneIter) — update() triggers the refit post score-update, so
+        # here we only fit when no fit for the current F exists yet
+        if self._gp_refit_iter != self.current_iteration_:
+            self._refit_gp_cov()
         if gp.likelihood == "gaussian":
             resid = self.F - self.y
             eng = gp._engine
-            if train_cov:
-                # whole inner optimizer on device: one call per boosting round,
-                # warm-started parameters AND learning rate (the reference's
-                # reuse_learning_rates_gp_model, config.h:181)
-                from ..models.jit_gd import gd_fit_engine
-                if self._gp_init_pars is None:
-                    gp.fit(y=resid)   # first round: full fit with defaults
-                    self._gp_init_pars = gp._fit_result.cov_pars
-                    self._gp_lr = 0.1
-                else:
-                    pars, nll, lr, it = gd_fit_engine(
-                        eng, self._gp_init_pars, resid, lr0=self._gp_lr,
-                        max_iter=int(self.params["maxit_gp"]))
-                    self._gp_lr = min(max(lr, 1e-8) * 2.0, 0.1)  # lr re-increase
-                    self._gp_init_pars = pars
-                    gp._fit_result.cov_pars = pars
-                    gp._fit_result.neg_log_likelihood = nll
-            elif not gp.model_has_been_fitted:
-                gp.fit(y=resid)
-                self._gp_init_pars = gp._fit_result.cov_pars
             # grad = Sigma^-1 (F - y) = Psi_tilde^-1 resid / sigma2 on the
             # nugget-scaled parameterization (re_model_template.h:9691
             # CalcYAux divides y_aux by marg_variance) — the 1/sigma2 is what
@@ -390,12 +391,7 @@ class Booster:
             grad = _psi_tilde_inv_apply(eng, t, resid) / float(t[0])
             return grad, np.ones(self.n)
         else:
-            # LaGaBoost: estimate cov/aux pars given F, gradient wrt F
-            if train_cov or not gp.model_has_been_fitted:
-                gp.fit(y=self.y, offset=self.F, params={
-                    "init_cov_pars": self._gp_init_pars,
-                    "maxit": int(self.params["maxit_gp"])})
-                self._gp_init_pars = gp._fit_result.cov_pars
+            # LaGaBoost: gradient of the Laplace marginal NLL wrt F
             eng = gp._engine
             r = gp._fit_result
             u = np.log(eng.transform_pars(r.cov_pars))
@@ -408,6 +404,48 @@ class Booster:
                 u, jnp.asarray(self.y), jnp.asarray(self.F),
                 r.mode_state if r.mode_state is not None else eng.zero_mode())
             return np.asarray(gF), np.ones(len(gF))
+
+    # ------------------------------------------------------------------
+    def _refit_gp_cov(self):
+        """(Re-)estimate the GP model's covariance (and aux) parameters on
+        the residuals / fixed effects of the CURRENT ensemble.
+
+        Called after every score update (gbdt.cpp:549 — Boosting() at the end
+        of TrainOneIter re-runs OptimCovPar), so get_cov_pars(), predictions
+        and the next round's gradients all see parameters fitted to the
+        latest trees. Warm-started: first call is a full fit with the user's
+        optimizer settings, later calls run the on-device GD loop from the
+        previous optimum (the reference's reuse_learning_rates_gp_model,
+        config.h:181)."""
+        gp = self.gp_model
+        train_cov = self.params["train_gp_model_cov_pars"]
+        if gp.likelihood == "gaussian":
+            resid = self.F - self.y
+            if train_cov:
+                from ..models.jit_gd import gd_fit_engine
+                if self._gp_init_pars is None:
+                    gp.fit(y=resid)   # first round: full fit with defaults
+                    self._gp_init_pars = gp._fit_result.cov_pars
+                    self._gp_lr = 0.1
+                else:
+                    pars, nll, lr, it = gd_fit_engine(
+                        gp._engine, self._gp_init_pars, resid,
+                        lr0=self._gp_lr,
+                        max_iter=int(self.params["maxit_gp"]))
+                    self._gp_lr = min(max(lr, 1e-8) * 2.0, 0.1)
+                    self._gp_init_pars = pars
+                    gp._fit_result.cov_pars = pars
+                    gp._fit_result.neg_log_likelihood = nll
+            elif not gp.model_has_been_fitted:
+                gp.fit(y=resid)
+                self._gp_init_pars = gp._fit_result.cov_pars
+        else:
+            if train_cov or not gp.model_has_been_fitted:
+                gp.fit(y=self.y, offset=self.F, params={
+                    "init_cov_pars": self._gp_init_pars,
+                    "maxit": int(self.params["maxit_gp"])})
+                self._gp_init_pars = gp._fit_result.cov_pars
+        self._gp_refit_iter = self.current_iteration_
 
     # ------------------------------------------------------------------
     def _sampling_masks(self):
@@ -503,8 +541,28 @@ class Booster:
                     lr * leaf_value_of_slot[slot_of_row]
                 self.trees.append(tree)
             self.current_iteration_ += 1
+            if self.gp_model is not None:
+                self._refit_gp_cov()   # gbdt.cpp:549 end-of-iter Boosting()
             return False
         boosting = self.params["boosting"]
+        if self.params["use_nesterov_acc"]:
+            # momentum step on the training score BEFORE the gradients
+            # (gbdt.cpp:421 ApplyMomentumStep; nesterov_boosting.h:19)
+            if boosting != "gbdt":
+                raise ValueError("use_nesterov_acc requires boosting='gbdt'")
+            if self._F_lag1 is None:
+                self._F_lag1 = self.F.copy()
+            mu = _nesterov_schedule(
+                self.current_iteration_,
+                int(self.params["momentum_schedule_version"]),
+                float(self.params["nesterov_acc_rate"]),
+                int(self.params["momentum_offset"]))
+            F_new = (1.0 + mu) * self.F - mu * self._F_lag1
+            self._F_lag1, self.F = self.F, F_new
+            if self.gp_model is not None:
+                # with momentum, cov pars are re-optimized on the
+                # post-momentum residuals (gbdt.cpp:428 condition iii)
+                self._refit_gp_cov()
         drop_idx, drop_contrib = [], []
         if boosting == "dart" and self.trees:
             drop_idx, drop_contrib = self._dart_drop()
@@ -592,6 +650,11 @@ class Booster:
                 self.F = self.F + contrib * (k / (k + 1.0))
         self.trees.append(tree)
         self.current_iteration_ = len(self.trees)
+        if self.gp_model is not None:
+            # refit cov pars on the post-tree residuals so get_cov_pars(),
+            # predictions and next round's gradients reflect the current
+            # ensemble (gbdt.cpp:549 end-of-iteration Boosting() call)
+            self._refit_gp_cov()
         return False
 
     # ------------------------------------------------------------------
@@ -676,8 +739,25 @@ class Booster:
             F_pred = np.zeros(len(X))
             ntrees = num_iteration if num_iteration else len(self.trees)
             used = self.trees[start_iteration:start_iteration + ntrees]
-            for tree in used:
-                F_pred = F_pred + self._tree_predict(tree, X)
+            if self.params.get("use_nesterov_acc"):
+                # replay the training-time momentum recursion
+                # (gbdt_prediction.cpp:22-34)
+                lag = None
+                for i, tree in enumerate(used):
+                    it = start_iteration + i
+                    if it == 1:
+                        lag = F_pred.copy()
+                    elif it > 1:
+                        mu = _nesterov_schedule(
+                            it,
+                            int(self.params["momentum_schedule_version"]),
+                            float(self.params["nesterov_acc_rate"]),
+                            int(self.params["momentum_offset"]))
+                        F_pred, lag = (1.0 + mu) * F_pred - mu * lag, F_pred
+                    F_pred = F_pred + self._tree_predict(tree, X)
+            else:
+                for tree in used:
+                    F_pred = F_pred + self._tree_predict(tree, X)
             if self.params.get("boosting") == "rf" and used:
                 F_pred = F_pred / len(used)     # rf.hpp: average_output_
             F_pred = F_pred + self.init_score
@@ -932,6 +1012,8 @@ def _psi_tilde_inv_mat(eng, t, M):
             out -= (eng._w[j][:, None] if eng.weights is None
                     else (eng._w[j] * eng.weights)[:, None]) * w[eng._idx[j]]
         return out
+    if kind == "FITCGaussianEngine":
+        return np.asarray(eng.psi_inv_apply_jit(theta_log, jnp.asarray(M)))
     if kind == "VecchiaGaussianEngine":
         A, D = eng._bd(theta_log)
         A = np.asarray(A); D = np.asarray(D)

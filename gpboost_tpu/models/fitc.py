@@ -178,6 +178,9 @@ class FITCGaussianEngine:
 
         self.wls_coef = jax.jit(lambda t, y, X: wls_coef(*_cast(t, y, X)))
         self.wls_coef_raw = lambda t, y, X: wls_coef(*_cast(t, y, X))
+        # Psi_tilde^-1 M for the GPBoost-algorithm hook (boosting/gbdt.py)
+        self.psi_inv_apply_jit = jax.jit(
+            lambda t, V: psi_inv_apply(*_cast(t, V)))
 
         def coef_grad(theta_log, sigma2, resid, X):
             Mir = psi_inv_apply(theta_log, resid[:, None])[:, 0]

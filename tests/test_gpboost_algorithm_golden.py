@@ -162,6 +162,164 @@ class TestGroupedREBoosting:
         assert np.sum(np.abs(cp - self.REF_COV)) < 0.05
 
 
+class TestNesterovBoosting:
+    """test_z_GPBoost_algorithm.R:1307 — Nesterov-accelerated boosting
+    (momentum on the score path, nesterov_boosting.h): tree predictions
+    reproduce the reference exactly."""
+
+    def test_nesterov_grouped(self, grouped_data):
+        d = grouped_data
+        gp = gpb.GPModel(group_data=d["g_train"])
+        gp.set_optim_params(params={
+            "optimizer_cov": "fisher_scoring", "delta_rel_conv": 1e-6,
+            "init_coef_aux_pars_from_iid_model": False})
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        bst = gpb.train({"learning_rate": 0.01, "max_depth": 6,
+                         "min_data_in_leaf": 5, "objective": "regression_l2",
+                         "verbose": 0, "use_nesterov_acc": True},
+                        ds, num_boost_round=20, gp_model=gp)
+        pred = bst.predict(d["X_test"], group_data_pred=d["g_test"],
+                           pred_latent=True)
+        # identical trees + momentum recursion -> exact fixed effects
+        ref_fe = np.array([4.921429, 4.176900, 2.743165,
+                           4.141866, 5.018322, 4.935220])
+        assert np.sum(np.abs(pred["fixed_effect"][:6] - ref_fe)) < 1e-3
+        ref_re = np.array([0.3737357, -0.1906376, -1.2750302, 0, 0, 0])
+        assert np.sum(np.abs(
+            pred["random_effect_mean"][-6:] - ref_re)) < 0.05
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        ref_cov = np.array([0.01806612, 0.59318355, 0.39198746])
+        # inner-optimizer path differs (warm-started on-device GD) -> loose
+        # on the tiny error variance, tight on the RE variances
+        assert np.sum(np.abs(cp[1:] - ref_cov[1:])) < 0.01
+        assert cp[0] < 0.05
+        assert np.sqrt(np.mean(
+            (pred["fixed_effect"] - d["f_test"]) ** 2)) < 0.285
+        assert np.sqrt(np.mean(
+            (pred["fixed_effect"] + pred["random_effect_mean"]
+             - d["y_test"]) ** 2)) < 0.25
+
+    def test_momentum_changes_predictions(self, grouped_data):
+        """predict() replays the momentum recursion (gbdt_prediction.cpp)."""
+        d = grouped_data
+        ds = gpb.Dataset(d["X_train"], label=d["y_train"])
+        b0 = gpb.train({"verbose": 0, "learning_rate": 0.05},
+                       ds, num_boost_round=10)
+        b1 = gpb.train({"verbose": 0, "learning_rate": 0.05,
+                        "use_nesterov_acc": True}, ds, num_boost_round=10)
+        p0, p1 = b0.predict(d["X_test"]), b1.predict(d["X_test"])
+        assert not np.allclose(p0, p1)
+        # momentum accelerates convergence -> lower training error
+        r0 = np.mean((b0.predict(d["X_train"]) - d["y_train"]) ** 2)
+        r1 = np.mean((b1.predict(d["X_train"]) - d["y_train"]) ** 2)
+        assert r1 < r0
+
+
+class TestGaussianSampleWeights:
+    """test_z_GPBoost_algorithm.R:647 — EXACT parity (TOLERANCE_STRICT-level)
+    through the full boosting stack at n=12: identical binning
+    (min_data_in_bin merging), identical trees, identical end-of-iteration
+    covariance refits (gbdt.cpp:549)."""
+
+    GROUP = np.array([1, 1, 1, 2, 2, 3, 3, 3, 4, 4, 5, 5], dtype=float)
+    XW = np.array([[-1.0, 0.2], [-0.6, 0.4], [-0.2, 0.6], [0.1, 0.8],
+                   [0.4, 0.3], [0.7, 0.5], [1.0, 0.7], [1.3, 0.9],
+                   [-0.8, 0.1], [-0.1, 0.45], [0.5, 0.65], [1.1, 0.85]])
+    YW = np.array([0.20, -0.35, 0.95, 0.70, -0.10, 1.25, 0.15, -0.55,
+                   0.35, 0.05, 1.05, -0.20])
+
+    def _train(self, weights):
+        gp = gpb.GPModel(group_data=self.GROUP, weights=weights)
+        gp.set_optim_params(params={
+            "optimizer_cov": "lbfgs",
+            "init_coef_aux_pars_from_iid_model": False})
+        ds = gpb.Dataset(self.XW, label=self.YW)
+        bst = gpb.train({"objective": "regression_l2", "learning_rate": 0.05,
+                         "max_depth": 2, "min_data_in_leaf": 1, "verbose": 0},
+                        ds, num_boost_round=5, gp_model=gp)
+        return gp, bst
+
+    def test_unweighted_and_unit_weights(self):
+        for w in (None, np.full(12, 1.000000001)):
+            gp, bst = self._train(w)
+            cp = np.asarray(gp.get_cov_pars()).ravel()
+            assert abs(cp[0] - 2.028712e-01) < 1e-6
+            assert cp[1] < 1e-6   # RE variance collapses to ~0
+            assert abs(gp.get_current_neg_log_likelihood() - 7.456163) < 1e-4
+            pred = bst.predict(self.XW, group_data_pred=self.GROUP,
+                               pred_latent=True, predict_var=True)
+            ref_fe = np.array([0.1552112, 0.3873440, 0.4667916, 0.2930946])
+            assert np.sum(np.abs(pred["fixed_effect"][-4:] - ref_fe)) < 1e-5
+            assert np.max(np.abs(pred["random_effect_mean"][-4:])) < 1e-6
+            assert np.max(np.abs(pred["random_effect_cov"][-4:])) < 1e-6
+
+    def test_weighted(self):
+        w = np.array([1.0, 2.0, 0.8, 1.5, 0.7, 2.2, 1.3, 0.9,
+                      1.8, 0.6, 1.1, 0.5])
+        gp, bst = self._train(w)
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert abs(cp[0] - 2.341871e-01) < 1e-6
+        assert abs(gp.get_current_neg_log_likelihood() - 7.845767) < 1e-4
+        pred = bst.predict(self.XW, group_data_pred=self.GROUP,
+                           pred_latent=True, predict_var=True)
+        ref_fe = np.array([0.2142461, 0.4736939, 0.5318590, 0.5318590])
+        assert np.sum(np.abs(pred["fixed_effect"][-4:] - ref_fe)) < 1e-5
+
+
+class TestLargeDataAndLineSearch:
+    """test_z_GPBoost_algorithm.R:707 — n=1e5 grouped GPBoost: covariance /
+    NLL goldens and the line_search_step_length option."""
+
+    @pytest.fixture(scope="class")
+    def big(self):
+        n = 100000
+        X = np.reshape(sim_rand_unif(2 * n, 0.135), (2, n)).T.copy()
+        m = n // 100
+        group = np.repeat(np.arange(1, m + 1), n // m).astype(float)
+        b1 = np.sqrt(0.6) * norm.ppf(sim_rand_unif(m, 0.462))
+        xi = 0.1 * norm.ppf(sim_rand_unif(n, 0.17556))
+        xi[xi < -100] = 0
+        y = b1[(group - 1).astype(int)] + xi
+        return dict(X=X, y=y, group=group)
+
+    OPT = {"optimizer_cov": "gradient_descent", "lr_cov": 0.1,
+           "use_nesterov_acc": True, "acc_rate_cov": 0.5,
+           "delta_rel_conv": 1e-6, "optimizer_coef": "gradient_descent",
+           "lr_coef": 0.1,
+           "convergence_criterion": "relative_change_in_log_likelihood",
+           "init_coef_aux_pars_from_iid_model": False}
+
+    def test_62_rounds_golden(self, big):
+        gp = gpb.GPModel(group_data=big["group"])
+        gp.set_optim_params(params=self.OPT)
+        ds = gpb.Dataset(big["X"], label=big["y"])
+        gpb.train({"learning_rate": 0.01, "max_depth": 6,
+                   "min_data_in_leaf": 5, "objective": "regression_l2",
+                   "verbose": 0}, ds, num_boost_round=62, gp_model=gp)
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(
+            cp - np.array([0.009426053798, 0.602785377299]))) < 1e-3
+        nll = gp.get_current_neg_log_likelihood()
+        assert abs(nll - (-86930.9172156506)) / 86930.9 < 1e-3
+
+    def test_line_search_step_length(self, big):
+        ycv = big["y"] + big["X"] @ np.array([1.0, 1.0])
+        nlls = {}
+        for ls in (False, True):
+            gp = gpb.GPModel(group_data=big["group"])
+            gp.set_optim_params(params=self.OPT)
+            ds = gpb.Dataset(big["X"], label=ycv)
+            gpb.train({"learning_rate": 0.5, "max_depth": 6,
+                       "min_data_in_leaf": 5, "objective": "regression_l2",
+                       "verbose": 0, "line_search_step_length": ls},
+                      ds, num_boost_round=10, gp_model=gp)
+            nlls[ls] = gp.get_current_neg_log_likelihood()
+        # lr=0.5 overshoots badly without line search (R: 162232.6);
+        # with it the fit converges (R: -82056.8)
+        assert abs(nlls[False] - 162232.5638) / 162232.6 < 0.05
+        assert abs(nlls[True] - (-82056.84807)) / 82056.8 < 0.005
+
+
 @pytest.fixture(scope="module")
 def gp_data():
     """test_z_GPBoost_algorithm.R:881-905 setup."""
