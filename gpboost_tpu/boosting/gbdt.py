@@ -72,9 +72,11 @@ _BOOST_PARAM_DEFAULTS = dict(
     # feature_fraction and their seeds)
     bagging_fraction=1.0, bagging_freq=0, feature_fraction=1.0,
     bagging_seed=3, feature_fraction_seed=2,
-    # warm-started per-iteration refits need few optimizer steps (analogue of
-    # the reference's reuse_learning_rates_gp_model, config.h:181)
-    maxit_gp=10,
+    # warm-started per-iteration refits need few optimizer steps; when
+    # reuse_learning_rates_gp_model (config.h:181) the inner optimizer also
+    # keeps its step size between boosting iterations (our default: on — the
+    # on-device warm restart is where the speed comes from)
+    maxit_gp=10, reuse_learning_rates_gp_model=True,
     # data-parallel tree learner over a device mesh (the TPU-native analogue
     # of tree_learner=data, data_parallel_tree_learner.cpp): rows sharded,
     # histograms psum-merged, split decisions replicated
@@ -428,9 +430,12 @@ class Booster:
                     self._gp_init_pars = gp._fit_result.cov_pars
                     self._gp_lr = 0.1
                 else:
+                    lr0 = self._gp_lr \
+                        if self.params["reuse_learning_rates_gp_model"] \
+                        else 0.1
                     pars, nll, lr, it = gd_fit_engine(
                         gp._engine, self._gp_init_pars, resid,
-                        lr0=self._gp_lr,
+                        lr0=lr0,
                         max_iter=int(self.params["maxit_gp"]))
                     self._gp_lr = min(max(lr, 1e-8) * 2.0, 0.1)
                     self._gp_init_pars = pars
@@ -801,6 +806,9 @@ class Booster:
                     out[k] = pred[k] + F_pred[:, None]
             return out
         else:
+            # latent: random_effect_mean excludes the trees' fixed effect;
+            # the ensemble prediction enters only as offset_pred for
+            # response predictions (basic.py:3739/3780)
             pred = gp.predict(
                 y=self.y, offset=self.F,
                 group_data_pred=group_data_pred,
@@ -810,7 +818,8 @@ class Booster:
                 cluster_ids_pred=cluster_ids_pred,
                 predict_var=predict_var, predict_cov_mat=predict_cov_mat,
                 predict_response=not pred_latent,
-                fixed_effects_pred=F_pred, **gp_kwargs)
+                **({} if pred_latent else
+                   {"fixed_effects_pred": F_pred}), **gp_kwargs)
             out = {"fixed_effect": F_pred, "random_effect_mean": pred["mu"],
                    "random_effect_cov": pred.get("cov") if predict_cov_mat
                    else pred.get("var"),
@@ -906,13 +915,19 @@ class Booster:
         return []
 
     # ------------------------------------------------------------------
-    def model_to_dict(self):
+    def model_to_dict(self, num_iteration=None, start_iteration=0):
+        """num_iteration/start_iteration save a slice of the ensemble
+        (basic.py save_model(num_iteration=...); the R suite's gpb.save)."""
+        k = max(1, self._nsets)
+        trees = self.trees[k * int(start_iteration):]
+        if num_iteration:
+            trees = trees[: k * int(num_iteration)]
         d = {
             "init_score": self.init_score,
             "objective": self.objective_name,
-            "params": {k: v for k, v in self.params.items()
+            "params": {k_: v for k_, v in self.params.items()
                        if isinstance(v, (int, float, str, bool))},
-            "trees": [t.to_dict() for t in self.trees],
+            "trees": [t.to_dict() for t in trees],
             "has_gp_model": 1 if self.gp_model is not None else 0,
         }
         if getattr(self.train_set, "bundles", None):
@@ -931,10 +946,12 @@ class Booster:
             d["fixed_effect_train"] = self.F.tolist()
         return d
 
-    def save_model(self, filename, **kwargs):
+    def save_model(self, filename, num_iteration=None, start_iteration=0,
+                   **kwargs):
         import json
         with open(filename, "w") as f:
-            json.dump(self.model_to_dict(), f)
+            json.dump(self.model_to_dict(num_iteration=num_iteration,
+                                         start_iteration=start_iteration), f)
         return self
 
     def _load(self, model_file, model_dict):

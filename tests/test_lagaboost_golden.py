@@ -1,0 +1,234 @@
+"""Golden ports of test_z_GPBoost_algorithm_non_Gaussian_data.R — the
+LaGaBoost algorithm (trees + Laplace-approximated random effects) for
+binary / Poisson / gamma / negative-binomial likelihoods with crossed
+grouped random effects.
+
+Reference blocks: :95 (bernoulli_probit), :1576 (poisson), :1666 (gamma,
+incl. estimated shape), :1772 (negative_binomial). Tree ensembles differ
+slightly from LightGBM's histograms at these depths, so absolute goldens are
+asserted at experiment-calibrated (loose-but-pinning) tolerances; structural
+facts — new-group latent means exactly 0, latent/response decomposition —
+are asserted tightly.
+"""
+
+import numpy as np
+import pytest
+from scipy.stats import gamma as gamma_dist
+from scipy.stats import nbinom, norm, poisson
+
+import gpboost_tpu as gpb
+
+
+def sim_rand_unif(n, init_c):
+    mod = 134456
+    out = np.empty(n)
+    s = np.floor(init_c * mod)
+    out[0] = s
+    for i in range(1, n):
+        s = (8121 * s + 28411) % mod
+        out[i] = s
+    return out / mod
+
+
+def sim_friedman3(n, n_irr=5, init_c=0.2644234):
+    X = np.reshape(sim_rand_unif(4 * n, init_c), (4, n)).T.copy()
+    X[:, 0] *= 100
+    X[:, 1] = X[:, 1] * np.pi * (560 - 40) + 40 * np.pi
+    X[:, 3] = X[:, 3] * 10 + 1
+    f = np.sqrt(10) * np.arctan(
+        (X[:, 1] * X[:, 2] - 1 / (X[:, 1] * X[:, 3])) / X[:, 0])
+    X = np.column_stack([np.ones(n), X])
+    if n_irr:
+        X = np.column_stack(
+            [X, np.reshape(sim_rand_unif(n_irr * n, 0.6543), (n_irr, n)).T])
+    return X, f
+
+
+@pytest.fixture(scope="module")
+def sim():
+    """Shared fixed/random-effect design (R:97-127 et al.)."""
+    ntrain = 1000
+    n = 2 * ntrain
+    X, f = sim_friedman3(n)
+    f = f - f.mean()
+    m, n_new = 40, 3
+    g1 = np.repeat(np.arange(1, m + 1), ntrain // m).astype(float)
+    g1 = np.concatenate([g1, g1])
+    g1[-n_new:] = 99999
+    g2 = np.tile(np.arange(1, ntrain // m + 1), m).astype(float)
+    g2 = np.concatenate([g2, g2])
+    g2[-n_new:] = 99999
+    _, i1 = np.unique(g1, return_inverse=True)
+    _, i2 = np.unique(g2, return_inverse=True)
+    b1 = np.sqrt(0.6) * norm.ppf(sim_rand_unif(len(np.unique(g1)), 0.5542))
+    b2 = np.sqrt(0.4) * norm.ppf(sim_rand_unif(len(np.unique(g2)), 0.82354))
+    eps = b1[i1] + b2[i2]
+    eps = eps - eps.mean()
+    return dict(X=X, f=f, eps=eps, gd=np.column_stack([g1, g2]),
+                ntrain=ntrain)
+
+
+BOOST = {"learning_rate": 0.1, "max_depth": 6, "min_data_in_leaf": 5,
+         "verbose": 0}
+V2 = {"optimizer_cov": "gradient_descent", "use_nesterov_acc": True,
+      "delta_rel_conv": 1e-6, "lr_cov": 0.01, "lr_coef": 0.1,
+      "init_cov_pars": [1.0, 1.0], "init_coef_aux_pars_from_iid_model": False}
+
+
+def _run(sim_d, y, likelihood, opt_params, objective, nrounds=30):
+    gp = gpb.GPModel(group_data=sim_d["gd"][: sim_d["ntrain"]],
+                     likelihood=likelihood)
+    gp.set_optim_params(params=opt_params)
+    ds = gpb.Dataset(sim_d["X"][: sim_d["ntrain"]],
+                     label=y[: sim_d["ntrain"]])
+    bst = gpb.train(dict(BOOST, objective=objective), ds,
+                    num_boost_round=nrounds, gp_model=gp)
+    return gp, bst
+
+
+class TestBinaryGrouped:
+    """R:95 block (cholesky branch)."""
+
+    @pytest.fixture(scope="class")
+    def fitted(self, sim):
+        probs = norm.cdf(sim["f"] + sim["eps"])
+        y = (sim_rand_unif(len(probs), 0.574) < probs).astype(float)
+        opt = {"optimizer_cov": "gradient_descent", "use_nesterov_acc": False,
+               "delta_rel_conv": 1e-6, "lr_cov": 0.01, "lr_coef": 0.1,
+               "init_cov_pars": [1.0, 1.0],
+               "init_coef_aux_pars_from_iid_model": False}
+        gp, bst = _run(sim, y, "bernoulli_probit", opt, "binary")
+        return gp, bst
+
+    def test_cov_pars_and_nll(self, fitted):
+        gp, _ = fitted
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.4578282, 0.3456973]))) < 0.05
+        assert abs(gp.get_current_neg_log_likelihood() - 372.1352713) < 10
+
+    def test_latent_prediction(self, fitted, sim):
+        _, bst = fitted
+        nt = sim["ntrain"]
+        pred = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
+                           predict_var=True, pred_latent=True)
+        ref_fe = np.array([0.51189335, -0.05534681, 1.01832308, 0.82839003])
+        assert np.sum(np.abs(pred["fixed_effect"][:4] - ref_fe)) < 0.5
+        ref_re = np.array([-1.122524, -1.070761, -1.239508, 0, 0, 0])
+        assert np.sum(np.abs(
+            pred["random_effect_mean"][-6:] - ref_re)) < 0.12
+        # NEW groups: latent mean must be exactly the prior mean 0
+        np.testing.assert_array_equal(pred["random_effect_mean"][-3:],
+                                      np.zeros(3))
+        ref_rv = np.array([0.1291345, 0.1285406, 0.1291397,
+                           0.8035255, 0.8035255, 0.8035255])
+        assert np.sum(np.abs(pred["random_effect_cov"][-6:] - ref_rv)) < 0.05
+
+    def test_response_prediction(self, fitted, sim):
+        _, bst = fitted
+        nt = sim["ntrain"]
+        pred = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
+                           predict_var=True, pred_latent=False)
+        ref_mean = np.array([0.01602001, 0.63412570, 0.20171037, 0.62036433])
+        ref_var = np.array([0.01576337, 0.23201030, 0.16102330, 0.23551243])
+        assert np.sum(np.abs(pred["response_mean"][-4:] - ref_mean)) < 0.12
+        assert np.sum(np.abs(pred["response_var"][-4:] - ref_var)) < 0.06
+
+    def test_objective_inferred_from_gp_model(self, fitted, sim):
+        """R:215 'objective does not need to be set'."""
+        probs = norm.cdf(sim["f"] + sim["eps"])
+        y = (sim_rand_unif(len(probs), 0.574) < probs).astype(float)
+        gp = gpb.GPModel(group_data=sim["gd"][: sim["ntrain"]],
+                         likelihood="bernoulli_probit")
+        gp.set_optim_params(params={
+            "optimizer_cov": "gradient_descent", "use_nesterov_acc": False,
+            "delta_rel_conv": 1e-6, "lr_cov": 0.01,
+            "init_cov_pars": [1.0, 1.0],
+            "init_coef_aux_pars_from_iid_model": False})
+        ds = gpb.Dataset(sim["X"][: sim["ntrain"]],
+                         label=y[: sim["ntrain"]])
+        bst = gpb.train(dict(BOOST), ds, num_boost_round=30, gp_model=gp)
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.4578282, 0.3456973]))) < 0.05
+        assert bst.objective_name == "bernoulli_probit"
+
+    def test_fisher_scoring_rejected(self, sim):
+        """R:172 — fisher_scoring cannot be used for non-Gaussian."""
+        probs = norm.cdf(sim["f"] + sim["eps"])
+        y = (sim_rand_unif(len(probs), 0.574) < probs).astype(float)
+        gp = gpb.GPModel(group_data=sim["gd"][: sim["ntrain"]],
+                         likelihood="bernoulli_probit")
+        gp.set_optim_params(params={"maxit": 2,
+                                    "optimizer_cov": "fisher_scoring"})
+        ds = gpb.Dataset(sim["X"][: sim["ntrain"]],
+                         label=y[: sim["ntrain"]])
+        with pytest.raises(Exception):
+            gpb.train(dict(BOOST, objective="binary"), ds,
+                      num_boost_round=1, gp_model=gp)
+
+
+class TestPoissonGrouped:
+    """R:1576 block."""
+
+    def test_poisson(self, sim):
+        mu = np.exp(sim["f"] + sim["eps"])
+        y = poisson.ppf(sim_rand_unif(len(mu), 0.04532), mu=mu)
+        gp, bst = _run(sim, y, "poisson", V2, "poisson")
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.5298689, 0.3680592]))) < 0.03
+        nt = sim["ntrain"]
+        p = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
+                        predict_var=True, pred_latent=True)
+        ref_re = np.array([-0.9894769, -0.9276130, -1.0428837, 0, 0, 0])
+        assert np.sum(np.abs(p["random_effect_mean"][-6:] - ref_re)) < 0.1
+        pr = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
+                         predict_var=True, pred_latent=False)
+        ref_mean = np.array([0.05882611, 4.07141506, 0.65698516, 2.37612226])
+        assert np.sum(np.abs(pr["response_mean"][-4:] - ref_mean)) < 0.3
+        ref_var = np.array([0.05908199, 28.18720228, 1.28493044, 10.59000035])
+        assert np.sum(np.abs(pr["response_var"][-4:] - ref_var)) < 3.0
+
+
+class TestGammaGrouped:
+    """R:1666 block."""
+
+    @pytest.fixture(scope="class")
+    def ygamma(self, sim):
+        mu = np.exp(sim["f"] + sim["eps"])
+        return gamma_dist.ppf(sim_rand_unif(len(mu), 0.652), a=1.0, scale=mu)
+
+    def test_gamma_fixed_shape(self, sim, ygamma):
+        opt = dict(V2, estimate_aux_pars=False, init_aux_pars=[1.0])
+        gp, _ = _run(sim, ygamma, "gamma", opt, "gamma")
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.5953036, 0.5056386]))) < 0.02
+
+    def test_gamma_estimated_shape(self, sim, ygamma):
+        opt = dict(V2, estimate_aux_pars=True)
+        gp, _ = _run(sim, ygamma, "gamma", opt, "gamma")
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.6015308, 0.5169128]))) < 0.03
+        aux = np.asarray(gp.get_aux_pars()).ravel()
+        assert abs(aux[0] - 1.447807) < 0.05
+
+
+class TestNegativeBinomialGrouped:
+    """R:1772 block."""
+
+    def test_negative_binomial(self, sim):
+        mu = np.exp(sim["f"] + sim["eps"])
+        shape = 0.9
+        y = nbinom.ppf(sim_rand_unif(len(mu), 0.134686),
+                       n=shape, p=shape / (shape + mu))
+        gp, bst = _run(sim, y, "negative_binomial", V2, "negative_binomial")
+        cp = np.asarray(gp.get_cov_pars()).ravel()
+        assert np.sum(np.abs(cp - np.array([0.5539764, 0.4821519]))) < 0.05
+        nt = sim["ntrain"]
+        pr = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
+                         predict_var=True, pred_latent=False)
+        ref_mean = np.array([0.2521111, 3.0180883, 1.0052383, 3.0666018])
+        assert np.sum(np.abs(pr["response_mean"][-4:] - ref_mean)) < 1.0
+        # variances are quadratic in the (tree-dependent) predicted means ->
+        # assert relative agreement
+        ref_var = np.array([0.338194, 45.251929, 5.690510, 46.669110])
+        rel = np.abs(pr["response_var"][-4:] - ref_var) / ref_var
+        assert np.max(rel) < 0.6

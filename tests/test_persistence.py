@@ -118,6 +118,25 @@ class TestCombinedBoosterGP:
                                    rtol=1e-10)
         os.unlink(fn)
 
+    def test_save_with_num_iteration(self, spatial_pois):
+        """gpb.save(num_iteration=...) slice semantics
+        (test_z_GPBoost_algorithm.R:1526)."""
+        d = spatial_pois
+        rng = np.random.RandomState(2)
+        X = rng.rand(len(d["y"]), 3)
+        yg = np.log1p(d["y"]) + X[:, 0]
+        ds = gpb.Dataset(X, label=yg)
+        bst = gpb.train({"verbose": 0, "num_leaves": 7,
+                         "min_data_in_leaf": 5}, ds, num_boost_round=8)
+        fn = _tmpfile()
+        bst.save_model(fn, num_iteration=5)
+        bst2 = gpb.Booster(model_file=fn)
+        assert bst2.num_trees() == 5
+        np.testing.assert_allclose(bst2.predict(X[:10]),
+                                   bst.predict(X[:10], num_iteration=5),
+                                   rtol=1e-12)
+        os.unlink(fn)
+
 
 class TestLogger:
     def test_register_logger(self):
