@@ -829,7 +829,10 @@ class Booster:
                 out["response_var"] = pred.get("var")
             for k in ("posterior_samples", "prior_samples"):
                 if pred.get(k) is not None:
-                    out[k] = pred[k]
+                    # latent samples exclude the ensemble; add it back
+                    # (basic.py:3759) — response samples already include it
+                    out[k] = pred[k] + F_pred[:, None] if pred_latent \
+                        else pred[k]
             return out
 
     def predict_training_data_random_effects(self, predict_var=False):
