@@ -47,6 +47,36 @@ def load_svmlight(path, n_features=None):
     return X, np.asarray(labels)
 
 
+def _data_from_pandas(df, pandas_categorical=None):
+    """DataFrame -> (float ndarray, auto categorical column indices, column
+    names, per-column category lists) — basic.py _data_from_pandas. When
+    `pandas_categorical` is given (prediction time), object/category columns
+    are coded against THOSE category lists (unseen values -> NaN)."""
+    cols = list(df.columns)
+    cat_idx = []
+    cat_lists = {}
+    out = np.empty((len(df), len(cols)), dtype=np.float64)
+    for j, c in enumerate(cols):
+        s = df[c]
+        dt = str(s.dtype)
+        is_cat = (dt == "category" or getattr(s.dtype, "kind", "") in "OUS"
+                  or dt.startswith("str"))
+        if is_cat:
+            cat_idx.append(j)
+            if pandas_categorical is not None and j in pandas_categorical:
+                cats = pandas_categorical[j]
+            elif dt == "category":
+                cats = list(s.cat.categories)
+            else:
+                cats = sorted(x for x in s.dropna().unique())
+            cat_lists[j] = list(cats)
+            code = {v: i for i, v in enumerate(cats)}
+            out[:, j] = [code.get(v, np.nan) for v in s]
+        else:
+            out[:, j] = np.asarray(s, dtype=np.float64)
+    return out, cat_idx, [str(c) for c in cols], cat_lists
+
+
 #: |x| <= kZeroThreshold is "zero" and gets a dedicated bin (bin.h)
 _KZERO = 1e-35
 
@@ -291,6 +321,19 @@ class Dataset:
                 data = M[:, 1:]
                 if label is None:
                     label = M[:, 0]
+        self.pandas_categorical = None
+        if hasattr(data, "dtypes") and hasattr(data, "columns"):
+            # pandas DataFrame (basic.py _data_from_pandas): category/object
+            # columns are coded against their sorted category lists, recorded
+            # so prediction-time frames map to the SAME codes
+            data, auto_cat, names, self.pandas_categorical = \
+                _data_from_pandas(data)
+            if feature_name is None:
+                feature_name = names
+            if categorical_feature is None and auto_cat:
+                categorical_feature = auto_cat
+        if hasattr(label, "values"):
+            label = np.asarray(label.values, dtype=np.float64).ravel()
         self.data = np.asarray(data, dtype=np.float64)
         if self.data.ndim == 1:
             self.data = self.data[:, None]

@@ -120,6 +120,8 @@ class Booster:
             p[k] = v
         self.params = p
         self.train_set = train_set
+        self._pandas_categorical = getattr(train_set, "pandas_categorical",
+                                           None)
         self.gp_model = gp_model
         train_set.construct()
         self.n = train_set.num_data
@@ -676,6 +678,12 @@ class Booster:
         tree ensemble, shape (n, p+1) with the expected value (bias) in the
         last column; rows sum to the raw fixed-effect prediction
         (basic.py predict(..., pred_contrib); Lundberg et al. 2018)."""
+        if hasattr(data, "dtypes") and hasattr(data, "columns"):
+            from .dataset import _data_from_pandas
+            cats = getattr(self.train_set, "pandas_categorical", None) \
+                if getattr(self, "train_set", None) is not None else None
+            cats = cats or self._pandas_categorical
+            data, _, _, _ = _data_from_pandas(data, pandas_categorical=cats)
         X = np.asarray(data, dtype=np.float64)
         if X.ndim == 1:
             X = X[:, None]
@@ -897,6 +905,48 @@ class Booster:
             return tree.predict_raw(self.train_set.data)
         return leaf_value_of_slot[slot_of_row]
 
+    def refit(self, data, label, decay_rate=0.9):
+        """Refit the leaf values of the existing tree structures on new data
+        (basic.py:3804 Booster.refit; gbdt.cpp:314 RefitTree;
+        serial_tree_learner.cpp:212 FitByExistingTree):
+
+            leaf_output = decay_rate * old + (1 - decay_rate) * new
+
+        where `new` is the Newton-optimal value on the new data's gradients,
+        computed sequentially tree-by-tree (each refit tree updates the score
+        the next tree's gradients see). Returns a NEW refitted Booster."""
+        if self.gp_model is not None:
+            raise NotImplementedError("refit with a gp_model is not "
+                                      "supported; retrain instead")
+        if self._nsets > 1:
+            raise NotImplementedError("refit is not supported for "
+                                      "multi-output objectives")
+        import copy
+        X = np.asarray(data, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[:, None]
+        y = np.asarray(label, dtype=np.float64)
+        new = copy.copy(self)
+        new.trees = [copy.deepcopy(t) for t in self.trees]
+        new.train_set = None
+        new.y = y
+        new.n = len(y)
+        new.F = np.full(len(y), self.init_score)
+        lam = float(self.params["lambda_l2"])
+        l1 = float(self.params["lambda_l1"])
+        for tree in new.trees:
+            g, h = new._gradients()
+            node = tree.leaf_index_raw(X)
+            for leaf in np.unique(node):
+                sel = node == leaf
+                sg, sh = float(g[sel].sum()), float(h[sel].sum()) + 1e-15
+                sg = np.sign(sg) * max(abs(sg) - l1, 0.0)
+                newv = -sg / (sh + lam) * tree.shrinkage_applied
+                tree.leaf_value[leaf] = (decay_rate * tree.leaf_value[leaf]
+                                         + (1.0 - decay_rate) * newv)
+            new.F = new.F + tree.leaf_value[node]
+        return new
+
     def reset_parameter(self, params):
         """Update training parameters between iterations (used by the
         reset_parameter callback; basic.py Booster.reset_parameter)."""
@@ -933,6 +983,9 @@ class Booster:
             "trees": [t.to_dict() for t in trees],
             "has_gp_model": 1 if self.gp_model is not None else 0,
         }
+        if self._pandas_categorical:
+            d["pandas_categorical"] = {str(k): v for k, v
+                                       in self._pandas_categorical.items()}
         if getattr(self.train_set, "bundles", None):
             d["efb"] = {
                 "kept_features": list(self.train_set.kept_features),
@@ -967,6 +1020,9 @@ class Booster:
         self.objective_name = d["objective"]
         self.params = dict(_BOOST_PARAM_DEFAULTS)
         self.params.update(d.get("params", {}))
+        self._pandas_categorical = {int(k): v for k, v in
+                                    d.get("pandas_categorical", {}).items()} \
+            or None
         self.trees = [Tree.from_dict(td) for td in d["trees"]]
         self.train_set = None
         if d.get("efb"):

@@ -79,9 +79,8 @@ class Tree:
                                         self.right[nd])
         return node
 
-    def predict_raw(self, X):
-        """Predict from raw features (new data); NaN goes right unless the
-        split's NaN-bin routing says otherwise (simplified: NaN -> right)."""
+    def leaf_index_raw(self, X):
+        """Leaf NODE index per raw-feature row (refit / SHAP helpers)."""
         X = np.asarray(X, dtype=np.float64)
         n = len(X)
         node = np.zeros(n, dtype=np.int32)
@@ -103,6 +102,13 @@ class Tree:
                             & np.isfinite(x[sel])
             node[active_idx] = np.where(go_left, self.left[nd],
                                         self.right[nd])
+        return node
+
+    def predict_raw(self, X):
+        """Predict from raw features (new data); NaN goes right unless the
+        split's NaN-bin routing says otherwise (simplified: NaN -> right)."""
+        X = np.asarray(X, dtype=np.float64)
+        node = self.leaf_index_raw(X)
         out = self.leaf_value[node].copy()
         if self.leaf_linear:
             for leaf, (feats, coefs) in self.leaf_linear.items():
@@ -125,6 +131,7 @@ class Tree:
             "is_leaf": self.is_leaf[:n].tolist(),
             "cover": self.cover[:n].tolist(),
             "split_gain": self.split_gain[:n].tolist(),
+            "shrinkage": self.shrinkage_applied,
             "cat_left_values": {str(k): np.asarray(v).tolist()
                                 for k, v in self.cat_left_values.items()},
             "cat_left_bins": {str(k): np.asarray(v).astype(int).tolist()
@@ -151,6 +158,7 @@ class Tree:
             t.cover[:n] = d["cover"]
         if "split_gain" in d:
             t.split_gain[:n] = d["split_gain"]
+        t.shrinkage_applied = float(d.get("shrinkage", 1.0))
         for k, v in (d.get("cat_left_values") or {}).items():
             t.cat_left_values[int(k)] = np.asarray(v, dtype=np.float64)
         for k, v in (d.get("cat_left_bins") or {}).items():

@@ -297,3 +297,87 @@ class TestDatasetIO:
         assert ds.data.shape == (4, 4)
         assert ds.get_label()[3] == 3.0
         os.unlink(fn)
+
+
+class TestRefit:
+    """Booster.refit (basic.py:3804; gbdt.cpp:314 RefitTree)."""
+
+    def test_refit_moves_toward_new_data(self):
+        rng = np.random.RandomState(0)
+        X = rng.rand(500, 5)
+        y1 = X[:, 0] + 0.05 * rng.randn(500)
+        y2 = -X[:, 0] + 0.05 * rng.randn(500)   # opposite relationship
+        ds = gpb.Dataset(X, label=y1)
+        bst = gpb.train({"verbose": 0, "learning_rate": 0.1,
+                         "num_leaves": 15}, ds, num_boost_round=30)
+        mse_before = np.mean((bst.predict(X) - y2) ** 2)
+        ref = bst.refit(X, y2, decay_rate=0.1)
+        mse_after = np.mean((ref.predict(X) - y2) ** 2)
+        assert mse_after < mse_before
+        # original booster untouched
+        assert np.mean((bst.predict(X) - y2) ** 2) == mse_before
+
+    def test_decay_one_is_identity(self):
+        rng = np.random.RandomState(1)
+        X = rng.rand(200, 3)
+        y = X[:, 0] + 0.1 * rng.randn(200)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"verbose": 0}, ds, num_boost_round=5)
+        ref = bst.refit(X, rng.randn(200), decay_rate=1.0)
+        np.testing.assert_allclose(ref.predict(X), bst.predict(X),
+                                   rtol=1e-12)
+
+    def test_refit_same_data_improves_or_holds(self):
+        rng = np.random.RandomState(2)
+        X = rng.rand(300, 4)
+        y = np.sin(3 * X[:, 0]) + 0.05 * rng.randn(300)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"verbose": 0, "learning_rate": 0.3}, ds,
+                        num_boost_round=10)
+        ref = bst.refit(X, y, decay_rate=0.5)
+        m0 = np.mean((bst.predict(X) - y) ** 2)
+        m1 = np.mean((ref.predict(X) - y) ** 2)
+        assert m1 < m0 * 1.2
+
+
+class TestPandasInput:
+    """DataFrame input with auto-detected categorical columns
+    (basic.py _data_from_pandas)."""
+
+    def test_dataframe_train_predict(self):
+        pd = pytest.importorskip("pandas")
+        rng = np.random.RandomState(3)
+        n = 400
+        cat = rng.choice(["a", "b", "c", "d"], n)
+        eff = {"a": 0.0, "b": 1.0, "c": -1.0, "d": 2.0}
+        x1 = rng.rand(n)
+        y = x1 + np.array([eff[c] for c in cat]) + 0.05 * rng.randn(n)
+        df = pd.DataFrame({"x1": x1, "cat": pd.Categorical(cat)})
+        ds = gpb.Dataset(df, label=pd.Series(y))
+        assert ds.categorical_feature == [1]
+        bst = gpb.train({"verbose": 0, "learning_rate": 0.2,
+                         "num_leaves": 15}, ds, num_boost_round=40)
+        p = bst.predict(df)
+        assert np.mean((p - y) ** 2) < 0.02
+        # per-category means are separated
+        pa = p[cat == "a"].mean()
+        pd_ = p[cat == "d"].mean()
+        assert pd_ - pa > 1.5
+
+    def test_object_columns_and_roundtrip(self):
+        pd = pytest.importorskip("pandas")
+        rng = np.random.RandomState(4)
+        n = 300
+        cat = rng.choice(["u", "v", "w"], n)
+        y = np.array([{"u": 0.0, "v": 2.0, "w": -2.0}[c] for c in cat]) \
+            + 0.1 * rng.randn(n)
+        df = pd.DataFrame({"g": cat, "z": rng.rand(n)})
+        ds = gpb.Dataset(df, label=y)
+        bst = gpb.train({"verbose": 0, "learning_rate": 0.3,
+                         "min_data_in_leaf": 5}, ds, num_boost_round=20)
+        fn = tempfile.mktemp(suffix=".json")
+        bst.save_model(fn)
+        bst2 = gpb.Booster(model_file=fn)
+        np.testing.assert_allclose(bst2.predict(df), bst.predict(df),
+                                   rtol=1e-12)
+        os.unlink(fn)
