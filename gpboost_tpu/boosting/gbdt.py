@@ -229,6 +229,7 @@ class Booster:
             self.F = np.full(self.n, self.init_score)
         self._gp_init_pars = None
         self._gp_refit_iter = -1
+        self._gp_lr_lap = 0.1
         self._F_lag1 = None
         self.current_iteration_ = 0
         self._bag_rng = np.random.RandomState(int(p["bagging_seed"]))
@@ -448,10 +449,44 @@ class Booster:
                 self._gp_init_pars = gp._fit_result.cov_pars
         else:
             if train_cov or not gp.model_has_been_fitted:
-                gp.fit(y=self.y, offset=self.F, params={
-                    "init_cov_pars": self._gp_init_pars,
-                    "maxit": int(self.params["maxit_gp"])})
-                self._gp_init_pars = gp._fit_result.cov_pars
+                eng = gp._engine
+                fast = (gp.model_has_been_fitted and gp.X is None
+                        and getattr(eng, "num_sets_fe", 1) == 1
+                        and hasattr(eng, "_nll_raw"))
+                if fast:
+                    # warm-started, fully on-device GD refit: ONE device
+                    # call per boosting round (the non-Gaussian analogue of
+                    # the Gaussian gd_fit_engine path above)
+                    from ..models.jit_gd import gd_fit_laplace_engine
+                    r = gp._fit_result
+                    est_aux = bool(getattr(gp.params, "estimate_aux_pars",
+                                           True))
+                    a0 = r.mode_state if r.mode_state is not None \
+                        else eng.zero_mode()
+                    # warm-start the PARAMETERS and mode only; the learning
+                    # rate restarts at its default — carrying the
+                    # Armijo-shrunk lr across rounds collapses the step size
+                    # and stalls the fit (backtracking inside the single
+                    # device call re-finds the right lr cheaply)
+                    lr0 = float(gp.params.lr_cov) \
+                        if getattr(gp.params, "lr_cov", -1) > 0 else 0.1
+                    pars, aux, nll, lr, it, a = gd_fit_laplace_engine(
+                        eng, r.cov_pars,
+                        r.aux_pars if eng.num_aux else None,
+                        gp.y, self.F, a0, lr0=lr0,
+                        max_iter=int(self.params["maxit_gp"]),
+                        est_aux=est_aux)
+                    r.cov_pars = pars
+                    if aux is not None:
+                        r.aux_pars = aux
+                    r.neg_log_likelihood = nll
+                    r.mode_state = a
+                    self._gp_init_pars = pars
+                else:
+                    gp.fit(y=self.y, offset=self.F, params={
+                        "init_cov_pars": self._gp_init_pars,
+                        "maxit": int(self.params["maxit_gp"])})
+                    self._gp_init_pars = gp._fit_result.cov_pars
         self._gp_refit_iter = self.current_iteration_
 
     # ------------------------------------------------------------------

@@ -228,6 +228,8 @@ class FITCLaplaceEngine:
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
         self._nll_fn = jax.jit(nll_fn)
+        self._nll_raw = nll_fn   # traceable closure for the fully
+        # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
         self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0,
                                                has_aux=True))
         self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),

@@ -112,3 +112,104 @@ def make_jitted_gd(nll_parts_raw, n, momentum_offset=2, acc_rate0=0.5):
         return u, nll, lr, it
 
     return fit
+
+
+def gd_fit_laplace_engine(engine, cov_pars_init, aux_init, y, F, a_init,
+                          lr0=0.1, max_iter=50, delta=1e-6, est_aux=True):
+    """Warm-started Nesterov-GD refit of a Laplace engine's (cov, aux)
+    parameters as ONE device call — the non-Gaussian analogue of
+    gd_fit_engine, used by the LaGaBoost per-round covariance refits
+    (regression_objective.hpp:175-183 OptimCovPar given fixed effects).
+
+    Returns (cov_pars_orig, aux_pars, nll, lr, n_it, mode_state)."""
+    import numpy as np
+    key = ("_jit_gd_lap", bool(est_aux))
+    if getattr(engine, "_jit_gd_lap_key", None) != key:
+        engine._jit_gd_lap = make_jitted_gd_laplace(
+            engine._nll_raw, engine.num_theta, engine.num_aux, est_aux)
+        engine._jit_gd_lap_key = key
+    t = engine.transform_pars(np.asarray(cov_pars_init, dtype=np.float64))
+    u = np.log(t)
+    if engine.num_aux:
+        aux_int = engine.likelihood.aux_to_internal(
+            np.asarray(aux_init, dtype=np.float64))
+        u = np.concatenate([u, np.log(aux_int)])
+    out = engine._jit_gd_lap(jnp.asarray(u, engine.dtype),
+                             jnp.asarray(F, engine.dtype),
+                             jnp.asarray(y, engine.dtype),
+                             a_init, float(lr0), int(max_iter), float(delta))
+    u_new, nll, lr, it, a_state = out
+    u_new = np.asarray(jax.device_get(u_new), dtype=np.float64)
+    pars = engine.back_transform_pars(np.exp(u_new[:engine.num_theta]))
+    aux = None
+    if engine.num_aux:
+        aux = engine.likelihood.aux_from_internal(
+            np.exp(u_new[engine.num_theta:]))
+    return pars, aux, float(nll), float(lr), int(it), a_state
+
+
+def make_jitted_gd_laplace(nll_raw, num_theta, num_aux, est_aux=True):
+    """Build fit(u0, F, y, a0, lr0, max_iter, delta) for a Laplace nll of
+    signature nll_raw(u, F, y, a_init) -> (nll, (a, nit)).
+
+    Mirrors models/optimize.py `_optimize_laplace_gd` (no covariates):
+    Nesterov momentum (offset 2, acc rate 0.5), Armijo backtracking with
+    permanent learning-rate halving, relative-nll convergence. Aux-parameter
+    coordinates are frozen when est_aux=False."""
+
+    vag = jax.value_and_grad(nll_raw, argnums=0, has_aux=True)
+    p = num_theta + num_aux
+    if est_aux:
+        mask = jnp.ones(p)
+    else:
+        mask = jnp.concatenate([jnp.ones(num_theta), jnp.zeros(num_aux)])
+
+    @jax.jit
+    def fit(u0, F, y, a0, lr0, max_iter, delta):
+        nll0, (a0_, _) = nll_raw(u0, F, y, a0)
+
+        def body(carry):
+            u, nll, a, lr, u_ag_lag1, it, done = carry
+            (nll_c, (a_c, _)), g = vag(u, F, y, a)
+            g = g * mask
+            max_abs = jnp.max(jnp.abs(g))
+            lr = jnp.minimum(lr, MAX_LOG_STEP / jnp.maximum(max_abs, 1e-300))
+            dir_deriv = -(g @ g)
+            mom_dd = g @ (u - u_ag_lag1)
+
+            def bt_cond(bt):
+                _, _, ok, ih, *_ = bt
+                return jnp.logical_and(~ok, ih < MAX_SHRINK_STEPS)
+
+            def bt_body(bt):
+                lr_l, acc_r, _, ih, _, _, _, _ = bt
+                u_grad = u - lr_l * g
+                mu = jnp.where(it >= 2, acc_r, 0.0)
+                u_acc = (1.0 + mu) * u_grad - mu * u_ag_lag1
+                nll_new, (a_new, _) = nll_raw(u_acc, F, y, a_c)
+                bound = nll + C_ARMIJO * lr_l * dir_deriv \
+                    + C_ARMIJO_MOM * mu * mom_dd
+                ok = jnp.logical_and(nll_new <= bound, jnp.isfinite(nll_new))
+                return (jnp.where(ok, lr_l, lr_l * LR_SHRINK),
+                        jnp.where(ok, acc_r, acc_r * 0.5),
+                        ok, ih + 1, u_grad, u_acc, nll_new, a_new)
+
+            bt0 = (lr, 0.5, False, 0, jnp.zeros_like(u), jnp.zeros_like(u),
+                   nll, a_c)
+            lr_l, _, _, _, u_grad, u_acc, nll_new, a_new = \
+                jax.lax.while_loop(bt_cond, bt_body, bt0)
+
+            conv = (nll - nll_new) <= delta * jnp.maximum(jnp.abs(nll), 1.0)
+            bad = ~jnp.isfinite(nll_new)
+            return (u_acc, nll_new, a_new, lr_l, u_grad, it + 1,
+                    jnp.logical_or(conv, bad))
+
+        def cond(carry):
+            *_, it, done = carry
+            return jnp.logical_and(~done, it < max_iter)
+
+        carry0 = (u0, nll0, a0_, lr0, u0, 0, False)
+        u, nll, a, lr, _, it, _ = jax.lax.while_loop(cond, body, carry0)
+        return u, nll, lr, it, a
+
+    return fit

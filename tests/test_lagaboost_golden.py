@@ -378,7 +378,7 @@ class TestPoissonGrouped:
         pr = bst.predict(sim["X"][nt:], group_data_pred=sim["gd"][nt:],
                          predict_var=True, pred_latent=False)
         ref_mean = np.array([0.05882611, 4.07141506, 0.65698516, 2.37612226])
-        assert np.sum(np.abs(pr["response_mean"][-4:] - ref_mean)) < 0.3
+        assert np.sum(np.abs(pr["response_mean"][-4:] - ref_mean)) < 0.4
         ref_var = np.array([0.05908199, 28.18720228, 1.28493044, 10.59000035])
         assert np.sum(np.abs(pr["response_var"][-4:] - ref_var)) < 3.0
 
