@@ -25,7 +25,7 @@ from .boosting import Dataset, Booster, train  # noqa: E402
 from .engine import cv, grid_search_tune_parameters  # noqa: E402
 from .tuner import tune_pars_TPE_algorithm_optuna  # noqa: E402
 from .sklearn import (GPBoostModel, GPBoostRegressor,  # noqa: E402
-                      GPBoostClassifier)
+                      GPBoostClassifier, GPBoostRanker)
 from .utils.log import Log, register_logger, set_log_level  # noqa: E402
 from .utils.timer import Timer, global_timer, device_trace  # noqa: E402
 from . import callback  # noqa: E402
@@ -45,6 +45,7 @@ __all__ = [
     "GPBoostModel",
     "GPBoostRegressor",
     "GPBoostClassifier",
+    "GPBoostRanker",
     "callback",
     "plot_importance",
     "plot_metric",

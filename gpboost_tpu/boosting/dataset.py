@@ -299,7 +299,7 @@ class Dataset:
 
     def __init__(self, data, label=None, max_bin=255, weight=None,
                  categorical_feature=None, feature_name=None, params=None,
-                 free_raw_data=False, reference=None):
+                 free_raw_data=False, reference=None, group=None):
         if isinstance(data, str):
             # file path (basic.py Dataset(data=<path>)): LibSVM when entries
             # look like idx:val, else delimited text with the label in the
@@ -339,6 +339,9 @@ class Dataset:
             self.data = self.data[:, None]
         self.label = None if label is None else np.asarray(label, dtype=np.float64)
         self.weight = None if weight is None else np.asarray(weight, dtype=np.float64)
+        # query/group sizes for ranking tasks (metadata.cpp query_boundaries)
+        self.group = None if group is None else np.asarray(group,
+                                                           dtype=np.int64)
         self.max_bin = int((params or {}).get("max_bin", max_bin))
         self.min_data_in_bin = int((params or {}).get("min_data_in_bin", 3))
         self.feature_name = feature_name
@@ -436,6 +439,15 @@ class Dataset:
 
     def get_label(self):
         return self.label
+
+    def set_group(self, group):
+        """Per-query document counts for ranking (basic.py Dataset.set_group)."""
+        self.group = None if group is None else np.asarray(group,
+                                                           dtype=np.int64)
+        return self
+
+    def get_group(self):
+        return self.group
 
     def num_rows(self):
         return self.num_data

@@ -34,13 +34,17 @@ _OBJ_ALIASES = {
     "cross_entropy": "cross_entropy", "xentropy": "cross_entropy",
     "tobit": "tobit", "grabit": "tobit",
     "mean_scale_regression": "mean_scale_regression",
+    "lambdarank": "lambdarank", "rank_xendcg": "rank_xendcg",
+    "xendcg": "rank_xendcg", "xe_ndcg": "rank_xendcg",
+    "xe_ndcg_mart": "rank_xendcg", "xendcg_mart": "rank_xendcg",
 }
 
 # objectives handled by dedicated gradient formulas instead of the
 # likelihood registry (src/LightGBM/objective/: multiclass_objective.hpp,
 # regression_objective.hpp RegressionQuantileloss, xentropy_objective.hpp)
 _SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy",
-                       "tobit", "mean_scale_regression")
+                       "tobit", "mean_scale_regression",
+                       "lambdarank", "rank_xendcg")
 
 def _nesterov_schedule(i, version=1, rate=0.5, offset=0):
     """Momentum rate at boosting iteration i (gbdt.h:399 NesterovSchedule)."""
@@ -68,6 +72,10 @@ _BOOST_PARAM_DEFAULTS = dict(
     use_nesterov_acc=False, nesterov_acc_rate=0.5, momentum_offset=0,
     momentum_schedule_version=1,
     verbose=1, max_bin=255,
+    # ranking (config.h: sigmoid, lambdarank_norm,
+    # lambdarank_truncation_level, label_gain, objective_seed, eval_at)
+    sigmoid=1.0, lambdarank_norm=True, lambdarank_truncation_level=30,
+    label_gain=None, objective_seed=5, eval_at=(1, 2, 3, 4, 5),
     # stochastic sampling (config.h: bagging_fraction, bagging_freq,
     # feature_fraction and their seeds)
     bagging_fraction=1.0, bagging_freq=0, feature_fraction=1.0,
@@ -169,6 +177,23 @@ class Booster:
             elif self.objective_name == "cross_entropy":
                 if not np.all((self.y >= 0) & (self.y <= 1)):
                     raise ValueError("cross_entropy labels must be in [0, 1]")
+            elif self.objective_name in ("lambdarank", "rank_xendcg"):
+                from .ranking import (query_boundaries, check_rank_labels,
+                                      DEFAULT_LABEL_GAIN)
+                if gp_model is not None:
+                    raise ValueError("ranking objectives cannot be combined "
+                                     "with a gp_model")
+                if train_set.group is None:
+                    raise ValueError("Ranking tasks require query "
+                                     "information: Dataset(..., group=...)")
+                if int(np.sum(train_set.group)) != self.n:
+                    raise ValueError("sum(group) must equal the number of "
+                                     "data points")
+                self._label_gain = np.asarray(
+                    p["label_gain"], dtype=np.float64) \
+                    if p.get("label_gain") is not None else DEFAULT_LABEL_GAIN
+                check_rank_labels(self.y, self._label_gain)
+                self._query_bounds = query_boundaries(train_set.group)
         elif gp_model is None and self.objective_name != "gaussian":
             self._lik = get_likelihood(self.objective_name)
             self._lik.check_y(self.y)
@@ -286,6 +311,11 @@ class Booster:
         if self.gp_model is None and self.objective_name == "cross_entropy":
             pbar = float(np.clip(np.mean(self.y), 1e-12, 1 - 1e-12))
             return float(np.log(pbar / (1.0 - pbar)))
+        if self.gp_model is None and self.objective_name in (
+                "lambdarank", "rank_xendcg"):
+            # ranking objectives do not boost from an average score
+            # (rank_objective.hpp: BoostFromScore not overridden)
+            return 0.0
         if self.gp_model is not None:
             if self.gp_model.likelihood == "gaussian":
                 return float(np.mean(self.y))
@@ -358,6 +388,22 @@ class Booster:
                 if w is not None:
                     g, h = g * np.tile(w, 2), h * np.tile(w, 2)
                 return g, h
+            elif self.objective_name == "lambdarank":
+                from .ranking import lambdarank_gradients
+                p = self.params
+                g, h = lambdarank_gradients(
+                    self.y, self.F, self._query_bounds,
+                    sigmoid=float(p["sigmoid"]),
+                    norm=bool(p["lambdarank_norm"]),
+                    truncation_level=int(p["lambdarank_truncation_level"]),
+                    label_gain=self._label_gain)
+                h = np.maximum(h, 1e-12)
+            elif self.objective_name == "rank_xendcg":
+                from .ranking import xendcg_gradients
+                g, h = xendcg_gradients(self.y, self.F, self._query_bounds,
+                                        seed=int(self.params[
+                                            "objective_seed"]))
+                h = np.maximum(h, 1e-12)
             elif self.objective_name == "quantile":
                 # pinball loss (regression_objective.hpp:601-616)
                 alpha = float(self.params.get("alpha", 0.9))
@@ -1181,8 +1227,29 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
     feval = kwargs.get("feval")
 
     from ..engine import (_METRIC_ALIASES, _GP_TRAIN_METRICS, _VAR_METRICS,
-                          _var_metric_fn, metric_higher_better)
+                          _RANK_METRICS, _var_metric_fn, metric_higher_better)
+    if chosen is None and booster.objective_name in ("lambdarank",
+                                                     "rank_xendcg"):
+        chosen = "ndcg"
     chosen_canon = _METRIC_ALIASES.get(chosen, chosen) if chosen else None
+
+    def _rank_metric(v, p):
+        """ndcg@k / map@k on a validation set with query info
+        (rank_metric.hpp / map_metric.hpp; reported at the first eval_at)."""
+        from .ranking import (ndcg_metric, map_metric, query_boundaries,
+                              DEFAULT_LABEL_GAIN)
+        if v.group is None:
+            raise ValueError(f"metric '{chosen}' requires query information "
+                             "on the validation Dataset (group=...)")
+        qb = query_boundaries(v.group)
+        ks = np.atleast_1d(np.asarray(booster.params.get(
+            "eval_at", (1, 2, 3, 4, 5)), dtype=int))
+        if chosen_canon == "ndcg":
+            lg = getattr(booster, "_label_gain", DEFAULT_LABEL_GAIN)
+            vals = ndcg_metric(v.get_label(), p, qb, ks, lg)
+        else:
+            vals = map_metric(v.get_label(), p, qb, ks)
+        return f"{chosen_canon}@{int(ks[0])}", vals[int(ks[0])]
 
     def _metric(y, p):
         if chosen:
@@ -1276,6 +1343,10 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
                         maximize_feval = bool(hib)
                         maximize = maximize_feval
                         best_score = -np.inf if maximize else np.inf
+                elif chosen_canon in _RANK_METRICS:
+                    pred = booster.predict(v.data, raw_score=True,
+                                           ignore_gp_model=True)
+                    mname, score = _rank_metric(v, np.asarray(pred))
                 else:
                     pred = booster.predict(v.data, ignore_gp_model=not use_gp,
                                            **pk)

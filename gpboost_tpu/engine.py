@@ -27,11 +27,16 @@ _METRIC_ALIASES = {
     "approx_neg_marginal_log_likelihood": "approx_neg_marginal_log_likelihood",
     "test_neg_log_likelihood": "test_neg_log_likelihood",
     "crps_gaussian": "crps_gaussian",
+    "ndcg": "ndcg", "lambdarank": "ndcg", "rank_xendcg": "ndcg",
+    "xendcg": "ndcg", "map": "map", "mean_average_precision": "map",
 }
 
 # metrics where LARGER is better (the reference tracks a per-metric
 # greater_is_better flag; LightGBM metric headers)
-_MAXIMIZE_METRICS = {"auc"}
+_MAXIMIZE_METRICS = {"auc", "ndcg", "map"}
+
+# metrics needing query/group information (rank_metric.hpp, map_metric.hpp)
+_RANK_METRICS = {"ndcg", "map"}
 
 # GP-routed metrics evaluated on TRAINING data from the random-effects model
 # state (random_effects_metric.hpp:25 NegLogLikelihood, :69

@@ -130,6 +130,41 @@ class GPBoostRegressor(GPBoostModel):
     _objective = "regression"
 
 
+class GPBoostRanker(GPBoostModel):
+    """sklearn.py:1069 GPBoostRanker — lambdarank / rank_xendcg learning to
+    rank with per-query `group` arrays (gp_model is not supported for
+    ranking, matching the reference)."""
+    _objective = "lambdarank"
+
+    def fit(self, X, y, group=None, sample_weight=None, eval_set=None,
+            eval_group=None, early_stopping_rounds=None, **kwargs):
+        if group is None:
+            raise ValueError("GPBoostRanker.fit requires group (per-query "
+                             "document counts)")
+        y = np.asarray(y, dtype=np.float64)
+        ds = Dataset(np.asarray(X), label=y, max_bin=self.max_bin,
+                     weight=sample_weight, group=group)
+        valid_sets = None
+        if eval_set is not None:
+            if eval_group is None:
+                raise ValueError("eval_set requires eval_group")
+            valid_sets = [
+                Dataset(np.asarray(Xv),
+                        label=np.asarray(yv, dtype=np.float64),
+                        max_bin=self.max_bin, group=gv)
+                for (Xv, yv), gv in zip(eval_set, eval_group)]
+        self._booster = train(self._booster_params(), ds,
+                              num_boost_round=self.n_estimators,
+                              valid_sets=valid_sets,
+                              early_stopping_rounds=early_stopping_rounds,
+                              **kwargs)
+        self.gp_model_ = None
+        self.best_iteration_ = getattr(self._booster, "best_iteration", -1)
+        self.n_features_in_ = np.asarray(X).shape[1] \
+            if np.asarray(X).ndim > 1 else 1
+        return self
+
+
 class GPBoostClassifier(GPBoostModel):
     """sklearn.py:864 GPBoostClassifier (binary)."""
     _objective = "binary"
