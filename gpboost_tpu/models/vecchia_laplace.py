@@ -42,7 +42,8 @@ class VecchiaLaplaceEngine:
                  vecchia_ordering="random", seed=0, dtype=jnp.float64,
                  matrix_inversion_method="cholesky", num_rand_vec_trace=50,
                  cg_max_num_it=1000, cg_delta_conv=1e-6,
-                 seed_rand_vec_trace=1, nsim_var_pred=500):
+                 seed_rand_vec_trace=1, nsim_var_pred=500,
+                 cg_preconditioner_type="vadu", piv_chol_rank=50):
         # reuse the Gaussian Vecchia machinery for ordering/NN/batched B,D
         self._vecchia = VecchiaGaussianEngine(
             components, num_data, num_neighbors=num_neighbors,
@@ -64,6 +65,19 @@ class VecchiaLaplaceEngine:
         self.cg_delta_conv = float(cg_delta_conv)
         self.seed_rand_vec_trace = int(seed_rand_vec_trace)
         self.nsim_var_pred = int(nsim_var_pred)
+        _pc_aliases = {"Sigma_inv_plus_BtWB": "vadu",
+                       "piv_chol_on_Sigma_nn": "pivoted_cholesky",
+                       "jacobi": "diagonal"}
+        self.cg_preconditioner_type = _pc_aliases.get(
+            cg_preconditioner_type, cg_preconditioner_type)
+        if self.cg_preconditioner_type not in (
+                "vadu", "pivoted_cholesky", "diagonal", "none"):
+            raise ValueError(
+                f"cg_preconditioner_type '{cg_preconditioner_type}' is not "
+                "supported; use 'vadu' (Sigma_inv_plus_BtWB), "
+                "'pivoted_cholesky' (piv_chol_on_Sigma_nn), 'diagonal' or "
+                "'none' (re_model_template.h:5859)")
+        self.piv_chol_rank = int(piv_chol_rank)
         if matrix_inversion_method == "iterative":
             self._build_jitted_iterative()
         else:
@@ -427,14 +441,27 @@ class VecchiaLaplaceEngine:
     #
     # TPU-first design: Q v = B'(D^-1 (B v)) where B v is a gather and B' w a
     # scatter-add over the static (n, m) neighbor index array — everything is
-    # O(n m) and fully parallel. The preconditioner is Jacobi on Q + W
-    # (diag(Q) computable by one scatter of A^2/D) instead of the reference's
-    # vadu B'(D^-1+W)B, whose application needs sequential sparse triangular
-    # solves that do not map to the TPU's vector units; the preconditioner
-    # only affects CG convergence speed and SLQ variance, not the solution.
+    # O(n m) and fully parallel.
+    #
+    # Preconditioner family (re_model_template.h:5859-5867):
+    #   * "vadu" (Sigma_inv_plus_BtWB, the reference default): P = B'(D^-1+W)B.
+    #     Exact P^-1 needs sequential sparse triangular solves; on TPU we use
+    #     the truncated Neumann series B^-1 = (I - A)^-1 ~= I + A + ... + A^j
+    #     (each term one gather, O(n m), fully parallel). Because the
+    #     truncated S_j is still unit-triangular (det = 1), the SLQ identity
+    #     log|Q+W| = log|M'(Q+W)M| + sum log(D^-1+W), M = S_j (D^-1+W)^-1/2,
+    #     stays EXACT for every truncation order — truncation only affects
+    #     spectrum clustering, never the estimator's target.
+    #   * "pivoted_cholesky" (piv_chol_on_Sigma_nn): rank-k pivoted Cholesky
+    #     L of the TRUE kernel matrix (columns evaluated on demand,
+    #     CG_utils.h:438), preconditioning (Q + W) with
+    #     P = (L L' + eps I)^-1 + W applied via two nested low-rank Woodbury
+    #     identities — O(n k) dense matmuls, MXU-friendly.
+    #   * "diagonal" / "none": Jacobi / unpreconditioned.
     def _build_jitted_iterative(self):
         import math as _math
-        from ..ops.iterative import make_slq_logdet_precond, pcg
+        from ..ops.iterative import (make_slq_logdet_congruence, pcg,
+                                     pivoted_cholesky_kernel)
 
         n = self.n
         lik = self.likelihood
@@ -485,16 +512,97 @@ class VecchiaLaplaceEngine:
 
         self._Bv, self._Btv, self._Qv, self._diag_Q = _Bv, _Btv, _Qv, _diag_Q
 
+        # strictly-lower neighbor operator: B = I - A_op
+        def _Av_op(A, v):
+            return jnp.sum(A * v[idx], axis=1)
+
+        def _Atv_op(A, w):
+            return jnp.zeros_like(w).at[flat_idx].add(
+                (A * w[:, None]).reshape(-1))
+
+        NEUMANN_J = 3    # truncation order of B^-1 ~= I + A + ... + A^j
+
+        def _SJ(A, v):
+            t = v
+            for _ in range(NEUMANN_J):
+                t = v + _Av_op(A, t)
+            return t
+
+        def _SJt(A, w):
+            t = w
+            for _ in range(NEUMANN_J):
+                t = w + _Atv_op(A, t)
+            return t
+
         def _qw_matvec(p, v):
             A, D, W = p
             return _Qv(A, D, v) + W * v
 
-        def _qw_precond_diag(p):
+        def _vadu_d(p):
             A, D, W = p
-            return jnp.maximum(_diag_Q(A, D) + W, 1e-10)
+            return jnp.maximum(1.0 / D + W, 1e-10)
 
-        slq_logdet = make_slq_logdet_precond(
-            _qw_matvec, _qw_precond_diag, n,
+        def _precond_vadu(p):
+            A, D, W = p
+            d = _vadu_d(p)
+            return lambda r: _SJ(A, _SJt(A, r) / d)
+
+        def _precond_diag(p):
+            A, D, W = p
+            pd = jnp.maximum(_diag_Q(A, D) + W, 1e-10)
+            return lambda r: r / pd
+
+        pc_type = self.cg_preconditioner_type
+        cov_fn = self.comp.cov_fn
+        coords_d = jnp.asarray(self._vecchia.coords_ord, self.dtype)
+        k_rank = min(self.piv_chol_rank, n)
+
+        def _precond_pivchol(p, theta_log):
+            """(L L' + eps I)^-1 + W applied by nested Woodbury identities:
+            P^-1 r = G r - G (W^-1 + G)^-1 G r,  G = L L' + eps I,
+            (W^-1 + eps + L L')^-1 = E - E L (I + L' E L)^-1 L' E,
+            E = diag(W / (1 + eps W))  (all O(n k) dense matmuls)."""
+            A, D, W = p
+            var = jnp.exp(theta_log[0])
+            alphas = jnp.exp(theta_log[1:])
+            L, d_rem = pivoted_cholesky_kernel(
+                coords_d, var, lambda dist: cov_fn.corr_from_dist(dist,
+                                                                  alphas),
+                k_rank)
+            eps = jnp.maximum(jnp.mean(d_rem), 1e-10 * var)
+            Wp = jnp.maximum(W, 1e-10)
+            E = Wp / (1.0 + eps * Wp)
+            EL = E[:, None] * L
+            Ik = jnp.eye(k_rank, dtype=L.dtype)
+            M_small = Ik + L.T @ EL
+            Lc = jnp.linalg.cholesky(M_small)
+
+            def apply(r):
+                Gr = L @ (L.T @ r) + eps * r
+                u = E * Gr - EL @ jsl.cho_solve((Lc, True), EL.T @ Gr)
+                Gu = L @ (L.T @ u) + eps * u
+                return Gr - Gu
+
+            return apply
+
+        def _make_precond(p, theta_log=None):
+            if pc_type == "vadu":
+                return _precond_vadu(p)
+            if pc_type == "pivoted_cholesky" and theta_log is not None:
+                return _precond_pivchol(p, theta_log)
+            if pc_type in ("diagonal", "pivoted_cholesky"):
+                return _precond_diag(p)
+            return lambda r: r
+
+        # SLQ log-det always rides the vadu congruence (exact identity for
+        # every truncation order; see class comment) — pivoted_cholesky only
+        # changes the CG solves, matching its role in the reference
+        slq_logdet = make_slq_logdet_congruence(
+            _qw_matvec,
+            lambda p, v: _SJ(p[0], v / jnp.sqrt(_vadu_d(p))),
+            lambda p, w: _SJt(p[0], w) / jnp.sqrt(_vadu_d(p)),
+            lambda p: jnp.sum(jnp.log(_vadu_d(p))),
+            _precond_vadu, n,
             rank=min(n, 50), num_probes=self.num_rand_vec_trace,
             seed=self.seed_rand_vec_trace, dtype=self.dtype)
 
@@ -503,22 +611,22 @@ class VecchiaLaplaceEngine:
 
         from ..ops.iterative import pcg_it
 
-        def _solve_qw(A, D, W, rhs, x0=None):
-            pd = _qw_precond_diag((A, D, W))
+        def _solve_qw(A, D, W, rhs, x0=None, theta_log=None):
+            pre = _make_precond((A, D, W), theta_log)
             return pcg(lambda v: _qw_matvec((A, D, W), v), rhs,
-                       precond=lambda r: r / pd, tol=cg_tol, maxit=cg_maxit,
+                       precond=pre, tol=cg_tol, maxit=cg_maxit,
                        x0=x0)
 
-        def _solve_qw_it(A, D, W, rhs, x0=None):
-            pd = _qw_precond_diag((A, D, W))
+        def _solve_qw_it(A, D, W, rhs, x0=None, theta_log=None):
+            pre = _make_precond((A, D, W), theta_log)
             return pcg_it(lambda v: _qw_matvec((A, D, W), v), rhs,
-                          precond=lambda r: r / pd, tol=cg_tol,
+                          precond=pre, tol=cg_tol,
                           maxit=cg_maxit, x0=x0)
 
         self._solve_qw = _solve_qw
 
         # ---- mode finding: Newton with PCG inner solves ------------------
-        def _mode_solve(A, D, aux, y, F, b_init):
+        def _mode_solve(A, D, aux, y, F, b_init, theta_log=None):
             F1, F2 = _split_F(F)
             obj0 = -0.5 * (b_init @ _Qv(A, D, b_init)) \
                 + _loglik(y, b_init + F1, F2, aux)
@@ -529,7 +637,8 @@ class VecchiaLaplaceEngine:
                 d1 = _d1(y, loc, F2, aux)
                 W = _W_mode(y, loc, F2, aux)
                 grad = d1 - _Qv(A, D, b)
-                delta, cg_it = _solve_qw_it(A, D, W, grad)
+                delta, cg_it = _solve_qw_it(A, D, W, grad,
+                                            theta_log=theta_log)
                 cg = cg + cg_it
                 gdd = grad @ delta
 
@@ -585,7 +694,8 @@ class VecchiaLaplaceEngine:
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             A, D = self._vecchia._bd(theta_log, latent=True)
-            b, nit, cg = _mode_solve(A, D, aux, y, F, b_init)
+            b, nit, cg = _mode_solve(A, D, aux, y, F, b_init,
+                                       theta_log=theta_log)
             return _g(u, F, b, y), (b, jnp.stack([nit, cg]))
 
         def nll_fwd(u, F, y, b_init):
@@ -601,7 +711,7 @@ class VecchiaLaplaceEngine:
             F1, F2 = _split_F(F)
             W = _W(y, b + F1, F2, aux)
             g_u, g_F, g_b = jax.grad(_g, argnums=(0, 1, 2))(u, F, b, y)
-            lam = _solve_qw(A, D, W, g_b)
+            lam = _solve_qw(A, D, W, g_b, theta_log=theta_log)
             _, r_vjp = jax.vjp(lambda uu, FF: _r(uu, FF, b, y), u, F)
             ru_l, rF_l = r_vjp(lam)
             return ((g_u - ru_l) * ct_nll, (g_F - rF_l) * ct_nll, None, None)
@@ -675,7 +785,7 @@ class VecchiaLaplaceEngine:
             def draw(us):
                 u1i, u2i = us
                 rhs = self._Btv(A, u1i / jnp.sqrt(D)) + jnp.sqrt(Wp_) * u2i
-                return self._solve_qw(A, D, W, rhs)
+                return self._solve_qw(A, D, W, rhs, theta_log=theta_log)
 
             xs = jax.lax.map(draw, (u1, u2))             # (nsim, n)
             proj = jnp.einsum("pm,spm->sp", a_p, xs[:, idx_p])

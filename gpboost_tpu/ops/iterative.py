@@ -216,6 +216,129 @@ def make_slq_logdet_precond(matvec_of_p, precond_diag_of_p, n, rank=50,
     return logdet
 
 
+def make_slq_logdet_congruence(matvec_of_p, m_apply_of_p, mt_apply_of_p,
+                               logdet_p_of_p, precond_of_p, n, rank=50,
+                               num_probes=50, seed=0, dtype=jnp.float64):
+    """Preconditioned SLQ log-det via an EXACT congruence identity.
+
+    Given a preconditioner P^-1 = M M' (M = m_apply, M' = mt_apply, both
+    linear in v and possibly parameter-dependent), the congruent operator
+    A_tilde = M' A M is SPD and
+
+        log|A| = log|A_tilde| - 2 log|det M| = log|A_tilde| + logdet_p
+
+    EXACTLY (logdet_p_of_p must return -2 log|det M|). SLQ only estimates
+    log|A_tilde|, whose spectrum is clustered near 1 when P ~= A — this is
+    the reference's preconditioned stochastic Lanczos quadrature
+    (CG_utils.h:384 LogDetStochTridiag with the vadu preconditioner,
+    re_model_template.h:5859) with the control-variate step (CalcOptimalC,
+    CG_utils.h:399) collapsed: the preconditioner's log-determinant enters
+    deterministically instead of being estimated, so the variance the
+    reference's optimal-c weights remove is zero by construction here.
+
+    Gradients: d log|A| = tr(A^-1 dA), estimated with the same fixed
+    Rademacher probes and P-preconditioned CG solves (precond_of_p(p)
+    -> function r -> P^-1 r).
+    """
+    rng = np.random.RandomState(seed)
+    probes = jnp.asarray(
+        rng.randint(0, 2, size=(num_probes, n)) * 2.0 - 1.0, dtype)
+
+    @jax.custom_vjp
+    def logdet(p):
+        def mv(v):
+            return mt_apply_of_p(p, matvec_of_p(p, m_apply_of_p(p, v)))
+
+        return _slq_logdet_value(mv, n, rank, probes) + logdet_p_of_p(p)
+
+    def fwd(p):
+        return logdet(p), p
+
+    def bwd(p, ct):
+        pinv = precond_of_p(p)
+
+        def solve_one(z):
+            return pcg(lambda v: matvec_of_p(p, v), z, precond=pinv,
+                       tol=1e-6, maxit=1000)
+
+        Ainv_z = jax.vmap(solve_one)(probes)
+
+        def trace_fn(pp):
+            Az = jax.vmap(lambda z: matvec_of_p(pp, z))(probes)
+            return jnp.mean(jnp.sum(Ainv_z * Az, axis=1))
+
+        g = jax.grad(trace_fn)(p)
+        return (jax.tree_util.tree_map(lambda x: x * ct, g),)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
+def pivoted_cholesky_kernel(coords, var, corr_of_dist, rank, jitter=1e-10):
+    """Rank-k pivoted Cholesky of the kernel matrix Sigma_nn WITHOUT forming
+    it (CG_utils.h:438 PivotedCholsekyFactorizationSigma): columns are
+    evaluated on demand from the covariance function. Fully jittable — the
+    greedy diagonal pivot is a dynamic index inside a lax.fori_loop.
+
+    coords (n, d); corr_of_dist maps a distance vector to correlations.
+    Returns (L, d_rem): L (n, rank) with Sigma ~= L L', d_rem the remaining
+    diagonal of the Schur complement (a measure of the approximation error,
+    used to pick the jitter of the inverse-form preconditioner).
+    """
+    n = coords.shape[0]
+    d0 = jnp.full(n, var, coords.dtype)
+    L0 = jnp.zeros((n, rank), coords.dtype)
+
+    def body(j, carry):
+        d, L = carry
+        i = jnp.argmax(d)
+        ci = jax.lax.dynamic_index_in_dim(coords, i, keepdims=False)
+        dist = jnp.sqrt(jnp.maximum(
+            jnp.sum((coords - ci[None, :]) ** 2, axis=1), 0.0))
+        col = var * corr_of_dist(dist) - L @ L[i, :]
+        piv = jnp.sqrt(jnp.maximum(d[i], jitter))
+        lcol = col / piv
+        # the pivot row must come out exactly: enforce it (numerical noise in
+        # `col` at the pivot otherwise leaks into the Schur complement)
+        lcol = lcol.at[i].set(piv)
+        L = L.at[:, j].set(lcol)
+        d = jnp.maximum(d - lcol * lcol, 0.0)
+        return (d, L)
+
+    d_rem, L = jax.lax.fori_loop(0, rank, body, (d0, L0))
+    return L, d_rem
+
+
+def make_cg_solve_precond(matvec_of_p, precond_of_p, tol=1e-6, maxit=1000):
+    """Build solve(p, b) = A(p)^-1 b over a parameter pytree `p`, with a
+    P-preconditioned CG (precond_of_p(p) -> r -> P^-1 r) and an
+    implicit-diff custom VJP (one adjoint CG solve; the reference's iterative
+    gradient pattern, CG_utils.h:505 CGFSA + re_model_template.h gradients)."""
+
+    @jax.custom_vjp
+    def solve(p, b):
+        return pcg(lambda v: matvec_of_p(p, v), b, precond=precond_of_p(p),
+                   tol=tol, maxit=maxit)
+
+    def fwd(p, b):
+        x = solve(p, b)
+        return x, (p, x)
+
+    def bwd(res, ct):
+        p, x = res
+        lam = pcg(lambda v: matvec_of_p(p, v), ct, precond=precond_of_p(p),
+                  tol=tol, maxit=maxit)
+
+        def quad(pp):
+            return -jnp.vdot(lam, matvec_of_p(pp, x))
+
+        g_p = jax.grad(quad)(p)
+        return (g_p, lam)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def make_cg_solve(matvec_of_theta, tol=1e-6, maxit=1000):
     """Build solve(theta, b) = A(theta)^-1 b with implicit-diff custom VJP."""
 
