@@ -51,6 +51,47 @@ def _hist_kernel(bins_ref, node_ref, stats_ref, target_ref, out_ref, *,
         out_ref[...] = out_ref[...] + partial_hist
 
 
+def _hist_block_kernel(bins_ref, stats_ref, out_ref, *, feat_chunk, num_bins):
+    """Single row-block histogram: rows are pre-gathered/masked by the caller
+    (leaf-partitioned construction, serial_tree_learner.cpp:325 +
+    data_partition.hpp semantics — only the target leaf's rows are scanned)."""
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (num_bins, 1), 0)
+    parts = []
+    for f in range(feat_chunk):
+        onehot = (iota_b == bins_ref[f, :][None, :]).astype(jnp.float32)
+        res = jax.lax.dot_general(
+            stats_ref[:, :], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        parts.append(res)
+    out_ref[...] = jnp.stack(parts)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def hist_block_pallas(bins_blk, stats_blk, num_bins, feat_chunk=8):
+    """Histogram (p, 3, num_bins) f32 of ONE row block: bins_blk (p, R) int32,
+    stats_blk (3, R) f32 with out-of-segment rows already zeroed."""
+    p, R = bins_blk.shape
+    assert p % feat_chunk == 0
+    kernel = partial(_hist_block_kernel, feat_chunk=feat_chunk,
+                     num_bins=num_bins)
+    return pl.pallas_call(
+        kernel,
+        grid=(p // feat_chunk,),
+        in_specs=[
+            # j*0 instead of literal 0: this toolchain's Mosaic rejects index
+            # maps mixing literal i64 constants with i32 grid indices
+            pl.BlockSpec((feat_chunk, R), lambda j: (j, j * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, R), lambda j: (j * 0, j * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((feat_chunk, 3, num_bins),
+                               lambda j: (j, j * 0, j * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 3, num_bins), jnp.float32),
+    )(bins_blk, stats_blk)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def hist_pallas(bins_T, node, stats_T, target, num_bins, feat_chunk=8,
                 row_block=2048):
