@@ -249,9 +249,11 @@ class GPModel:
         self.cluster_ids = None if cluster_ids is None else np.asarray(cluster_ids)
         self.weights = None if weights is None else np.asarray(
             weights, dtype=np.float64)
-        if self.weights is not None and gp_approx not in ("none",):
+        if self.weights is not None and gp_approx not in (
+                "none", "vecchia", "fitc"):
             raise NotImplementedError(
-                "weights are currently supported for gp_approx='none' only")
+                "weights are currently supported for gp_approx in "
+                "('none', 'vecchia', 'fitc')")
 
         # Engine selection (analogue of the reference's matrix-format dispatch,
         # re_model.cpp:77-89): grouped-REs-only Gaussian models get the q-sized
@@ -267,6 +269,31 @@ class GPModel:
                            "full_scale_tapering_pred_var_exact_stable",
                            "full_scale_vecchia",
                            "full_scale_vecchia_correlation_based")
+        if gp_approx in ("tapering", "full_scale_tapering",
+                         "full_scale_tapering_pred_var_exact",
+                         "full_scale_tapering_pred_var_exact_stable") \
+                and likelihood == "gaussian" \
+                and len(self.components) == 1 \
+                and self.components[0].kind == "gp" \
+                and self.components[0].z is None \
+                and self.cluster_ids is None and self.weights is None \
+                and self.components[0].cov_fn.base.is_isotropic \
+                and (matrix_inversion_method == "iterative"
+                     or (matrix_inversion_method == "auto"
+                         and self.num_data > 8000)):
+            # n-scaling path: sparse tapered residual (+ low-rank inducing
+            # part) with CG solves and preconditioned SLQ log-dets
+            # (CG_utils.h:505-975 CGFSA/CGTridiagFSA)
+            from .models.fsa_iterative import FSAIterativeGaussianEngine
+            self._engine = FSAIterativeGaussianEngine(
+                self.components, self.num_data, dtype=self._dtype)
+            self.num_cov_par = self._engine.num_cov_par
+            self.params = OptimConfig()
+            self._fit_result = None
+            self.y = None
+            self.X = None
+            self.model_has_been_fitted = False
+            return
         if gp_approx in _taper_approxes:
             # the tapered/FSA kernel adapters ride the dense (or Laplace)
             # engine — reset to the plain dense dispatch below
@@ -307,7 +334,7 @@ class GPModel:
                         self.components, self.num_data, self._likelihood_obj,
                         num_ind_points=num_ind_points,
                         ind_points_selection=ind_points_selection, seed=seed,
-                        dtype=self._dtype)
+                        dtype=self._dtype, weights=self.weights)
                 else:
                     from .models.vecchia_laplace import VecchiaLaplaceEngine
                     # auto: the matrix-free O(n*m) CG/SLQ formulation is the
@@ -323,7 +350,7 @@ class GPModel:
                         num_neighbors=num_neighbors if num_neighbors else 20,
                         vecchia_ordering=vecchia_ordering, seed=seed,
                         dtype=self._dtype,
-                        matrix_inversion_method=mim)
+                        matrix_inversion_method=mim, weights=self.weights)
                 self.num_cov_par = self._engine.num_cov_par
                 self.params = OptimConfig()
                 self._fit_result = None
@@ -336,13 +363,14 @@ class GPModel:
                     self.components, self.num_data,
                     num_neighbors=num_neighbors if num_neighbors else 20,
                     vecchia_ordering=vecchia_ordering, seed=seed,
-                    dtype=self._dtype, mesh=self._mesh)
+                    dtype=self._dtype, mesh=self._mesh,
+                    weights=self.weights)
             else:
                 self._engine = FITCGaussianEngine(
                     self.components, self.num_data,
                     num_ind_points=num_ind_points,
                     ind_points_selection=ind_points_selection, seed=seed,
-                    dtype=self._dtype)
+                    dtype=self._dtype, weights=self.weights)
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None
@@ -436,10 +464,13 @@ class GPModel:
                     "matrix_inversion_method="
                     f"'{getattr(eng, 'matrix_inversion_method', 'cholesky')}'"
                     " (they configure the iterative CG/Lanczos methods)")
+        rebuild = getattr(eng, "_build_jitted_iterative", None) \
+            or (getattr(eng, "_build_jitted", None)
+                if type(eng).__name__ == "FSAIterativeGaussianEngine"
+                else None)
         if eng is not None \
                 and getattr(eng, "matrix_inversion_method", None) == "iterative" \
-                and hasattr(eng, "_build_jitted_iterative") \
-                and iter_keys_passed:
+                and rebuild is not None and iter_keys_passed:
             changed = False
             for k, attr in cg_keys.items():
                 if k in params and getattr(eng, attr, None) != params[k]:
@@ -450,14 +481,15 @@ class GPModel:
                     and hasattr(eng, "cg_preconditioner_type"):
                 pc = {"Sigma_inv_plus_BtWB": "vadu",
                       "piv_chol_on_Sigma_nn": "pivoted_cholesky",
-                      "jacobi": "diagonal"}.get(
+                      "jacobi": "diagonal",
+                      "predictive_process_plus_diagonal": "fitc"}.get(
                           params["cg_preconditioner_type"],
                           params["cg_preconditioner_type"])
                 if pc != eng.cg_preconditioner_type:
                     eng.cg_preconditioner_type = pc
                     changed = True
             if changed:
-                eng._build_jitted_iterative()
+                rebuild()
         return self
 
     set_optim_coef_params = set_optim_params

@@ -50,9 +50,13 @@ class FITCGaussianEngine:
     """FITC-approximated Gaussian marginal NLL / gradients / prediction."""
 
     def __init__(self, components, num_data, num_ind_points=500,
-                 ind_points_selection="kmeans++", seed=0, dtype=jnp.float64):
+                 ind_points_selection="kmeans++", seed=0, dtype=jnp.float64,
+                 weights=None):
         assert len(components) == 1 and components[0].kind == "gp", (
             "gp_approx='fitc' requires exactly one GP component")
+        # per-observation weights: nugget_i = sigma2 / w_i (re_model.h ctor)
+        self._winv = None if weights is None else jnp.asarray(
+            1.0 / np.asarray(weights, dtype=np.float64), dtype)
         self.components = list(components)
         self.comp = components[0]
         self.n = int(num_data)
@@ -99,7 +103,8 @@ class FITCGaussianEngine:
         L_uu = jnp.linalg.cholesky(K_uu)
         V = jsl.solve_triangular(L_uu, K_uf, lower=True)   # L^-1 K_uf (m, n)
         rho = jnp.sum(V * V, axis=0)                       # k' Kuu^-1 k
-        Ddiag = 1.0 + v * jnp.maximum(1.0 - rho, 0.0)
+        nug = 1.0 if self._winv is None else self._winv
+        Ddiag = nug + v * jnp.maximum(1.0 - rho, 0.0)
         W = jnp.sqrt(v) * V.T                              # (n, m)
         return Ddiag, W, L_uu, V
 

@@ -40,7 +40,8 @@ class FITCLaplaceEngine:
     is_gaussian = False
 
     def __init__(self, components, num_data, likelihood, num_ind_points=500,
-                 ind_points_selection="kmeans++", seed=0, dtype=jnp.float64):
+                 ind_points_selection="kmeans++", seed=0, dtype=jnp.float64,
+                 weights=None):
         # reuse the Gaussian FITC machinery for inducing points / distances
         self._fitc = FITCGaussianEngine(
             components, num_data, num_ind_points=num_ind_points,
@@ -58,6 +59,9 @@ class FITCLaplaceEngine:
         self.num_aux = likelihood.num_aux
         self.num_par = self.num_theta + self.num_aux
         self.matrix_inversion_method = "cholesky"
+        # per-observation likelihood weights (re_model.h ctor weights)
+        self._wobs = None if weights is None else jnp.asarray(
+            np.asarray(weights, dtype=np.float64), dtype)
         self._build_jitted()
 
     # ------------------------------------------------------------------
@@ -84,9 +88,12 @@ class FITCLaplaceEngine:
         def _split_F(F):
             return (F[:n], F[n:]) if two else (F, None)
 
+        wobs = self._wobs
+
         def _loglik(y, loc, F2, aux):
-            return jnp.sum(lik.log_lik2(y, loc, F2, aux) if two
-                           else lik.log_lik(y, loc, aux))
+            ll = lik.log_lik2(y, loc, F2, aux) if two \
+                else lik.log_lik(y, loc, aux)
+            return jnp.sum(ll if wobs is None else wobs * ll)
 
         def _d1(y, loc, F2, aux):
             return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
@@ -95,8 +102,9 @@ class FITCLaplaceEngine:
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
 
         def _W_fisher(y, loc, F2, aux):
-            return lik.fisher_W2(y, loc, F2, aux) if two \
+            Wf = lik.fisher_W2(y, loc, F2, aux) if two \
                 else lik.fisher_W(y, loc, aux)
+            return Wf if wobs is None else wobs * Wf
 
         has_fisher = hasattr(lik, "fisher_W2") if two \
             else hasattr(lik, "fisher_W")

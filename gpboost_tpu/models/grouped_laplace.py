@@ -206,7 +206,19 @@ class GroupedRELaplaceEngine:
                 W = _W_mode(y, loc, F2, aux)
                 grad = _Zt(d1) - sbinv * b
                 factors = _H_solve_factors(theta_log, W)
-                delta = _H_solve(factors, grad)
+                if self.diag_path:
+                    # saddle-free safeguard: observed W can make a group's
+                    # Hessian diagonal non-positive away from the mode
+                    # (censored/zero-inflated likelihoods); |h| keeps the
+                    # direction ascent-aligned, Armijo handles the rest
+                    # (the dense engine's negative-W path analogue)
+                    delta = grad / jnp.maximum(jnp.abs(factors), 1e-10)
+                else:
+                    delta = _H_solve(factors, grad)
+                    # indefinite H -> Cholesky NaN / descent dir -> gradient
+                    bad = jnp.logical_or(~jnp.all(jnp.isfinite(delta)),
+                                         grad @ delta <= 0)
+                    delta = jnp.where(bad, grad, delta)
                 gdd = grad @ delta
 
                 def bt_cond(bt):

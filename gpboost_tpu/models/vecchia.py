@@ -115,14 +115,20 @@ class VecchiaGaussianEngine:
 
     def __init__(self, components, num_data, num_neighbors=20,
                  vecchia_ordering="random", seed=0, dtype=jnp.float64,
-                 mesh=None):
+                 mesh=None, weights=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the per-row
         arrays (neighbor indices/masks/distances) are sharded over it and the
         NLL's row reductions become psums under jit (GSPMD); the TPU-native
-        analogue of the reference's data-parallel distribution."""
+        analogue of the reference's data-parallel distribution.
+
+        weights: per-observation likelihood weights (re_model.h ctor):
+        the nugget variance of row i becomes sigma2 / w_i, entering the
+        Vecchia factors through the conditioning sets' diagonals."""
         assert len(components) == 1 and components[0].kind == "gp", (
             "gp_approx='vecchia' requires exactly one GP component")
         self.mesh = mesh
+        self.weights = None if weights is None else np.asarray(
+            weights, dtype=np.float64)
         self.components = list(components)
         comp = self.components[0]
         self.comp = comp
@@ -166,6 +172,9 @@ class VecchiaGaussianEngine:
         self._nn_idx = jnp.asarray(idx)
         self._nn_mask = jnp.asarray(mask)
         self._coords_d = jnp.asarray(self.coords_ord, dtype=dtype)
+        # per-row inverse weights in Vecchia ordering (nugget_i = sigma2/w_i)
+        self._winv = None if self.weights is None else jnp.asarray(
+            1.0 / self.weights[perm], dtype)
         # theta-independent neighbor distances, computed ONCE (the reference
         # recomputes covariances from distances each iteration too, but here
         # the (n, m, m) gather+norm never re-runs inside the optimizer loop)
@@ -243,7 +252,13 @@ class VecchiaGaussianEngine:
                                       d_nn=self._d_nn, d_ni=self._d_ni)
         K_nn = v * corr_nn
         if not latent:
-            K_nn = K_nn + jnp.eye(self.m, dtype=self.dtype)[None, :, :]
+            eye_m = jnp.eye(self.m, dtype=self.dtype)[None, :, :]
+            if self._winv is None:
+                K_nn = K_nn + eye_m
+            else:
+                # heteroscedastic nugget sigma2/w: each conditioning set's
+                # diagonal carries its own rows' inverse weights
+                K_nn = K_nn + self._winv[self._nn_idx][:, :, None] * eye_m
         k_ni = v * corr_ni
         # mask padded neighbors: identity rows/cols in K_nn, zeros in k_ni
         pair_mask = mask[:, :, None] & mask[:, None, :]
@@ -256,9 +271,11 @@ class VecchiaGaussianEngine:
             # non-stationary kernels: marginal variance varies per point
             # (cov_fcts.h variance_on_the_diagonal_ = false for hurst/linear)
             corr_ii = comp.cov_fn.corr_pointwise(ci, ci, alphas)
-            diag_c = v * corr_ii + (0.0 if latent else 1.0)
+            diag_c = v * corr_ii
         else:
-            diag_c = v + (0.0 if latent else 1.0)
+            diag_c = v
+        if not latent:
+            diag_c = diag_c + (1.0 if self._winv is None else self._winv)
         D = diag_c - jnp.sum(A * k_ni, axis=1)
         return A, D
 
@@ -478,12 +495,17 @@ class VecchiaGaussianEngine:
     def _pred_cond_obs_fn(self, k):
         def builder():
             cov_fn = self.comp.cov_fn
+            weighted = self._winv is not None
 
-            def f(theta_log, cn, ci, y_nbr):
+            def f(theta_log, cn, ci, y_nbr, winv_nbr=None):
                 v = jnp.exp(theta_log[0])
                 alphas = jnp.exp(theta_log[1:])
                 corr_nn, corr_ni = _corr_sets(cov_fn, cn, ci, alphas)
-                K = v * corr_nn + jnp.eye(k, dtype=self.dtype)[None]
+                eye_k = jnp.eye(k, dtype=self.dtype)[None]
+                if weighted:
+                    K = v * corr_nn + winv_nbr[:, :, None] * eye_k
+                else:
+                    K = v * corr_nn + eye_k
                 kni = v * corr_ni
                 a = _solve_sets(K, kni, k)
                 mu = jnp.sum(a * y_nbr, axis=1)
@@ -493,7 +515,8 @@ class VecchiaGaussianEngine:
                 return mu, var
 
             return f
-        return self._pred_jit(("cond_obs", k), builder)
+        return self._pred_jit(("cond_obs", k, self._winv is not None),
+                              builder)
 
     def _pred_cond_all_fn(self, k, want_cov):
         def builder():
@@ -672,11 +695,17 @@ class VecchiaGaussianEngine:
             cn = jnp.asarray(self.coords_ord[nn], self.dtype)
             ci = jnp.asarray(coords_pred, self.dtype)
             y_nbr = jnp.asarray(y_ord[nn], self.dtype)
-            mu, var = self._pred_cond_obs_fn(k)(theta_log, cn, ci, y_nbr)
+            wargs = () if self._winv is None else (self._winv[nn],)
+            mu, var = self._pred_cond_obs_fn(k)(theta_log, cn, ci, y_nbr,
+                                                *wargs)
             mu = np.asarray(mu, dtype=np.float64)
             var = np.asarray(var, dtype=np.float64)
             cov = np.diag(var) if predict_cov_mat else None
         elif vecchia_pred_type == "order_obs_first_cond_all":
+            if self._winv is not None:
+                raise NotImplementedError(
+                    "weighted Vecchia predictions currently support "
+                    "vecchia_pred_type='order_obs_first_cond_obs_only'")
             k = min(mp, self.n + n_pred - 1)
             sel, valid = self._joint_neighbors(coords_pred, k)
             all_coords = np.vstack([self.coords_ord, coords_pred])
@@ -699,6 +728,10 @@ class VecchiaGaussianEngine:
             if var is None:
                 var = np.zeros(n_pred)
         elif vecchia_pred_type == "latent_order_obs_first_cond_all":
+            if self._winv is not None:
+                raise NotImplementedError(
+                    "weighted Vecchia predictions currently support "
+                    "vecchia_pred_type='order_obs_first_cond_obs_only'")
             k = min(mp, self.n + n_pred - 1)
             sel, valid = self._joint_neighbors(coords_pred, k)
             all_coords = np.vstack([self.coords_ord, coords_pred])

@@ -43,11 +43,16 @@ class VecchiaLaplaceEngine:
                  matrix_inversion_method="cholesky", num_rand_vec_trace=50,
                  cg_max_num_it=1000, cg_delta_conv=1e-6,
                  seed_rand_vec_trace=1, nsim_var_pred=500,
-                 cg_preconditioner_type="vadu", piv_chol_rank=50):
+                 cg_preconditioner_type="vadu", piv_chol_rank=50,
+                 weights=None):
         # reuse the Gaussian Vecchia machinery for ordering/NN/batched B,D
         self._vecchia = VecchiaGaussianEngine(
             components, num_data, num_neighbors=num_neighbors,
             vecchia_ordering=vecchia_ordering, seed=seed, dtype=dtype)
+        # per-observation likelihood weights in Vecchia ordering
+        # (re_model.h ctor weights; they scale the log-likelihood terms)
+        self._wobs = None if weights is None else jnp.asarray(
+            np.asarray(weights, dtype=np.float64)[self._vecchia.perm], dtype)
         self.components = self._vecchia.components
         self.comp = self._vecchia.comp
         self.perm = self._vecchia.perm
@@ -107,9 +112,12 @@ class VecchiaLaplaceEngine:
         def _split_F(F):
             return (F[:n], F[n:]) if two else (F, None)
 
+        wobs = self._wobs
+
         def _loglik(y, loc, F2, aux):
-            return jnp.sum(lik.log_lik2(y, loc, F2, aux) if two
-                           else lik.log_lik(y, loc, aux))
+            ll = lik.log_lik2(y, loc, F2, aux) if two \
+                else lik.log_lik(y, loc, aux)
+            return jnp.sum(ll if wobs is None else wobs * ll)
 
         def _d1(y, loc, F2, aux):
             return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
@@ -118,8 +126,9 @@ class VecchiaLaplaceEngine:
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
 
         def _W_fisher(y, loc, F2, aux):
-            return lik.fisher_W2(y, loc, F2, aux) if two \
+            Wf = lik.fisher_W2(y, loc, F2, aux) if two \
                 else lik.fisher_W(y, loc, aux)
+            return Wf if wobs is None else wobs * Wf
 
         # variant routing (likelihoods.h:327-369); see models/laplace.py
         has_fisher = hasattr(lik, "fisher_W2") if two \
@@ -473,9 +482,12 @@ class VecchiaLaplaceEngine:
         def _split_F(F):
             return (F[:n], F[n:]) if two else (F, None)
 
+        wobs = self._wobs
+
         def _loglik(y, loc, F2, aux):
-            return jnp.sum(lik.log_lik2(y, loc, F2, aux) if two
-                           else lik.log_lik(y, loc, aux))
+            ll = lik.log_lik2(y, loc, F2, aux) if two \
+                else lik.log_lik(y, loc, aux)
+            return jnp.sum(ll if wobs is None else wobs * ll)
 
         def _d1(y, loc, F2, aux):
             return jax.grad(lambda l: _loglik(y, l, F2, aux))(loc)
@@ -484,8 +496,9 @@ class VecchiaLaplaceEngine:
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
 
         def _W_fisher(y, loc, F2, aux):
-            return lik.fisher_W2(y, loc, F2, aux) if two \
+            Wf = lik.fisher_W2(y, loc, F2, aux) if two \
                 else lik.fisher_W(y, loc, aux)
+            return Wf if wobs is None else wobs * Wf
 
         has_fisher = hasattr(lik, "fisher_W2") if two \
             else hasattr(lik, "fisher_W")

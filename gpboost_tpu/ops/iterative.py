@@ -106,8 +106,13 @@ def lanczos_tridiag(matvec, z, rank):
     return alphas, betas[:-1]
 
 
-def _slq_logdet_value(matvec, n, rank, probes):
-    """Stochastic Lanczos quadrature estimate of log|A| (CG_utils.h:384)."""
+def _slq_logdet_value(matvec, n, rank, probes, probe_chunk=None):
+    """Stochastic Lanczos quadrature estimate of log|A| (CG_utils.h:384).
+
+    probe_chunk: how many probes run vmapped at once (the rest via a
+    sequential lax.map over chunks). Each probe's Lanczos holds transient
+    (chunk, n, neighbors)-sized gathers in the matvec — at n=100k a fully
+    vmapped 50-probe batch exhausts HBM; chunking bounds the peak."""
 
     def one(z):
         alphas, betas = lanczos_tridiag(matvec, z, rank)
@@ -117,7 +122,17 @@ def _slq_logdet_value(matvec, n, rank, probes):
         weights = evecs[0, :] ** 2
         return jnp.vdot(z, z) * jnp.sum(weights * jnp.log(evals))
 
-    return jnp.mean(jax.vmap(one)(probes))
+    m = probes.shape[0]
+    if probe_chunk is None or probe_chunk >= m:
+        return jnp.mean(jax.vmap(one)(probes))
+    g = m // probe_chunk
+    vals = jax.lax.map(lambda pz: jax.vmap(one)(pz),
+                       probes[: g * probe_chunk].reshape(
+                           g, probe_chunk, n)).reshape(-1)
+    if m > g * probe_chunk:
+        vals = jnp.concatenate(
+            [vals, jax.vmap(one)(probes[g * probe_chunk:])])
+    return jnp.mean(vals)
 
 
 def make_slq_logdet(matvec_of_theta, n, rank=50, num_probes=50, seed=0,
@@ -218,7 +233,8 @@ def make_slq_logdet_precond(matvec_of_p, precond_diag_of_p, n, rank=50,
 
 def make_slq_logdet_congruence(matvec_of_p, m_apply_of_p, mt_apply_of_p,
                                logdet_p_of_p, precond_of_p, n, rank=50,
-                               num_probes=50, seed=0, dtype=jnp.float64):
+                               num_probes=50, seed=0, dtype=jnp.float64,
+                               probe_chunk=None, cg_tol=1e-6, cg_maxit=1000):
     """Preconditioned SLQ log-det via an EXACT congruence identity.
 
     Given a preconditioner P^-1 = M M' (M = m_apply, M' = mt_apply, both
@@ -249,7 +265,8 @@ def make_slq_logdet_congruence(matvec_of_p, m_apply_of_p, mt_apply_of_p,
         def mv(v):
             return mt_apply_of_p(p, matvec_of_p(p, m_apply_of_p(p, v)))
 
-        return _slq_logdet_value(mv, n, rank, probes) + logdet_p_of_p(p)
+        return _slq_logdet_value(mv, n, rank, probes,
+                                 probe_chunk=probe_chunk) + logdet_p_of_p(p)
 
     def fwd(p):
         return logdet(p), p
@@ -259,13 +276,39 @@ def make_slq_logdet_congruence(matvec_of_p, m_apply_of_p, mt_apply_of_p,
 
         def solve_one(z):
             return pcg(lambda v: matvec_of_p(p, v), z, precond=pinv,
-                       tol=1e-6, maxit=1000)
+                       tol=cg_tol, maxit=cg_maxit)
 
-        Ainv_z = jax.vmap(solve_one)(probes)
+        # probe_chunk-sized vmapped batches under a sequential lax.map:
+        # bounds the live gather/matvec intermediates to one chunk (a fully
+        # vmapped batch exhausts HBM at n=100k, a fully sequential map
+        # wastes the chip). checkpoint drops the matvec internals from the
+        # autodiff tape (recomputed in its backward pass).
+        def chunked(f, xs):
+            leaves = jax.tree_util.tree_leaves(xs)
+            mtot = leaves[0].shape[0]
+            ck = probe_chunk or mtot
+            g = mtot // ck
+            head = jax.tree_util.tree_map(
+                lambda a: a[: g * ck].reshape((g, ck) + a.shape[1:]), xs)
+            out = jax.lax.map(lambda c: jax.vmap(f)(c), head)
+            out = jax.tree_util.tree_map(
+                lambda a: a.reshape((g * ck,) + a.shape[2:]), out)
+            if mtot > g * ck:
+                tail = jax.tree_util.tree_map(lambda a: a[g * ck:], xs)
+                out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), out,
+                    jax.vmap(f)(tail))
+            return out
+
+        Ainv_z = chunked(solve_one, probes)
 
         def trace_fn(pp):
-            Az = jax.vmap(lambda z: matvec_of_p(pp, z))(probes)
-            return jnp.mean(jnp.sum(Ainv_z * Az, axis=1))
+            @jax.checkpoint
+            def one(args):
+                z, az = args
+                return jnp.vdot(az, matvec_of_p(pp, z))
+
+            return jnp.mean(chunked(one, (probes, Ainv_z)))
 
         g = jax.grad(trace_fn)(p)
         return (jax.tree_util.tree_map(lambda x: x * ct, g),)

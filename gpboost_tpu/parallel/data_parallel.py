@@ -5,7 +5,14 @@ data-parallel tree learners and synced metrics (src/LightGBM/network/,
 network.h:116 Allreduce / :127 AllreduceByAllGather). On TPU all of that
 collapses into mesh + sharding annotations + lax collectives riding ICI.
 
-First data-parallel model: the grouped-random-effects LMM. The data-sized
+NOTE — these are minimal WORKED EXAMPLES of the mesh/collective pattern
+(fixed two-parameter models), kept as executable documentation. The
+production sharded paths live in the engines themselves:
+`VecchiaGaussianEngine(mesh=...)` (per-row arrays sharded, GSPMD psums),
+the tree learner's data-/feature-parallel modes
+(`boosting/tree_learner.py`), and `__graft_entry__.dryrun_multichip`.
+
+First data-parallel example: the grouped-random-effects LMM. The data-sized
 reductions of the Woodbury engine (y'y, Z'y — see models/grouped_re.py) are
 plain per-shard contractions followed by one psum; the q-sized solve is
 replicated. One optimizer step = psum(local stats) -> q x q Cholesky ->
@@ -20,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices=None, axis_name="dp"):
@@ -61,6 +71,5 @@ def make_sharded_grouped_lmm_step(mesh, q, lr=0.1, axis_name="dp"):
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name, None)),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()))
     return jax.jit(step)

@@ -5,7 +5,13 @@ given its neighbors), so it shards perfectly over the data axis: every device
 holds a row block of (neighbor distances, response, neighbor responses),
 computes its batched (m, m) Cholesky pipeline locally, and one psum over ICI
 reduces (quad, logdet, y-moments). One GD step on the profiled objective then
-runs replicated. This is the TPU mapping of SURVEY §2.4's "n-scaling axis is
+runs replicated.
+
+NOTE — this is a minimal WORKED EXAMPLE (fixed exponential kernel, single
+GP) kept as executable documentation; the production sharded Vecchia path
+is `VecchiaGaussianEngine(mesh=...)` via `GPModel(num_parallel_devices=N)`.
+
+This is the TPU mapping of SURVEY §2.4's "n-scaling axis is
 what gets sharded" — the reference has no distributed GP path at all (its
 network layer only serves the tree learners).
 """
@@ -18,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def shard_vecchia_inputs(engine, y, n_devices):
@@ -84,6 +93,5 @@ def make_sharded_vecchia_gd_step(mesh, corr_from_dist, n_total, m, lr=0.1,
         local_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()))
     return jax.jit(step)

@@ -112,3 +112,47 @@ def test_iterative_fit_and_predict_match_cholesky(vl_data):
                   / np.maximum(np.abs(pd_c["mu"]), 0.1)) < TOL_ITER
     assert np.max(np.abs(pd_i["var"] - pd_c["var"])
                   / np.maximum(pd_c["var"], 0.1)) < 2 * TOL_ITER
+
+
+def test_preconditioner_reduces_cg_iterations(vl_data):
+    """The vadu preconditioner (Sigma_inv_plus_BtWB,
+    re_model_template.h:5859) must cut CG iterations materially vs
+    unpreconditioned CG, at an equal answer."""
+    import gpboost_tpu as gpb
+    d = vl_data
+    y = np.random.RandomState(0).poisson(np.exp(0.7 * d["gp_re"])).astype(
+        float)
+    nlls, cg_counts = {}, {}
+    for pc in ("none", "vadu"):
+        m = gpb.GPModel(gp_coords=d["coords"], cov_function="exponential",
+                        likelihood="poisson", gp_approx="vecchia",
+                        num_neighbors=15,
+                        matrix_inversion_method="iterative")
+        m.set_optim_params({"cg_preconditioner_type": pc, **IT_PARAMS})
+        nlls[pc] = m.neg_log_likelihood(cov_pars=[1.0, 0.15], y=y)
+        cg_counts[pc] = m._engine.last_num_cg_it
+    assert abs(nlls["vadu"] - nlls["none"]) / abs(nlls["none"]) < 5e-2
+    # "materially fewer" — the exact ratio depends on the data draw and the
+    # convergence tolerance (observed 0.5-0.8 across seeds/backends)
+    assert cg_counts["vadu"] < 0.85 * cg_counts["none"], cg_counts
+
+
+def test_pivoted_cholesky_preconditioner_runs(vl_data):
+    """piv_chol_on_Sigma_nn (CG_utils.h:438): rank-k pivoted Cholesky of the
+    kernel as CG preconditioner — same answer as vadu within iterative
+    tolerance."""
+    import gpboost_tpu as gpb
+    d = vl_data
+    y = np.random.RandomState(0).poisson(np.exp(0.7 * d["gp_re"])).astype(
+        float)
+    res = {}
+    for pc in ("vadu", "piv_chol_on_Sigma_nn"):
+        m = gpb.GPModel(gp_coords=d["coords"], cov_function="exponential",
+                        likelihood="poisson", gp_approx="vecchia",
+                        num_neighbors=15,
+                        matrix_inversion_method="iterative")
+        m.set_optim_params({"cg_preconditioner_type": pc, "piv_chol_rank": 50,
+                            **IT_PARAMS})
+        res[pc] = m.neg_log_likelihood(cov_pars=[1.0, 0.15], y=y)
+    assert abs(res["piv_chol_on_Sigma_nn"] - res["vadu"]) \
+        / abs(res["vadu"]) < 5e-2

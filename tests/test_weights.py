@@ -60,3 +60,85 @@ class TestWeights:
             GPModel(group_data=np.arange(10) % 3,
                     likelihood="binomial_logit").fit(
                         y=np.linspace(-0.5, 1.5, 10))
+
+
+class TestWeightsWithApproximations:
+    """Weights beyond gp_approx='none' (re_model.h ctor weights): golden
+    values produced by the COMPILED reference library (bench_reference.py
+    build) on this exact data — see _gen_weights_golden.py provenance."""
+
+    @pytest.fixture(scope="class")
+    def wdata(self):
+        n = 200
+        coords = sim_rand_unif(n * 2, init_c=0.1).reshape(2, n).T
+        D = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+        C = np.linalg.cholesky(np.exp(-D / 0.1) + 1e-20 * np.eye(n))
+        eps = C @ qnorm(sim_rand_unif(n, init_c=0.8))
+        xi = qnorm(sim_rand_unif(n, init_c=0.3)) / 4.0
+        w = 0.5 + sim_rand_unif(n, init_c=0.55) * 2.0
+        y = eps + xi / np.sqrt(w)
+        return dict(n=n, coords=coords, eps=eps, w=w, y=y)
+
+    def test_vecchia_weighted_nll_golden(self, wdata):
+        m = GPModel(gp_coords=wdata["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=30,
+                    vecchia_ordering="none", weights=wdata["w"])
+        nll = m.neg_log_likelihood(cov_pars=[0.08, 1.1, 0.12], y=wdata["y"])
+        assert abs(nll - 241.55287211671592) < 1e-8
+
+    def test_vecchia_weighted_prediction_golden(self, wdata):
+        m = GPModel(gp_coords=wdata["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=30,
+                    vecchia_ordering="none", weights=wdata["w"])
+        coords_pred = sim_rand_unif(10, init_c=0.33).reshape(2, 5).T
+        m.num_neighbors_pred = 30
+        pr = m.predict(y=wdata["y"], gp_coords_pred=coords_pred,
+                       cov_pars=[0.08, 1.1, 0.12], predict_var=True,
+                       predict_response=True)
+        np.testing.assert_allclose(
+            pr["mu"], [1.4732118381279045, -0.9869788575603993,
+                       -0.2663048755724224, 1.4559654078664808,
+                       1.3439075488558712], atol=1e-6)
+        np.testing.assert_allclose(
+            pr["var"], [0.4786700113750881, 0.3903457583038167,
+                        0.49713344618967853, 0.49443042752430216,
+                        0.16753331560112428], atol=1e-6)
+
+    def test_vecchia_laplace_weighted_nll_golden(self, wdata):
+        mu_lat = 0.7 * wdata["eps"]
+        yp = np.floor(sim_rand_unif(wdata["n"], init_c=0.12) * 4
+                      * np.exp(np.clip(mu_lat, -3, 3)))
+        m = GPModel(gp_coords=wdata["coords"], cov_function="exponential",
+                    gp_approx="vecchia", num_neighbors=30,
+                    vecchia_ordering="none", likelihood="poisson",
+                    weights=wdata["w"], matrix_inversion_method="cholesky")
+        nll = m.neg_log_likelihood(cov_pars=[1.0, 0.1], y=yp)
+        # reference golden 553.8941697328762 (mode-finding tolerance differs)
+        assert abs(nll - 553.8941697328762) / 553.89 < 1e-4
+
+    def test_fitc_weighted_vs_dense_oracle(self, wdata):
+        """The reference's FITC picks different kmeans++ inducing points, so
+        parity is checked against an exact dense reconstruction of OUR FITC
+        covariance (D + U U' + diag(sigma2/w)) instead."""
+        import math
+        m = GPModel(gp_coords=wdata["coords"], cov_function="exponential",
+                    gp_approx="fitc", num_ind_points=60, seed=1,
+                    weights=wdata["w"])
+        pars = [0.08, 1.1, 0.12]
+        ours = m.neg_log_likelihood(cov_pars=pars, y=wdata["y"])
+        ip = np.asarray(m._engine.ip)
+        coords, w, y, n = (wdata["coords"], wdata["w"], wdata["y"],
+                           wdata["n"])
+        s2, v, rho = pars
+        d_uu = np.sqrt(((ip[:, None] - ip[None, :]) ** 2).sum(-1))
+        d_uf = np.sqrt(((ip[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+        Kuu = np.exp(-d_uu / rho) + 1e-10 * np.eye(len(ip))
+        Kuf = np.exp(-d_uf / rho)
+        U = Kuf.T @ np.linalg.inv(Kuu) @ Kuf
+        Sigma = v * (U + np.diag(np.maximum(1.0 - np.diag(U), 0.0))) \
+            + s2 * np.diag(1.0 / w)
+        L = np.linalg.cholesky(Sigma)
+        nll = 0.5 * (y @ np.linalg.solve(Sigma, y)
+                     + 2 * np.sum(np.log(np.diag(L)))
+                     + n * math.log(2 * math.pi))
+        assert abs(ours - nll) < 1e-5
