@@ -20,8 +20,21 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the Laplace-engine graphs (nested autodiff
 # through while_loops) are compile-heavy; caching makes repeated test runs
-# compile-free.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# compile-free. The cache is keyed by a host-CPU fingerprint — XLA:CPU AOT
+# artifacts bake in machine features (+prefer-no-scatter etc.), and loading
+# a cache written on a different host executes mismatched code (SIGILL /
+# silent NaNs; this was the round-2 "full-suite segfault").
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_id = [ln for ln in _f if ln.startswith(("flags", "model name"))]
+    _cpu_id = "".join(sorted(set(_cpu_id)))
+except OSError:
+    _cpu_id = platform.processor() or platform.machine()
+_fp = hashlib.md5(_cpu_id.encode()).hexdigest()[:10]
+_cache_dir = os.path.join(os.path.dirname(__file__), f".jax_cache_{_fp}")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -30,6 +43,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from gpboost_tpu.utils.datasim import sim_rand_unif, qnorm, r_matrix  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jit_caches_between_modules():
+    """Release compiled executables + live engine buffers after each test
+    module. ~30 engine-heavy modules in one process otherwise accumulate
+    jit caches and dense Laplace buffers until XLA's host allocator fails
+    (historically a SIGSEGV at ~70% of the one-process run). The persistent
+    on-disk compilation cache (above) keeps re-compilation cheap."""
+    yield
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
 
 # Tolerance tiers (R-package/tests/testthat/test_GPModel_gaussian_process.R:6-9)
