@@ -124,7 +124,83 @@ def run(argv=None):
         Log.info(f"Finished prediction; results saved to {out}")
         return pred
 
-    raise ValueError(f"unknown task '{task}' (train | predict)")
+    if task == "convert_model":
+        # standalone C++ if-else predictor from a saved model
+        # (application.cpp:216 ConvertModel, convert_model_language=cpp)
+        if "input_model" not in conf:
+            raise ValueError("task=convert_model needs input_model=<file>")
+        bst = Booster(model_file=conf["input_model"])
+        out = conf.get("convert_model", "gpboost_dump_model.cpp")
+        _convert_model_cpp(bst, out)
+        Log.info(f"Finished converting model; C++ code saved to {out}")
+        return out
+
+    raise ValueError(f"unknown task '{task}' (train | predict | "
+                     "convert_model)")
+
+
+def _convert_model_cpp(bst, path):
+    """Emit self-contained C++ with one function per tree plus
+    PredictRaw/Predict (the reference's ModelToIfElse output shape,
+    gbdt_model_text.cpp:15 SaveModelToIfElse)."""
+    lines = ["#include <cmath>", "#include <cstring>", "",
+             "// generated by gpboost_tpu task=convert_model", ""]
+    names = []
+    for ti, tree in enumerate(bst.trees):
+        name = f"PredictTree{ti}"
+        names.append(name)
+        lines.append(f"static double {name}(const double* f) {{")
+
+        def emit(node, indent):
+            pad = "  " * indent
+            if tree.is_leaf[node]:
+                val = repr(float(tree.leaf_value[node]))
+                lin = tree.leaf_linear.get(int(node))
+                if lin is not None:
+                    feats, coefs = lin
+                    terms = " + ".join(
+                        f"{float(c)!r} * f[{int(ft)}]"
+                        for ft, c in zip(feats, coefs))
+                    lines.append(f"{pad}return {val} + {terms};")
+                else:
+                    lines.append(f"{pad}return {val};")
+                return
+            feat = int(tree.split_feature[node])
+            cl = tree.cat_left_values.get(int(node)) \
+                if hasattr(tree, "cat_left_values") else None
+            if cl is not None and len(cl):
+                vals = " || ".join(f"f[{feat}] == {float(v)!r}"
+                                   for v in np.asarray(cl).ravel())
+                lines.append(f"{pad}if ({vals}) {{")
+            else:
+                thr = repr(float(tree.threshold_real[node]))
+                lines.append(f"{pad}if (f[{feat}] <= {thr}) {{")
+            emit(int(tree.left[node]), indent + 1)
+            lines.append(f"{pad}}} else {{")
+            emit(int(tree.right[node]), indent + 1)
+            lines.append(f"{pad}}}")
+
+        emit(0, 1)
+        lines.append("}")
+        lines.append("")
+    lines.append("double PredictRaw(const double* f) {")
+    lines.append(f"  double s = {float(bst.init_score)!r};")
+    for name in names:
+        lines.append(f"  s += {name}(f);")
+    lines.append("  return s;")
+    lines.append("}")
+    lines.append("")
+    obj = getattr(bst, "objective_name", "regression")
+    lines.append("double Predict(const double* f) {")
+    if obj in ("binary", "bernoulli_logit", "cross_entropy"):
+        lines.append("  return 1.0 / (1.0 + std::exp(-PredictRaw(f)));")
+    elif obj in ("poisson", "gamma", "tweedie", "negative_binomial"):
+        lines.append("  return std::exp(PredictRaw(f));")
+    else:
+        lines.append("  return PredictRaw(f);")
+    lines.append("}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 def main():

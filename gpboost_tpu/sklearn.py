@@ -90,23 +90,44 @@ class GPBoostModel:
         return params
 
     def fit(self, X, y, gp_model=None, sample_weight=None, eval_set=None,
-            early_stopping_rounds=None, **kwargs):
+            eval_names=None, eval_sample_weight=None, eval_metric=None,
+            early_stopping_rounds=None, callbacks=None, **kwargs):
+        """sklearn.py:553 GPBoostModel.fit: eval_metric (str or callable
+        feval), eval_names, per-set eval_sample_weight and callbacks are
+        forwarded into train()."""
         y = np.asarray(y, dtype=np.float64)
+        params = self._booster_params()
         ds = Dataset(np.asarray(X), label=y, max_bin=self.max_bin,
                      weight=sample_weight)
         valid_sets = None
         if eval_set is not None:
-            valid_sets = [Dataset(np.asarray(Xv),
-                                  label=np.asarray(yv, dtype=np.float64),
-                                  max_bin=self.max_bin)
-                          for Xv, yv in eval_set]
-        self._booster = train(self._booster_params(), ds,
+            valid_sets = [
+                Dataset(np.asarray(Xv),
+                        label=np.asarray(yv, dtype=np.float64),
+                        max_bin=self.max_bin,
+                        weight=None if eval_sample_weight is None
+                        else eval_sample_weight[i])
+                for i, (Xv, yv) in enumerate(eval_set)]
+        if eval_metric is not None:
+            if callable(eval_metric):
+                kwargs.setdefault("feval", eval_metric)
+            else:
+                params["metric"] = eval_metric
+        if eval_names is not None:
+            kwargs.setdefault("valid_names", list(eval_names))
+        if callbacks is not None:
+            kwargs.setdefault("callbacks", callbacks)
+        evals_result = {}
+        kwargs.setdefault("evals_result", evals_result)
+        self._booster = train(params, ds,
                               num_boost_round=self.n_estimators,
                               gp_model=gp_model, valid_sets=valid_sets,
                               early_stopping_rounds=early_stopping_rounds,
                               **kwargs)
+        self.evals_result_ = kwargs["evals_result"]
         self.gp_model_ = gp_model
         self.best_iteration_ = getattr(self._booster, "best_iteration", -1)
+        self.best_score_ = getattr(self._booster, "best_score", None)
         self.n_features_in_ = np.asarray(X).shape[1] \
             if np.asarray(X).ndim > 1 else 1
         return self
@@ -166,24 +187,37 @@ class GPBoostRanker(GPBoostModel):
 
 
 class GPBoostClassifier(GPBoostModel):
-    """sklearn.py:864 GPBoostClassifier (binary)."""
+    """sklearn.py:864 GPBoostClassifier: binary, or multiclass softmax when
+    y has more than two classes (objective='multiclass', num_class=k)."""
     _objective = "binary"
 
     def fit(self, X, y, **kwargs):
         self.classes_ = np.unique(np.asarray(y))
-        if len(self.classes_) != 2:
-            raise ValueError("GPBoostClassifier currently supports binary "
-                             "classification only")
-        y01 = (np.asarray(y) == self.classes_[1]).astype(np.float64)
-        return super().fit(X, y01, **kwargs)
+        self.n_classes_ = len(self.classes_)
+        if self.n_classes_ < 2:
+            raise ValueError("y has a single class")
+        if self.n_classes_ == 2:
+            y_enc = (np.asarray(y) == self.classes_[1]).astype(np.float64)
+        else:
+            if self.objective is None:
+                self.kwargs = dict(self.kwargs)
+                self.kwargs["num_class"] = self.n_classes_
+                self.objective = "multiclass"
+            codes = {c: i for i, c in enumerate(self.classes_)}
+            y_enc = np.asarray([codes[v] for v in np.asarray(y)],
+                               dtype=np.float64)
+        return super().fit(X, y_enc, **kwargs)
 
     def predict_proba(self, X, **kwargs):
         p = self.booster_.predict(np.asarray(X), **kwargs)
         if isinstance(p, dict):
             p = p["response_mean"]
+        p = np.asarray(p)
+        if self.n_classes_ > 2:
+            return p.reshape(-1, self.n_classes_)
         p = np.clip(p, 0.0, 1.0)
         return np.column_stack([1 - p, p])
 
     def predict(self, X, **kwargs):
-        p = self.predict_proba(X, **kwargs)[:, 1]
-        return self.classes_[(p > 0.5).astype(int)]
+        p = self.predict_proba(X, **kwargs)
+        return self.classes_[np.argmax(p, axis=1)]

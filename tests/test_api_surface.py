@@ -141,3 +141,40 @@ class TestCLI:
         got = np.loadtxt(os.path.join(tmp, "preds.txt"))
         yte = d["y"][~d["tr"]]
         assert np.corrcoef(got, yte)[0, 1] > 0.85
+
+
+def test_cli_convert_model_cpp(tmp_path):
+    """task=convert_model emits compilable C++ matching predict(raw_score)
+    exactly (application.cpp:216 ConvertModel)."""
+    import subprocess, ctypes, sys
+    import gpboost_tpu as gpb
+    rng = np.random.RandomState(0)
+    X = rng.randn(300, 4)
+    y = X[:, 0] * 2 + np.sin(X[:, 1]) + 0.1 * rng.randn(300)
+    bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                     "verbose": 0}, gpb.Dataset(X, label=y),
+                    num_boost_round=3)
+    mp = str(tmp_path / "m.json")
+    bst.save_model(mp)
+    cpp = str(tmp_path / "model.cpp")
+    from gpboost_tpu import cli
+    old = sys.argv
+    try:
+        sys.argv = ["gpboost_tpu", "task=convert_model",
+                    f"input_model={mp}", f"convert_model={cpp}"]
+        cli.main()
+    finally:
+        sys.argv = old
+    src = open(cpp).read() \
+        + '\nextern "C" double predict_raw_c(const double* f)' \
+          '{return PredictRaw(f);}\n'
+    open(cpp, "w").write(src)
+    so = str(tmp_path / "model.so")
+    subprocess.check_call(["g++", "-O2", "-shared", "-fPIC", cpp, "-o", so])
+    lib = ctypes.CDLL(so)
+    lib.predict_raw_c.restype = ctypes.c_double
+    got = np.array([lib.predict_raw_c(
+        np.ascontiguousarray(r).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double))) for r in X[:40]])
+    np.testing.assert_allclose(got, bst.predict(X[:40], raw_score=True),
+                               atol=1e-12)
