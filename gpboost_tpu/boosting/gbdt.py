@@ -16,13 +16,175 @@ are the autodiff d1/d2 of the per-sample log density — "regression" (L2),
 "binary" (bernoulli logit), "poisson", "gamma", ...
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .dataset import Dataset
 from .tree import Tree
 from .tree_learner import SerialTreeLearner
 from ..likelihoods import get_likelihood
+
+
+def _scan_grad_builder(obj_name, obj_args, y, w, aux):
+    """Elementwise jax (grad, hess) of the training loss at score F — the
+    in-scan analogue of Booster._gradients() for the fused multi-round path
+    (objective/regression_objective.hpp GetGradients equivalents)."""
+    if obj_name == "gaussian":
+        def fn(F):
+            return F - y, jnp.ones_like(F)
+    elif obj_name == "quantile":
+        alpha = float(obj_args[0])
+
+        def fn(F):
+            d = F - y
+            return jnp.where(d >= 0, 1.0 - alpha, -alpha), jnp.ones_like(F)
+    elif obj_name == "cross_entropy":
+        def fn(F):
+            z = 1.0 / (1.0 + jnp.exp(-F))
+            return z - y, jnp.maximum(z * (1.0 - z), 1e-12)
+    else:
+        lik = get_likelihood(obj_name)
+
+        def fn(F):
+            return (-lik.d1(y, F, aux),
+                    jnp.maximum(-lik.d2(y, F, aux), 1e-12))
+    if w is None:
+        return fn
+
+    def wfn(F):
+        g, h = fn(F)
+        return g * w, h * w
+
+    return wfn
+
+
+def _stats_pos_of(g, h, n_pad):
+    """(n_pad, 8) f32 positional stats block [grad, hess, count, 0pad]."""
+    n = g.shape[0]
+    stats = jnp.zeros((n_pad, 8), jnp.float32)
+    stats = stats.at[:n, 0].set(g.astype(jnp.float32))
+    stats = stats.at[:n, 1].set(h.astype(jnp.float32))
+    stats = stats.at[:n, 2].set(1.0)
+    return stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
+                          bins_pos, y, w, aux, F0, lr,
+                          l2, min_data, min_hess, min_gain, fm, l1,
+                          monotone, cat_mask):
+    """Fused multi-round GBDT training: ONE compiled program runs `chunk`
+    boosting iterations (gradients -> leaf-partitioned tree growth -> score
+    update) under a lax.scan, returning the stacked split records for host
+    tree reconstruction. The TPU-native replacement for the reference's
+    per-iteration host loop (gbdt.cpp:412 TrainOneIter): device round-trips
+    per training run drop from O(rounds) to O(rounds / chunk)."""
+    from .tree_learner import _grow_tree_partitioned_impl
+    (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
+     path_smooth) = grow_cfg
+    n = y.shape[0]
+    n_pad = bins_pos.shape[0]
+    L = num_leaves
+    grad_fn = _scan_grad_builder(obj_name, obj_args, y, w, aux)
+
+    def body(F, _):
+        g, h = grad_fn(F)
+        rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
+            bins_pos, _stats_pos_of(g, h, n_pad), num_bins, L, max_depth,
+            use_pallas, row_block, feat_chunk, l2, min_data, min_hess,
+            min_gain, fm, l1, monotone, cat_mask, path_smooth)
+        lv64 = lv.astype(F.dtype)
+        slot = jnp.clip(node[:n], 0, L - 1)
+        contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
+        return F + lr * contrib, (rec, lv64, rgain, rcat, cs)
+
+    return jax.lax.scan(body, F0, None, length=chunk)
+
+
+def _psi_inv_jax_builder(eng):
+    """Traceable Psi_tilde^-1 v (the unit-sigma2 scaled covariance) for the
+    engines the fused GPBoost scan supports; None when unsupported. The
+    in-scan analogue of _psi_tilde_inv_apply."""
+    kind = type(eng).__name__
+    if kind == "VecchiaGaussianEngine":
+        perm = jnp.asarray(eng.perm)
+        idx = eng._nn_idx
+
+        def apply(theta_log, v):
+            # Psi~^-1 = P' B' D^-1 B P (models/vecchia.py quad_logdet)
+            A, D = eng._bd(theta_log)
+            vp = v[perm]
+            z = vp - jnp.sum(A * vp[idx], axis=1)          # B v
+            w = z / D
+            out = w - jnp.zeros_like(w).at[idx.reshape(-1)].add(
+                (A * w[:, None]).reshape(-1))               # B' D^-1 B v
+            return jnp.zeros_like(out).at[perm].set(out)
+
+        return apply
+    if kind == "DenseGaussianEngine":
+        import jax.scipy.linalg as jsl
+
+        def apply(theta_log, v):
+            Psi = eng.psi_tilde(theta_log)
+            L = jnp.linalg.cholesky(Psi)
+            return jsl.cho_solve((L, True), v)
+
+        return apply
+    return None
+
+
+def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
+                             delta=1e-6):
+    """One compiled program = `chunk` GPBoost-algorithm iterations:
+    gradient (Psi~^-1 resid / sigma2) -> leaf-partitioned tree -> score
+    update -> warm-started on-device GD covariance refit. Mirrors the host
+    sequence update()/_refit_gp_cov (gbdt.cpp:412 TrainOneIter + :549
+    end-of-iteration Boosting()); cached on the ENGINE so repeated train()
+    calls with the same GPModel reuse the executable. The learner arrays
+    come in as arguments, not closures, for exactly that reason."""
+    from .tree_learner import _grow_tree_partitioned_impl
+    from ..models.jit_gd import make_jitted_gd
+    psi_inv = _psi_inv_jax_builder(eng)
+    gd_fit = make_jitted_gd(eng.nll_parts_raw, eng.n)
+    perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
+    (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
+     path_smooth) = grow_cfg
+
+    def prep(v):
+        return v if perm is None else v[perm]
+
+    def run(carry, y, bins_pos, fm, monotone, cat_mask,
+            lr_tree, l2, min_data, min_hess, min_gain, l1):
+        n = y.shape[0]
+        n_pad = bins_pos.shape[0]
+
+        def body(c, _):
+            F, u, lr_gp = c
+            resid = F - y
+            sigma2 = jnp.exp(u[0])
+            g = psi_inv(u[1:], resid) / sigma2
+            rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
+                bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
+                num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
+                l2, min_data, min_hess, min_gain, fm, l1, monotone,
+                cat_mask, path_smooth)
+            lv64 = lv.astype(F.dtype)
+            slot = jnp.clip(node[:n], 0, L - 1)
+            contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
+            F_new = F + lr_tree * contrib
+            lr_in = lr_gp if reuse_lr else jnp.asarray(0.1, F.dtype)
+            u_new, nll, lr_out, _ = gd_fit(u, prep(F_new - y), lr_in,
+                                           maxit_gp, delta)
+            lr_carry = jnp.minimum(jnp.maximum(lr_out, 1e-8) * 2.0, 0.1)
+            return (F_new, u_new, lr_carry), (rec, lv64, rgain, rcat, cs,
+                                              nll)
+
+        return jax.lax.scan(body, carry, None, length=chunk)
+
+    return jax.jit(run)
 
 _OBJ_ALIASES = {
     "regression": "gaussian", "regression_l2": "gaussian", "l2": "gaussian",
@@ -89,6 +251,12 @@ _BOOST_PARAM_DEFAULTS = dict(
     # of tree_learner=data, data_parallel_tree_learner.cpp): rows sharded,
     # histograms psum-merged, split decisions replicated
     num_parallel_devices=None,
+    # serial / data(_parallel) / feature(_parallel) / voting(_parallel):
+    # which dimension is sharded over the device mesh (config.h tree_learner)
+    tree_learner="serial",
+    # path smoothing (config.h path_smooth): shrink leaf outputs toward the
+    # parent, weighted by ps/(n_leaf+ps)
+    path_smooth=0.0,
 )
 
 _PARAM_ALIASES = {
@@ -147,6 +315,16 @@ class Booster:
                 raise ValueError(f"num_parallel_devices={k} but only "
                                  f"{len(devs)} devices are available")
             mesh = Mesh(np.asarray(devs), ("data",))
+        # tree_learner (config.h): serial / data / feature; 'voting' is the
+        # reference's approximate bandwidth optimization of data-parallel —
+        # the mesh collective here is already exact, so it maps to 'data'
+        tl = {"serial": "data", "data": "data", "data_parallel": "data",
+              "feature": "feature", "feature_parallel": "feature",
+              "voting": "data", "voting_parallel": "data"}.get(
+                  str(p.get("tree_learner", "serial")))
+        if tl is None:
+            raise ValueError(f"Unknown tree_learner "
+                             f"'{p.get('tree_learner')}'")
         self.learner = SerialTreeLearner(
             train_set, num_leaves=int(p["num_leaves"]),
             max_depth=int(p["max_depth"]),
@@ -156,7 +334,8 @@ class Booster:
             monotone_constraints=p.get("monotone_constraints"),
             min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
             min_gain_to_split=float(p["min_gain_to_split"]),
-            mesh=mesh)
+            mesh=mesh, parallel_mode=tl,
+            path_smooth=float(p["path_smooth"]))
 
         if gp_model is not None:
             self.objective_name = gp_model.likelihood
@@ -746,6 +925,166 @@ class Booster:
         return False
 
     # ------------------------------------------------------------------
+    def can_train_scanned(self):
+        """True when training can run through the fused multi-round scan
+        (update_many): plain single-set gbdt with an elementwise objective
+        and no per-round host-side state (bagging/GOSS RNG, Nesterov lag,
+        linear leaves, monotone post-pass, GP refit, device mesh)."""
+        p = self.params
+        return (self.gp_model is None and self._nsets == 1
+                and p["boosting"] == "gbdt"
+                and not p["use_nesterov_acc"]
+                and not p.get("linear_tree")
+                and not (float(p["bagging_fraction"]) < 1.0
+                         and int(p["bagging_freq"]) > 0)
+                and float(p["feature_fraction"]) >= 1.0
+                and self.learner.mesh is None
+                and not np.any(self.learner.monotone != 0)
+                and (self.objective_name in ("gaussian", "quantile",
+                                             "cross_entropy")
+                     or self._lik is not None))
+
+    def can_train_scanned_gpboost(self):
+        """True when the Gaussian GPBoost algorithm can run through the
+        fused per-round scan (update_many_gpboost): tree + score update +
+        on-device GD covariance refit in one dispatch per block of rounds."""
+        gp = self.gp_model
+        if gp is None or gp.likelihood != "gaussian":
+            return False
+        p = self.params
+        return (self._nsets == 1 and p["boosting"] == "gbdt"
+                and not p["use_nesterov_acc"]
+                and not p.get("linear_tree")
+                and not p["leaves_newton_update"]
+                and not p["line_search_step_length"]
+                and p["train_gp_model_cov_pars"]
+                and not (float(p["bagging_fraction"]) < 1.0
+                         and int(p["bagging_freq"]) > 0)
+                and float(p["feature_fraction"]) >= 1.0
+                and self.learner.mesh is None
+                and not np.any(self.learner.monotone != 0)
+                and gp.X is None
+                and hasattr(gp._engine, "nll_parts_raw")
+                and _psi_inv_jax_builder(gp._engine) is not None)
+
+    def update_many_gpboost(self, num_rounds, chunk=25):
+        """Fused GPBoost-algorithm training (Gaussian): the first covariance
+        estimate is a full host fit (the reference's first OptimCovPar,
+        regression_objective.hpp:165), then ALL rounds run as blocks of
+        `chunk` single-dispatch scans via _make_fused_gpboost_scan — each
+        round = gradient, tree, score update, warm-started GD refit."""
+        gp = self.gp_model
+        if self._gp_init_pars is None:
+            gp.fit(y=self.F - self.y)
+            self._gp_init_pars = gp._fit_result.cov_pars
+            self._gp_lr = 0.1
+        if num_rounds <= 0:
+            return
+        eng = gp._engine
+        le = self.learner
+        n, n_pad, L = self.n, le.n_pad, le.num_leaves
+        lr_tree = float(self.params["learning_rate"])
+        grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
+                    le.row_block, le.feat_chunk, le.path_smooth)
+        maxit_gp = int(self.params["maxit_gp"])
+        reuse = bool(self.params["reuse_learning_rates_gp_model"])
+        fm = np.zeros(le.p_pad, dtype=np.float32)
+        fm[:le.p] = 1.0
+        fm = jnp.asarray(fm)
+        mono = jnp.asarray(le.monotone)
+        catm = jnp.asarray(le.cat_mask)
+        y_d = jnp.asarray(self.y)
+
+        cache = getattr(eng, "_fused_boost_cache", None)
+        if cache is None:
+            cache = eng._fused_boost_cache = {}
+        t0 = eng.transform_pars(np.asarray(self._gp_init_pars,
+                                           dtype=np.float64))
+        carry = (jnp.asarray(self.F), jnp.asarray(np.log(t0)),
+                 jnp.asarray(float(getattr(self, "_gp_lr", 0.1))))
+        done = 0
+        nll_last = None
+        while done < num_rounds:
+            c = int(min(chunk, num_rounds - done))
+            key = (c, grow_cfg, maxit_gp, reuse)
+            if key not in cache:
+                cache[key] = _make_fused_gpboost_scan(eng, c, grow_cfg,
+                                                      maxit_gp, reuse)
+            carry, outs = cache[key](
+                carry, y_d, le.bins_pos, fm, mono, catm,
+                jnp.float64(lr_tree), jnp.float32(le.lambda_l2),
+                jnp.float32(le.min_data_in_leaf),
+                jnp.float32(le.min_sum_hessian), jnp.float32(le.min_gain),
+                jnp.float32(le.lambda_l1))
+            rec, lv, rgain, rcat, cs, nlls = [np.asarray(o) for o in
+                                              jax.device_get(outs)]
+            for r in range(c):
+                cnt = np.concatenate([cs[r], np.zeros(8)])
+                tree, _ = le.build_tree(rec[r], lv[r], rgain[r], rcat[r],
+                                        cnt)
+                tree.shrinkage(lr_tree)
+                self.trees.append(tree)
+            nll_last = float(nlls[-1])
+            done += c
+        F, u, lr_gp = carry
+        self.F = np.asarray(F)
+        self.current_iteration_ = len(self.trees)
+        pars = eng.back_transform_pars(
+            np.exp(np.asarray(jax.device_get(u), dtype=np.float64)))
+        gp._fit_result.cov_pars = pars
+        gp._fit_result.neg_log_likelihood = nll_last
+        self._gp_init_pars = pars
+        self._gp_lr = float(jax.device_get(lr_gp))
+        self._gp_refit_iter = self.current_iteration_
+
+    def update_many(self, num_rounds, chunk=50):
+        """Run `num_rounds` boosting iterations through the fused on-device
+        scan (_train_rounds_scanned) in blocks of `chunk`, then rebuild the
+        Tree objects on the host from the stacked split records. Semantics
+        match repeated update() for the eligible configurations (see
+        can_train_scanned); tests pin the equivalence."""
+        le = self.learner
+        n, n_pad, L = self.n, le.n_pad, le.num_leaves
+        lr = float(self.params["learning_rate"])
+        obj = self.objective_name
+        if obj == "quantile":
+            obj_args = (float(self.params.get("alpha", 0.9)),)
+        else:
+            obj_args = ()
+        grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
+                    le.row_block, le.feat_chunk, le.path_smooth)
+        fm = np.zeros(le.p_pad, dtype=np.float32)
+        fm[:le.p] = 1.0
+        w = self.train_set.weight
+        y_d = jnp.asarray(self.y)
+        w_d = None if w is None else jnp.asarray(
+            np.asarray(w, dtype=np.float64))
+        aux = self._aux if getattr(self, "_lik", None) is not None else None
+        F = jnp.asarray(self.F)
+        done = 0
+        while done < num_rounds:
+            c = int(min(chunk, num_rounds - done))
+            F, outs = _train_rounds_scanned(
+                obj, obj_args, grow_cfg, c,
+                le.bins_pos, y_d, w_d, aux, F,
+                jnp.float64(lr), jnp.float32(le.lambda_l2),
+                jnp.float32(le.min_data_in_leaf),
+                jnp.float32(le.min_sum_hessian), jnp.float32(le.min_gain),
+                jnp.asarray(fm), jnp.float32(le.lambda_l1),
+                jnp.asarray(le.monotone), jnp.asarray(le.cat_mask))
+            rec, lv, rgain, rcat, cs = [np.asarray(o) for o in
+                                        jax.device_get(outs)]
+            for r in range(c):
+                cnt = np.concatenate([cs[r], np.zeros(8)])
+                tree, _ = le.build_tree(rec[r], lv[r], rgain[r], rcat[r],
+                                        cnt)
+                tree.shrinkage(lr)
+                self.trees.append(tree)
+            done += c
+        self.F = np.asarray(F)
+        self.current_iteration_ = len(self.trees)
+
+    # ------------------------------------------------------------------
     def predict(self, data, start_iteration=0, num_iteration=None,
                 raw_score=False, pred_latent=False, pred_contrib=False,
                 group_data_pred=None, group_rand_coef_data_pred=None,
@@ -774,16 +1113,53 @@ class Booster:
                 f"data has {X.shape[1]} feature(s) but the model's trees "
                 f"split on feature index {needed - 1}; pass a 2-D array "
                 f"with at least {needed} columns")
-        if pred_contrib and getattr(self.train_set, "bundles", None):
-            raise NotImplementedError(
-                "pred_contrib is not supported with EFB feature bundling")
         if pred_contrib:
             from ..native import tree_shap
-            phi = np.zeros((len(X), X.shape[1] + 1))
             ntrees = num_iteration if num_iteration else len(self.trees)
             used = self.trees[start_iteration:start_iteration + ntrees]
-            for tree in used:
-                tree_shap(tree, X, phi)
+            bundles = getattr(self.train_set, "bundles", None)
+            if bundles:
+                # EFB: SHAP runs in learner (bundled-bin) space — the trees'
+                # decisions live there — then each bundle column's
+                # attribution is decoded to the row's ACTIVE member (bundle
+                # members are mutually exclusive, so the bundled value IS
+                # that feature's value; all-zero rows split it equally)
+                Xl = self.train_set.encode_raw(X).astype(np.float64)
+                phi_l = np.zeros((len(X), Xl.shape[1] + 1))
+                import types
+                for tree in used:
+                    n_nodes = tree.num_nodes
+                    shadow = types.SimpleNamespace(
+                        num_nodes=n_nodes,
+                        split_feature=tree.split_feature,
+                        threshold_real=tree.threshold_bin[:n_nodes].astype(
+                            np.float64),
+                        left=tree.left, right=tree.right,
+                        is_leaf=tree.is_leaf, leaf_value=tree.leaf_value,
+                        cover=tree.cover)
+                    tree_shap(shadow, Xl, phi_l)
+                phi = np.zeros((len(X), X.shape[1] + 1))
+                kept = self.train_set.kept_features
+                for lj, j in enumerate(kept):
+                    phi[:, j] = phi_l[:, lj]
+                for bi, b in enumerate(bundles):
+                    col = phi_l[:, len(kept) + bi]
+                    members = np.asarray(b.feature_ids)
+                    active = np.zeros((len(X), len(members)), dtype=bool)
+                    for mi, f in enumerate(members):
+                        v = X[:, f]
+                        active[:, mi] = np.isfinite(v) & (v != 0.0)
+                    any_active = active.any(axis=1)
+                    first = np.argmax(active, axis=1)
+                    for mi, f in enumerate(members):
+                        hit = any_active & (first == mi)
+                        phi[hit, f] += col[hit]
+                        phi[~any_active, f] += col[~any_active] / len(members)
+                phi[:, -1] = phi_l[:, -1]
+            else:
+                phi = np.zeros((len(X), X.shape[1] + 1))
+                for tree in used:
+                    tree_shap(tree, X, phi)
             if self.params.get("boosting") == "rf" and used:
                 phi /= len(used)
             phi[:, -1] += self.init_score
@@ -1308,6 +1684,18 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
     if evals_result is not None:
         for nm in names:
             evals_result.setdefault(nm, {})
+    if not vsets and not cbs and feval is None and nbr > 0:
+        # fused fast paths: whole blocks of rounds in one device dispatch
+        if booster.can_train_scanned():
+            booster.update_many(nbr)
+            booster.best_iteration = -1
+            booster.best_score = None
+            return booster
+        if booster.can_train_scanned_gpboost():
+            booster.update_many_gpboost(nbr)
+            booster.best_iteration = -1
+            booster.best_score = None
+            return booster
     for it in range(nbr):
         for cb in cbs_before:
             cb(CallbackEnv(model=booster, params=booster.params, iteration=it,

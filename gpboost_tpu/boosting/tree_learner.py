@@ -69,12 +69,24 @@ def _cat_order(hist_f, cat_smooth=10.0):
     return jnp.argsort(ratio, axis=-1)
 
 
+def _smoothed_output(G, H, C, lambda_l2, lambda_l1, path_smooth, parent_out):
+    """Leaf output with path smoothing (feature_histogram.hpp
+    CalculateSplittedLeafOutput with path_smooth): the raw output shrunk
+    toward the parent's output by ps/(n+ps)."""
+    raw = -_thresholded(G, lambda_l1) / (H + lambda_l2)
+    f = C / jnp.maximum(C + path_smooth, 1e-10)
+    return f * raw + (1.0 - f) * parent_out
+
+
 def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
-                        cat_mask=None):
+                        cat_mask=None, path_smooth=0.0, parent_out=0.0):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
+    With path_smooth > 0 the gain is evaluated at the SMOOTHED child
+    outputs: gain_side = -(2 G w + (H+l2) w^2), w shrunk toward the
+    parent's output (feature_histogram.hpp GetLeafGainGivenOutput).
 
     monotone (p,) in {-1,0,+1}: monotone-constraint directions
     (monotone_constraints.hpp) — a split on a +1 feature is valid only when
@@ -98,9 +110,23 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         CL = jnp.where(cm, jnp.cumsum(cs, axis=1), CL)
     GR = G - GL
     HR = H - HL
-    gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
-            + _thresholded(GR, lambda_l1) ** 2 / (HR + lambda_l2)
-            - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
+    if path_smooth <= 0.0:          # static Python float
+        gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
+                + _thresholded(GR, lambda_l1) ** 2 / (HR + lambda_l2)
+                - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
+    else:
+        CR = C - CL
+        wl = _smoothed_output(GL, HL, CL, lambda_l2, lambda_l1,
+                              path_smooth, parent_out)
+        wr = _smoothed_output(GR, HR, CR, lambda_l2, lambda_l1,
+                              path_smooth, parent_out)
+        wp = parent_out
+
+        def leaf_gain(Gs, Hs, w):
+            return -(2.0 * Gs * w + (Hs + lambda_l2) * w * w)
+
+        gain = (leaf_gain(GL, HL, wl) + leaf_gain(GR, HR, wr)
+                - leaf_gain(G, H, wp))
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
     if monotone is not None:
@@ -117,11 +143,12 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
     return gain.reshape(-1)[flat], flat // B, flat % B
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 17))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 17, 18, 19))
 def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
                lambda_l2, min_data, min_hess, min_gain, feat_mask,
-               lambda_l1, monotone, cat_mask, mesh=None):
+               lambda_l1, monotone, cat_mask, mesh=None, par_mode="data",
+               path_smooth=0.0):
     """Grow one leaf-wise tree; returns (split records, leaf values, rows).
 
     feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
@@ -145,6 +172,22 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                 except ImportError:      # older jax
                     from jax.experimental.shard_map import shard_map
 
+                if par_mode == "feature":
+                    # features sharded: each device builds the histogram of
+                    # its own feature shard — no collective; the split
+                    # argmax downstream merges via GSPMD
+                    def local_hist_f(b, nd, st, tgt):
+                        return hist_pallas(b, nd, st, tgt[0], num_bins,
+                                           feat_chunk, row_block)
+
+                    return shard_map(
+                        local_hist_f, mesh=mesh,
+                        in_specs=(P("data", None), P(None), P(None),
+                                  P(None)),
+                        out_specs=P("data", None, None))(
+                            bins_T, node[None, :], stats_T,
+                            jnp.reshape(target, (1,)).astype(jnp.int32))
+
                 def local_hist(b, nd, st, tgt):
                     h = hist_pallas(b, nd, st, tgt[0], num_bins,
                                     feat_chunk, row_block)
@@ -161,14 +204,30 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                                num_bins, feat_chunk, row_block)
         return _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block)
 
-    def best_of(hist):
+    def best_of(hist, parent_out):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
-                                   cat_mask)
+                                   cat_mask, path_smooth, parent_out)
+
+    def raw_out(hist):
+        G = jnp.sum(hist[0, 0, :])
+        H = jnp.sum(hist[0, 1, :])
+        return -_thresholded(G, lambda_l1) / (H + lambda_l2)
+
+    def child_out(hist, C_leaf, parent_out):
+        if path_smooth <= 0.0:
+            return raw_out(hist)
+        G = jnp.sum(hist[0, 0, :])
+        H = jnp.sum(hist[0, 1, :])
+        return _smoothed_output(G, H, C_leaf, lambda_l2, lambda_l1,
+                                path_smooth, parent_out)
 
     hist0 = hist_fn(node0, jnp.int32(0))
-    g0, f0, b0 = best_of(hist0)
+    out0 = raw_out(hist0)
+    g0, f0, b0 = best_of(hist0, out0)
 
+    leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
+        out0.astype(hist0.dtype))
     leaf_hist = jnp.zeros((L, p, 3, num_bins), hist0.dtype).at[0].set(hist0)
     leaf_gain = jnp.full((L,), -jnp.inf).at[0].set(g0)
     leaf_feat = jnp.zeros((L,), jnp.int32).at[0].set(f0.astype(jnp.int32))
@@ -181,7 +240,7 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
 
     def split_step(s, carry):
         (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-         rec, rec_gain, rec_cat) = carry
+         leaf_out, rec, rec_gain, rec_cat) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -192,7 +251,7 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
 
         def do_split(args):
             (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             rec, rec_gain, rec_cat) = args
+             leaf_out, rec, rec_gain, rec_cat) = args
             feat_col = jnp.take(bins_T, f, axis=0)           # (n,)
             in_leaf = node == l
             is_cat = cat_mask[f] > 0
@@ -214,8 +273,15 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             hist_left = hist_fn(node2, l)
             hist_right = leaf_hist[l] - hist_left
             d = leaf_depth[l] + 1
-            gl, fl, bl = best_of(hist_left)
-            gr, fr, br = best_of(hist_right)
+            pout = leaf_out[l]
+            cl_cnt = jnp.sum(hist_left[0, 2, :])
+            cr_cnt = jnp.sum(hist_right[0, 2, :])
+            out_l = child_out(hist_left, cl_cnt, pout)
+            out_r = child_out(hist_right, cr_cnt, pout)
+            leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
+                               .at[new_slot].set(out_r.astype(leaf_out.dtype))
+            gl, fl, bl = best_of(hist_left, out_l)
+            gr, fr, br = best_of(hist_right, out_r)
             depth_ok = d < max_depth
             gl = jnp.where(depth_ok, gl, -jnp.inf)
             gr = jnp.where(depth_ok, gr, -jnp.inf)
@@ -230,101 +296,134 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
             rec_cat2 = rec_cat.at[s].set(words)
             return (node2, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
-                    leaf_depth, rec2, rec_gain2, rec_cat2)
+                    leaf_depth, leaf_out, rec2, rec_gain2, rec_cat2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (node, leaf_hist, leaf_gain, leaf_feat,
-                             leaf_bin, leaf_depth, rec, rec_gain, rec_cat))
+                             leaf_bin, leaf_depth, leaf_out, rec, rec_gain,
+                             rec_cat))
 
     carry = (node0, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             rec, rec_gain, rec_cat)
+             leaf_out, rec, rec_gain, rec_cat)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, rec,
-     rec_gain, rec_cat) = carry
+    (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, leaf_out,
+     rec, rec_gain, rec_cat) = carry
     # totals from one feature's bins (every feature's bins sum to the totals)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
     Hs = jnp.sum(leaf_hist[:, 0, 1, :], axis=1)
     Cs = jnp.sum(leaf_hist[:, 0, 2, :], axis=1)
-    leaf_values = jnp.where(
-        Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
+    if path_smooth <= 0.0:
+        leaf_values = jnp.where(
+            Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
+    else:
+        leaf_values = jnp.where(Cs > 0, leaf_out, 0.0)
     return rec, leaf_values, node, rec_gain, rec_cat
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
-def _grow_tree_partitioned(bins_T, node0, stats_T, num_bins, num_leaves,
-                           max_depth, use_pallas, row_block, feat_chunk,
-                           lambda_l2, min_data, min_hess, min_gain, feat_mask,
-                           lambda_l1, monotone, cat_mask):
-    """Leaf-partitioned leaf-wise growth (single device).
+def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
+                                max_depth, use_pallas, row_block, feat_chunk,
+                                lambda_l2, min_data, min_hess, min_gain,
+                                feat_mask, lambda_l1, monotone, cat_mask,
+                                path_smooth=0.0):
+    """Leaf-partitioned leaf-wise growth (single device). Pure traceable
+    function — also called from inside the multi-round lax.scan fast paths
+    (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
+    dispatch grows a whole block of trees.
 
     The reference maintains a row partition so each split's histogram scans
     only the SMALLER child's rows (serial_tree_learner.cpp:325 +
-    data_partition.hpp); this is the same idea with static shapes: a
-    position->row permutation `perm` keeps each leaf's rows in one contiguous
-    segment, the segment is re-partitioned after a split with two cumsums +
-    one scatter (O(n) elementwise — ~100x cheaper than a histogram pass),
-    and the child histogram runs a dynamic-trip-count fori_loop over ONLY the
-    row blocks its segment spans. A 255-leaf tree therefore costs
+    data_partition.hpp). TPU formulation: the data is PHYSICALLY
+    row-partitioned — bins_pos (n_pad, p_pad) uint8 and stats_pos (n_pad, 8)
+    f32 [grad, hess, count, 0pad] live in position order with each leaf
+    owning one contiguous position segment. A split re-partitions its
+    segment with two cumsums + one streamed row permutation (scatter of
+    whole rows — no lane-dimension gathers anywhere), and the smaller
+    child's histogram is a dynamic-trip fori_loop of CONTIGUOUS
+    dynamic_slice row blocks, so the memory system sees pure streams into
+    the MXU one-hot contraction. A 255-leaf tree therefore costs
     sum-of-smaller-child-sizes, not 254 full-data scans.
-    """
-    from ..ops.histogram import hist_block_pallas
 
-    p, n_pad = bins_T.shape
+    Row identities travel with the rows (row_ids); the final row -> leaf
+    assignment is reconstructed with one scatter at the end.
+    """
+    from ..ops.histogram import hist_block_rows_pallas
+
+    n_pad, p = bins_pos.shape
     L = num_leaves
     rb = row_block
     pos_iota = jnp.arange(n_pad, dtype=jnp.int32)
 
     def hist_block(bins_blk, stats_blk):
         if use_pallas:
-            return hist_block_pallas(bins_blk, stats_blk, num_bins,
-                                     feat_chunk)
-        bvals = jnp.arange(num_bins, dtype=bins_blk.dtype)
-        onehot = (bins_blk[:, :, None] == bvals[None, None, :]).astype(
-            stats_blk.dtype)
-        return jnp.einsum("cr,prb->pcb", stats_blk, onehot)
+            return hist_block_rows_pallas(bins_blk, stats_blk, num_bins,
+                                          feat_chunk)
+        bvals = jnp.arange(num_bins, dtype=jnp.int32)
+        onehot = (bins_blk.astype(jnp.int32)[:, :, None]
+                  == bvals[None, None, :]).astype(jnp.float32)
+        return jnp.einsum("rc,rfb->fbc", stats_blk, onehot)
 
-    def hist_segment(perm, s0, cnt):
-        """Histogram over positions [s0, s0 + cnt) of the partition."""
+    def hist_segment(bins_p, stats_p, s0, cnt):
+        """Histogram (p, 3, B) over positions [s0, s0 + cnt)."""
         b0 = (s0 // rb).astype(jnp.int32)
         b1 = ((s0 + cnt + rb - 1) // rb).astype(jnp.int32)
 
         def body(i, acc):
             start = i * rb
-            cols = jax.lax.dynamic_slice(perm, (start,), (rb,))
+            zero = jnp.int32(0)
+            bb = jax.lax.dynamic_slice(bins_p, (start, zero), (rb, p))
+            sb = jax.lax.dynamic_slice(stats_p, (start, zero), (rb, 8))
             pos = start + pos_iota[:rb]
             valid = (pos >= s0) & (pos < s0 + cnt)
-            sb = jnp.take(stats_T, cols, axis=1) * valid[None, :]
-            bb = jnp.take(bins_T, cols, axis=1)
+            sb = sb * valid[:, None].astype(sb.dtype)
             return acc + hist_block(bb, sb)
 
-        init = jnp.zeros((p, 3, num_bins), jnp.float32)
-        return jax.lax.fori_loop(b0, b1, body, init)
+        acc = jax.lax.fori_loop(b0, b1, body,
+                                jnp.zeros((p, num_bins, 8), jnp.float32))
+        return jnp.transpose(acc, (0, 2, 1))[:, :3, :]
 
-    def best_of(hist):
+    def best_of(hist, parent_out):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
-                                   cat_mask)
+                                   cat_mask, path_smooth, parent_out)
 
-    perm0 = pos_iota                      # identity: padded rows at the end
-    n_real = jnp.sum((node0 == 0).astype(jnp.int32))
-    hist0 = hist_segment(perm0, jnp.int32(0), n_real)
-    g0, f0, b0_ = best_of(hist0)
+    def raw_out(hist):
+        G = jnp.sum(hist[0, 0, :])
+        H = jnp.sum(hist[0, 1, :])
+        return -_thresholded(G, lambda_l1) / (H + lambda_l2)
 
+    def child_out(hist, C_leaf, parent_out):
+        if path_smooth <= 0.0:
+            return raw_out(hist)
+        G = jnp.sum(hist[0, 0, :])
+        H = jnp.sum(hist[0, 1, :])
+        return _smoothed_output(G, H, C_leaf, lambda_l2, lambda_l1,
+                                path_smooth, parent_out)
+
+    row_ids0 = pos_iota                    # identity: position i holds row i
+    leaf_of_pos0 = jnp.zeros(n_pad, jnp.int32)
+    hist0 = hist_segment(bins_pos, stats_pos, jnp.int32(0),
+                         jnp.int32(n_pad))
+    out0 = raw_out(hist0)
+    g0, f0, b0_ = best_of(hist0, out0)
+
+    leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
+        out0.astype(hist0.dtype))
     leaf_hist = jnp.zeros((L, p, 3, num_bins), hist0.dtype).at[0].set(hist0)
     leaf_gain = jnp.full((L,), -jnp.inf).at[0].set(g0)
     leaf_feat = jnp.zeros((L,), jnp.int32).at[0].set(f0.astype(jnp.int32))
     leaf_bin = jnp.zeros((L,), jnp.int32).at[0].set(b0_.astype(jnp.int32))
     leaf_depth = jnp.zeros((L,), jnp.int32)
     seg_start = jnp.zeros((L,), jnp.int32)
-    seg_cnt = jnp.zeros((L,), jnp.int32).at[0].set(n_real)
+    seg_cnt = jnp.zeros((L,), jnp.int32).at[0].set(jnp.int32(n_pad))
     rec = jnp.full((L - 1, 4), -1, jnp.int32)
     rec_gain = jnp.zeros((L - 1,), hist0.dtype)
     n_words = -(-num_bins // 32)
     rec_cat = jnp.zeros((L - 1, n_words), jnp.uint32)
 
     def split_step(s, carry):
-        (node, perm, seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
-         leaf_bin, leaf_depth, rec, rec_gain, rec_cat) = carry
+        (bins_p, stats_p, row_ids, leaf_of_pos, seg_start, seg_cnt,
+         leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, leaf_out,
+         rec, rec_gain, rec_cat) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -333,18 +432,16 @@ def _grow_tree_partitioned(bins_T, node0, stats_T, num_bins, num_leaves,
         gain_l = leaf_gain[l]
 
         def do_split(args):
-            (node, perm, seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
-             leaf_bin, leaf_depth, rec, rec_gain, rec_cat) = args
+            (bins_p, stats_p, row_ids, leaf_of_pos, seg_start, seg_cnt,
+             leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+             leaf_out, rec, rec_gain, rec_cat) = args
             s0 = seg_start[l]
             c = seg_cnt[l]
-            feat_col = jnp.take(bins_T, f, axis=0)           # (n_pad,)
-            in_leaf = node == l
+            fcol = jnp.take(bins_p, f, axis=1).astype(jnp.int32)  # (n_pad,)
             is_cat = cat_mask[f] > 0
             order_f = _cat_order(leaf_hist[l, f])            # (B,)
             rank = jnp.argsort(order_f)                      # bin -> rank
-            go_right_cat = rank[feat_col] > b
-            go_right_row = jnp.where(is_cat, go_right_cat, feat_col > b)
-            node2 = jnp.where(in_leaf & go_right_row, new_slot, node)
+            go_right = jnp.where(is_cat, rank[fcol] > b, fcol > b)
             left_bins = (rank <= b) & is_cat
             lb = left_bins.astype(jnp.uint32)
             n_words_ = rec_cat.shape[1]
@@ -355,26 +452,37 @@ def _grow_tree_partitioned(bins_T, node0, stats_T, num_bins, num_leaves,
 
             # stable in-segment partition: left rows first, then right
             in_seg = (pos_iota >= s0) & (pos_iota < s0 + c)
-            gr = jnp.take(go_right_row, perm) & in_seg
+            gr = go_right & in_seg
             gl = in_seg & ~gr
-            cL = jnp.sum(gl.astype(jnp.int32))
+            cL = jnp.sum(gl.astype(jnp.int32)).astype(jnp.int32)
             posL = s0 + jnp.cumsum(gl.astype(jnp.int32)) - 1
             posR = s0 + cL + jnp.cumsum(gr.astype(jnp.int32)) - 1
-            new_pos = jnp.where(gl, posL, jnp.where(gr, posR, pos_iota))
-            perm2 = jnp.zeros_like(perm).at[new_pos].set(perm)
+            new_pos = jnp.where(gl, posL,
+                                jnp.where(gr, posR, pos_iota)).astype(
+                                    jnp.int32)
+            bins_p2 = bins_p.at[new_pos].set(bins_p)
+            stats_p2 = stats_p.at[new_pos].set(stats_p)
+            row_ids2 = row_ids.at[new_pos].set(row_ids)
+            leaf_of_pos2 = jnp.where(in_seg & (pos_iota >= s0 + cL),
+                                     new_slot, leaf_of_pos)
 
             cR = c - cL
             left_smaller = cL <= cR
             sS = jnp.where(left_smaller, s0, s0 + cL)
             cS = jnp.where(left_smaller, cL, cR)
-            hist_small = hist_segment(perm2, sS, cS)
+            hist_small = hist_segment(bins_p2, stats_p2, sS, cS)
             hist_big = leaf_hist[l] - hist_small
             hist_left = jnp.where(left_smaller, hist_small, hist_big)
             hist_right = jnp.where(left_smaller, hist_big, hist_small)
 
             d = leaf_depth[l] + 1
-            gl_g, fl, bl = best_of(hist_left)
-            gr_g, fr, br = best_of(hist_right)
+            pout = leaf_out[l]
+            out_l = child_out(hist_left, jnp.sum(hist_left[0, 2, :]), pout)
+            out_r = child_out(hist_right, jnp.sum(hist_right[0, 2, :]), pout)
+            leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
+                               .at[new_slot].set(out_r.astype(leaf_out.dtype))
+            gl_g, fl, bl = best_of(hist_left, out_l)
+            gr_g, fr, br = best_of(hist_right, out_r)
             depth_ok = d < max_depth
             gl_g = jnp.where(depth_ok, gl_g, -jnp.inf)
             gr_g = jnp.where(depth_ok, gr_g, -jnp.inf)
@@ -391,25 +499,38 @@ def _grow_tree_partitioned(bins_T, node0, stats_T, num_bins, num_leaves,
             rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
             rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
             rec_cat2 = rec_cat.at[s].set(words)
-            return (node2, perm2, seg_start, seg_cnt, leaf_hist, leaf_gain,
-                    leaf_feat, leaf_bin, leaf_depth, rec2, rec_gain2,
-                    rec_cat2)
+            return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, seg_start,
+                    seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+                    leaf_depth, leaf_out, rec2, rec_gain2, rec_cat2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
-                            (node, perm, seg_start, seg_cnt, leaf_hist,
-                             leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+                            (bins_p, stats_p, row_ids, leaf_of_pos,
+                             seg_start, seg_cnt, leaf_hist, leaf_gain,
+                             leaf_feat, leaf_bin, leaf_depth, leaf_out,
                              rec, rec_gain, rec_cat))
 
-    carry = (node0, perm0, seg_start, seg_cnt, leaf_hist, leaf_gain,
-             leaf_feat, leaf_bin, leaf_depth, rec, rec_gain, rec_cat)
+    carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, seg_start,
+             seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+             leaf_out, rec, rec_gain, rec_cat)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    (node, _, _, _, leaf_hist, _, _, _, _, rec, rec_gain, rec_cat) = carry
+    (_, _, row_ids, leaf_of_pos, _, _, leaf_hist, _, _, _, _, leaf_out,
+     rec, rec_gain, rec_cat) = carry
+    # row -> leaf slot, back in ROW order (one scatter)
+    node = jnp.zeros(n_pad, jnp.int32).at[row_ids].set(leaf_of_pos)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
     Hs = jnp.sum(leaf_hist[:, 0, 1, :], axis=1)
     Cs = jnp.sum(leaf_hist[:, 0, 2, :], axis=1)
-    leaf_values = jnp.where(
-        Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
-    return rec, leaf_values, node, rec_gain, rec_cat
+    if path_smooth <= 0.0:
+        leaf_values = jnp.where(
+            Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
+    else:
+        leaf_values = jnp.where(Cs > 0, leaf_out, 0.0)
+    return rec, leaf_values, node, rec_gain, rec_cat, Cs
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16))
+def _grow_tree_partitioned(*args, **kw):
+    return _grow_tree_partitioned_impl(*args, **kw)[:5]
 
 
 class SerialTreeLearner:
@@ -418,11 +539,18 @@ class SerialTreeLearner:
     def __init__(self, dataset, num_leaves=31, max_depth=-1,
                  min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
-                 mesh=None, lambda_l1=0.0, monotone_constraints=None):
+                 mesh=None, lambda_l1=0.0, monotone_constraints=None,
+                 parallel_mode="data", path_smooth=0.0):
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
         self.mesh = mesh
+        # 'data': rows sharded, histograms psum-merged
+        #   (data_parallel_tree_learner.cpp:267). 'feature': the feature
+        #   dimension of bins/histograms sharded — the model-parallel axis
+        #   for wide p (feature_parallel_tree_learner.cpp:83); the argmax
+        #   split merge is GSPMD's collective over the sharded gain array.
+        self.parallel_mode = parallel_mode if mesh is not None else "data"
         n, p = dataset.bins.shape
         import jax as _jax
         self.use_pallas = _jax.default_backend() == "tpu"
@@ -430,19 +558,40 @@ class SerialTreeLearner:
             row_block = 2048 if self.use_pallas else 8192
         self.row_block = int(min(row_block, max(n, 256)))
         self.feat_chunk = min(feat_chunk, max(p, 1))
-        row_quant = self.row_block * (mesh.size if mesh is not None else 1)
+        data_par = mesh is not None and self.parallel_mode == "data"
+        feat_par = mesh is not None and self.parallel_mode == "feature"
+        row_quant = self.row_block * (mesh.size if data_par else 1)
+        feat_quant = self.feat_chunk * (mesh.size if feat_par else 1)
         n_pad = -(-n // row_quant) * row_quant
-        p_pad = -(-p // self.feat_chunk) * self.feat_chunk
-        bins_T = np.zeros((p_pad, n_pad), dtype=np.int32)
-        bins_T[:p, :n] = dataset.bins.T
+        p_pad = -(-p // feat_quant) * feat_quant
         self.n, self.p, self.n_pad, self.p_pad = n, p, n_pad, p_pad
-        self.bins_T = jnp.asarray(bins_T)
         self._row_sharding = None
         if mesh is not None:
+            # masked full-scan growth over the mesh: feature-major int32
+            # layout, rows (data-parallel) or features (feature-parallel)
+            # sharded
+            bins_T = np.zeros((p_pad, n_pad), dtype=np.int32)
+            bins_T[:p, :n] = dataset.bins.T
+            self.bins_T = jnp.asarray(bins_T)
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self._col_sharding = NamedSharding(mesh, P(None, "data"))
-            self._row_sharding = NamedSharding(mesh, P("data"))
-            self.bins_T = _jax.device_put(self.bins_T, self._col_sharding)
+            if feat_par:
+                self._col_sharding = NamedSharding(mesh, P())
+                self._row_sharding = NamedSharding(mesh, P())
+                self.bins_T = _jax.device_put(
+                    self.bins_T, NamedSharding(mesh, P("data", None)))
+            else:
+                self._col_sharding = NamedSharding(mesh, P(None, "data"))
+                self._row_sharding = NamedSharding(mesh, P("data"))
+                self.bins_T = _jax.device_put(self.bins_T, self._col_sharding)
+        else:
+            # single-device leaf-partitioned growth: POSITIONAL row-major
+            # uint8 layout (rows get physically re-partitioned per split;
+            # padded rows carry zero stats). uint8 holds max_bin <= 255;
+            # larger bin counts fall back to int32 rows.
+            bdt = np.uint8 if int(dataset.num_bins) <= 256 else np.int32
+            bins_pos = np.zeros((n_pad, p_pad), dtype=bdt)
+            bins_pos[:n, :p] = dataset.bins
+            self.bins_pos = jnp.asarray(bins_pos)
         self.num_bins = int(dataset.num_bins)
         self.num_leaves = int(num_leaves)
         self.max_depth = max_depth if max_depth and max_depth > 0 else 10 ** 6
@@ -461,6 +610,7 @@ class SerialTreeLearner:
         self.monotone = mono
         self.min_sum_hessian = float(min_sum_hessian_in_leaf)
         self.min_gain = float(min_gain_to_split)
+        self.path_smooth = float(path_smooth)
 
     def train(self, grad, hess, row_mask=None, feat_mask=None):
         """row_mask (n,) 0/1: bagging — out-of-bag rows contribute nothing to
@@ -469,36 +619,27 @@ class SerialTreeLearner:
         src/LightGBM/boosting/gbdt.cpp Bagging).
         feat_mask (p,) 0/1: per-tree column sampling (feature_fraction)."""
         n, n_pad = self.n, self.n_pad
-        stats_T = np.zeros((3, n_pad), dtype=np.float32)
-        if row_mask is None:
-            stats_T[0, :n] = grad
-            stats_T[1, :n] = hess
-            stats_T[2, :n] = 1.0
-        else:
-            # row_mask may carry GOSS amplification weights (>1); the count
-            # statistic stays 0/1 so min_data_in_leaf keeps its meaning
-            rm = np.asarray(row_mask, dtype=np.float32)
-            stats_T[0, :n] = grad * rm
-            stats_T[1, :n] = hess * rm
-            stats_T[2, :n] = (rm > 0).astype(np.float32)
         fm = np.zeros(self.p_pad, dtype=np.float32)
         fm[:self.p] = 1.0 if feat_mask is None else \
             np.asarray(feat_mask, dtype=np.float32)
-        node0 = np.zeros(n_pad, dtype=np.int32)
-        node0[n:] = self.num_leaves + 7   # sentinel: padded rows in no leaf
-
-        node0_d = jnp.asarray(node0)
-        stats_d = jnp.asarray(stats_T)
-        if self._row_sharding is not None:
-            import jax as _jax
-            node0_d = _jax.device_put(node0_d, self._row_sharding)
-            stats_d = _jax.device_put(stats_d, self._col_sharding)
         if self.mesh is None:
-            # leaf-partitioned growth: histogram cost scales with
-            # sum-of-smaller-child sizes instead of (num_leaves - 1) * n
+            # leaf-partitioned growth (positional layout): histogram cost
+            # scales with sum-of-smaller-child sizes, not (num_leaves - 1)*n
+            stats_pos = np.zeros((n_pad, 8), dtype=np.float32)
+            if row_mask is None:
+                stats_pos[:n, 0] = grad
+                stats_pos[:n, 1] = hess
+                stats_pos[:n, 2] = 1.0
+            else:
+                # row_mask may carry GOSS amplification weights (>1); the
+                # count stays 0/1 so min_data_in_leaf keeps its meaning
+                rm = np.asarray(row_mask, dtype=np.float32)
+                stats_pos[:n, 0] = grad * rm
+                stats_pos[:n, 1] = hess * rm
+                stats_pos[:n, 2] = (rm > 0).astype(np.float32)
             rec, leaf_values, node, rec_gain, rec_cat = \
                 _grow_tree_partitioned(
-                    self.bins_T, node0_d, stats_d,
+                    self.bins_pos, jnp.asarray(stats_pos),
                     self.num_bins, self.num_leaves, self.max_depth,
                     self.use_pallas, self.row_block, self.feat_chunk,
                     jnp.float32(self.lambda_l2),
@@ -506,8 +647,26 @@ class SerialTreeLearner:
                     jnp.float32(self.min_sum_hessian),
                     jnp.float32(self.min_gain),
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
-                    jnp.asarray(self.monotone), jnp.asarray(self.cat_mask))
+                    jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
+                    self.path_smooth)
         else:
+            stats_T = np.zeros((3, n_pad), dtype=np.float32)
+            if row_mask is None:
+                stats_T[0, :n] = grad
+                stats_T[1, :n] = hess
+                stats_T[2, :n] = 1.0
+            else:
+                rm = np.asarray(row_mask, dtype=np.float32)
+                stats_T[0, :n] = grad * rm
+                stats_T[1, :n] = hess * rm
+                stats_T[2, :n] = (rm > 0).astype(np.float32)
+            node0 = np.zeros(n_pad, dtype=np.int32)
+            node0[n:] = self.num_leaves + 7   # sentinel: pads in no leaf
+            import jax as _jax
+            node0_d = _jax.device_put(jnp.asarray(node0),
+                                      self._row_sharding)
+            stats_d = _jax.device_put(jnp.asarray(stats_T),
+                                      self._col_sharding)
             rec, leaf_values, node, rec_gain, rec_cat = _grow_tree(
                 self.bins_T, node0_d, stats_d,
                 self.num_bins, self.num_leaves, self.max_depth,
@@ -518,14 +677,22 @@ class SerialTreeLearner:
                 jnp.float32(self.min_gain),
                 jnp.asarray(fm), jnp.float32(self.lambda_l1),
                 jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                self.mesh)
+                self.mesh, self.parallel_mode, self.path_smooth)
+        slot_of_row = np.asarray(node)[:n]
+        cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
+        tree, leaf_value_of_slot = self.build_tree(rec, leaf_values, rec_gain,
+                                                   rec_cat, cnt)
+        return tree, slot_of_row, leaf_value_of_slot
+
+    def build_tree(self, rec, leaf_values, rec_gain, rec_cat, cnt):
+        """Host-side tree reconstruction from the device split records.
+        cnt: per-slot training row counts (cover, for TreeSHAP) — bincount of
+        the final row->slot assignment, or the count statistic of the final
+        per-leaf histograms (identical when no bagging)."""
         rec = np.asarray(rec)
         rec_cat = np.asarray(rec_cat)
         rec_gain = np.asarray(rec_gain, dtype=np.float64)
         leaf_values = np.asarray(leaf_values, dtype=np.float64)
-        slot_of_row = np.asarray(node)[:n]
-
-        # host-side tree reconstruction from the split records
         tree = Tree(2 * self.num_leaves)
         tree.leaf_value[0] = leaf_values[0]
         slot_to_node = {0: 0}
@@ -563,14 +730,13 @@ class SerialTreeLearner:
         tree.slot_to_node = dict(slot_to_node)   # for Newton leaf updates
         # per-node training covers (TreeSHAP); parents precede children in the
         # node numbering, so one reversed pass aggregates internal nodes
-        cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
         for slot, node_id in slot_to_node.items():
             tree.cover[node_id] = max(float(cnt[slot]), 1e-9)
         for i in range(tree.num_nodes - 1, -1, -1):
             if not tree.is_leaf[i]:
                 tree.cover[i] = tree.cover[tree.left[i]] \
                     + tree.cover[tree.right[i]]
-        return tree, slot_of_row, leaf_value_of_slot
+        return tree, leaf_value_of_slot
 
 
 def _enforce_monotone(tree, monotone):

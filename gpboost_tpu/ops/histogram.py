@@ -51,6 +51,47 @@ def _hist_kernel(bins_ref, node_ref, stats_ref, target_ref, out_ref, *,
         out_ref[...] = out_ref[...] + partial_hist
 
 
+def _hist_block_rows_kernel(bins_ref, stats_ref, out_ref, *, feat_chunk,
+                            num_bins):
+    """Row-major block histogram: bins_ref (R, Fc) int (positional layout —
+    rows of the physically partitioned bin matrix), stats_ref (R, 8) f32
+    ([grad, hess, count, 0...] with out-of-segment rows zeroed), out
+    (Fc, B, 8). Natural layouts end-to-end: the one-hot is built (R, B) and
+    contracted over the shared sublane dim R on the MXU — no transposes."""
+    sw = stats_ref[...]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, num_bins), 1)
+    for f in range(feat_chunk):
+        col = bins_ref[:, f].astype(jnp.int32)
+        onehot = (col[:, None] == iota_b).astype(jnp.float32)    # (R, B)
+        out_ref[f, :, :] = jax.lax.dot_general(
+            onehot, sw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (B, 8)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def hist_block_rows_pallas(bins_blk, stats_blk, num_bins, feat_chunk=8):
+    """Histogram (p, num_bins, 8) f32 of ONE positional row block:
+    bins_blk (R, p) uint8/int32, stats_blk (R, 8) f32 (masked rows zeroed)."""
+    R, p = bins_blk.shape
+    assert p % feat_chunk == 0
+    kernel = partial(_hist_block_rows_kernel, feat_chunk=feat_chunk,
+                     num_bins=num_bins)
+    return pl.pallas_call(
+        kernel,
+        grid=(p // feat_chunk,),
+        in_specs=[
+            pl.BlockSpec((R, feat_chunk), lambda j: (j * 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8), lambda j: (j * 0, j * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((feat_chunk, num_bins, 8),
+                               lambda j: (j, j * 0, j * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, num_bins, 8), jnp.float32),
+    )(bins_blk, stats_blk)
+
+
 def _hist_block_kernel(bins_ref, stats_ref, out_ref, *, feat_chunk, num_bins):
     """Single row-block histogram: rows are pre-gathered/masked by the caller
     (leaf-partitioned construction, serial_tree_learner.cpp:325 +

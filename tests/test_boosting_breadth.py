@@ -381,3 +381,72 @@ class TestPandasInput:
         np.testing.assert_allclose(bst2.predict(df), bst.predict(df),
                                    rtol=1e-12)
         os.unlink(fn)
+
+
+class TestPathSmooth:
+    def test_path_smooth_shrinks_toward_parent(self):
+        """path_smooth (config.h): larger values pull leaf outputs toward
+        the parent chain -> lower-variance predictions; 0 is a no-op."""
+        rng = np.random.RandomState(11)
+        n = 2000
+        X = rng.randn(n, 5)
+        y = X[:, 0] * 2 + rng.randn(n) * 0.1
+        import gpboost_tpu as gpb
+        preds = {}
+        for ps in (0.0, 50.0, 1e7):
+            ds = gpb.Dataset(X, label=y)
+            bst = gpb.train({"objective": "regression", "num_leaves": 15,
+                             "verbose": 0, "path_smooth": ps,
+                             "learning_rate": 1.0},
+                            ds, num_boost_round=1)
+            preds[ps] = bst.predict(X)
+        base = gpb.train({"objective": "regression", "num_leaves": 15,
+                          "verbose": 0, "learning_rate": 1.0},
+                         gpb.Dataset(X, label=y), num_boost_round=1)
+        np.testing.assert_allclose(preds[0.0], base.predict(X), rtol=1e-6)
+        assert np.var(preds[50.0]) < np.var(preds[0.0])
+        assert np.var(preds[1e7]) < 1e-3 * np.var(preds[0.0])
+
+
+class TestPredContribEFB:
+    def test_shap_rows_sum_with_bundles(self):
+        """pred_contrib under EFB: SHAP runs in bundled space and decodes to
+        the active member; rows still sum to the raw prediction."""
+        rng = np.random.RandomState(12)
+        n = 1500
+        dense = rng.randn(n, 2)
+        s1 = np.where(rng.rand(n) < 0.3, rng.randn(n), 0.0)
+        s2 = np.where((rng.rand(n) < 0.3) & (s1 == 0.0), rng.randn(n), 0.0)
+        X = np.column_stack([dense, s1, s2])
+        y = X[:, 0] + 2 * X[:, 2] - X[:, 3] + 0.1 * rng.randn(n)
+        import gpboost_tpu as gpb
+        ds = gpb.Dataset(X, label=y, params={"enable_bundle": True})
+        bst = gpb.train({"objective": "regression", "num_leaves": 15,
+                         "verbose": 0}, ds, num_boost_round=10)
+        if not getattr(ds, "bundles", None):
+            import pytest
+            pytest.skip("EFB did not bundle on this data")
+        phi = bst.predict(X[:200], pred_contrib=True)
+        raw = bst.predict(X[:200], raw_score=True)
+        assert phi.shape == (200, X.shape[1] + 1)
+        np.testing.assert_allclose(phi.sum(axis=1), raw, rtol=1e-5,
+                                   atol=1e-7)
+
+
+class TestSklearnMulticlass:
+    def test_classifier_multiclass(self):
+        rng = np.random.RandomState(13)
+        n = 900
+        X = rng.randn(n, 4)
+        y = np.array(["a", "b", "c"])[
+            np.argmax(np.column_stack(
+                [X[:, 0], X[:, 1], 0.5 * X[:, 2]]), axis=1)]
+        import gpboost_tpu as gpb
+        clf = gpb.GPBoostClassifier(n_estimators=20, num_leaves=15)
+        clf.fit(X, y)
+        assert clf.n_classes_ == 3
+        proba = clf.predict_proba(X)
+        assert proba.shape == (n, 3)
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
+        acc = np.mean(clf.predict(X) == y)
+        assert acc > 0.85, acc

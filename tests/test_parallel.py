@@ -112,3 +112,40 @@ class TestProductDataParallel:
             if ndev > 1:
                 assert bst.learner.mesh is not None
         np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-7)
+
+
+class TestFeatureParallel:
+    def test_train_feature_sharded_trees_match(self):
+        """Feature-parallel learner (feature_parallel_tree_learner.cpp:83
+        analogue): the feature dimension of bins/histograms sharded over the
+        mesh; 1-vs-8 device equivalence through train()."""
+        rng = np.random.RandomState(6)
+        n, p = 800, 40
+        X = rng.randn(n, p)
+        y = X[:, 0] - 2.0 * X[:, 1] + X[:, 20] * 0.5 + 0.3 * rng.randn(n)
+        from gpboost_tpu import Dataset, train
+        preds = []
+        for ndev in (1, 8):
+            ds = Dataset(X, label=y)
+            params = {"objective": "regression", "num_leaves": 15,
+                      "verbose": 0}
+            if ndev > 1:
+                params["num_parallel_devices"] = ndev
+                params["tree_learner"] = "feature"
+            bst = train(params, ds, num_boost_round=5)
+            preds.append(bst.predict(X))
+            if ndev > 1:
+                assert bst.learner.mesh is not None
+                assert bst.learner.parallel_mode == "feature"
+        np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-7)
+
+    def test_voting_aliases_to_data(self):
+        rng = np.random.RandomState(7)
+        X = rng.randn(300, 4)
+        y = X[:, 0] + 0.1 * rng.randn(300)
+        from gpboost_tpu import Dataset, train
+        ds = Dataset(X, label=y)
+        bst = train({"objective": "regression", "num_leaves": 7, "verbose": 0,
+                     "num_parallel_devices": 8, "tree_learner": "voting"},
+                    ds, num_boost_round=2)
+        assert bst.learner.parallel_mode == "data"
