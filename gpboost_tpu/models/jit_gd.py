@@ -134,9 +134,14 @@ def gd_fit_laplace_engine(engine, cov_pars_init, aux_init, y, F, a_init,
         aux_int = engine.likelihood.aux_to_internal(
             np.asarray(aux_init, dtype=np.float64))
         u = np.concatenate([u, np.log(aux_int)])
-    out = engine._jit_gd_lap(jnp.asarray(u, engine.dtype),
-                             jnp.asarray(F, engine.dtype),
-                             jnp.asarray(y, engine.dtype),
+    Fd = jnp.asarray(F, engine.dtype)
+    yd = jnp.asarray(y, engine.dtype)
+    prep = getattr(engine, "_permute", None)
+    if prep is not None:
+        # Vecchia-Laplace engines evaluate _nll_raw in the Vecchia ordering
+        # (models/vecchia_laplace.py "host-facing API permutes")
+        Fd, yd = prep(Fd), prep(yd)
+    out = engine._jit_gd_lap(jnp.asarray(u, engine.dtype), Fd, yd,
                              a_init, float(lr0), int(max_iter), float(delta))
     u_new, nll, lr, it, a_state = out
     u_new = np.asarray(jax.device_get(u_new), dtype=np.float64)
