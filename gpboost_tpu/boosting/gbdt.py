@@ -136,6 +136,62 @@ def _psi_inv_jax_builder(eng):
     return None
 
 
+def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
+                               est_aux, delta=1e-6):
+    """One compiled program = `chunk` LaGaBoost iterations (non-Gaussian):
+    gradient = d nll_Laplace / dF at the mode -> leaf-partitioned tree ->
+    score update -> warm-started on-device Laplace GD covariance/aux refit
+    (regression_objective.hpp:175-183 OptimCovPar given fixed effects).
+    Mode state and parameters warm-start across rounds; the learning rate
+    restarts at its default each round (see _refit_gp_cov). Cached on the
+    ENGINE; learner arrays come in as arguments."""
+    from .tree_learner import _grow_tree_partitioned_impl
+    from ..models.jit_gd import make_jitted_gd_laplace
+    gd_fit = make_jitted_gd_laplace(eng._nll_raw, eng.num_theta,
+                                    eng.num_aux, est_aux)
+    vag_F = eng._vag_F
+    perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
+    (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
+     path_smooth) = grow_cfg
+
+    def prep(v):
+        return v if perm is None else v[perm]
+
+    def unprep(v):
+        return v if perm is None else jnp.zeros_like(v).at[perm].set(v)
+
+    def run(carry, yp, bins_pos, fm, monotone, cat_mask,
+            lr_tree, l2, min_data, min_hess, min_gain, l1):
+        n = yp.shape[0]
+        n_pad = bins_pos.shape[0]
+
+        def body(c, _):
+            F, u, a = c
+            # gradient at the current params/mode (Booster._gradients,
+            # LaGaBoost branch); the mode found here is discarded — the
+            # refit chain owns the warm start, mirroring the host path
+            (_, (_, _)), (_, gFp) = vag_F(u, prep(F).astype(yp.dtype), yp,
+                                          a)
+            g = unprep(gFp)
+            rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
+                bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
+                num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
+                l2, min_data, min_hess, min_gain, fm, l1, monotone,
+                cat_mask, path_smooth)
+            lv64 = lv.astype(F.dtype)
+            slot = jnp.clip(node[:n], 0, L - 1)
+            contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
+            F_new = F + lr_tree * contrib
+            u_new, nll, _, _, a_new = gd_fit(
+                u, prep(F_new).astype(yp.dtype), yp, a, lr0_gp, maxit_gp,
+                delta)
+            return (F_new, u_new, a_new), (rec, lv64, rgain, rcat, cs, nll)
+
+        return jax.lax.scan(body, carry, None, length=chunk)
+
+    return jax.jit(run)
+
+
 def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
                              delta=1e-6):
     """One compiled program = `chunk` GPBoost-algorithm iterations:
@@ -967,6 +1023,109 @@ class Booster:
                 and hasattr(gp._engine, "nll_parts_raw")
                 and _psi_inv_jax_builder(gp._engine) is not None)
 
+    def can_train_scanned_lagaboost(self):
+        """True when the non-Gaussian LaGaBoost algorithm can run through
+        the fused per-round scan (update_many_lagaboost)."""
+        gp = self.gp_model
+        if gp is None or gp.likelihood == "gaussian":
+            return False
+        p = self.params
+        eng = gp._engine
+        return (self._nsets == 1 and p["boosting"] == "gbdt"
+                and not p["use_nesterov_acc"]
+                and not p.get("linear_tree")
+                and p["train_gp_model_cov_pars"]
+                and not (float(p["bagging_fraction"]) < 1.0
+                         and int(p["bagging_freq"]) > 0)
+                and float(p["feature_fraction"]) >= 1.0
+                and self.learner.mesh is None
+                and not np.any(self.learner.monotone != 0)
+                and gp.X is None
+                and getattr(eng, "num_sets_fe", 1) == 1
+                and hasattr(eng, "_nll_raw") and hasattr(eng, "_vag_F"))
+
+    def update_many_lagaboost(self, num_rounds, chunk=25):
+        """Fused LaGaBoost training (non-Gaussian): the first covariance
+        estimate is a host fit (the reference's first OptimCovPar with
+        fixed effects), then blocks of `chunk` rounds run as single device
+        dispatches via _make_fused_lagaboost_scan."""
+        gp = self.gp_model
+        eng = gp._engine
+        if not gp.model_has_been_fitted:
+            gp.fit(y=self.y, offset=self.F,
+                   params={"maxit": int(self.params["maxit_gp"])})
+        r = gp._fit_result
+        if num_rounds <= 0:
+            return
+        le = self.learner
+        n, n_pad, L = self.n, le.n_pad, le.num_leaves
+        lr_tree = float(self.params["learning_rate"])
+        grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
+                    le.row_block, le.feat_chunk, le.path_smooth)
+        maxit_gp = int(self.params["maxit_gp"])
+        est_aux = bool(getattr(gp.params, "estimate_aux_pars", True)) \
+            and eng.num_aux > 0
+        lr0 = float(gp.params.lr_cov) \
+            if getattr(gp.params, "lr_cov", -1) > 0 else 0.1
+        fm = np.zeros(le.p_pad, dtype=np.float32)
+        fm[:le.p] = 1.0
+        fm = jnp.asarray(fm)
+        mono = jnp.asarray(le.monotone)
+        catm = jnp.asarray(le.cat_mask)
+        yp = jnp.asarray(np.asarray(self.y, dtype=np.float64), eng.dtype)
+        if hasattr(eng, "_permute"):
+            yp = eng._permute(yp)
+
+        u = np.log(eng.transform_pars(np.asarray(r.cov_pars,
+                                                 dtype=np.float64)))
+        if eng.num_aux:
+            aux_int = eng.likelihood.aux_to_internal(
+                np.asarray(r.aux_pars, dtype=np.float64))
+            u = np.concatenate([u, np.log(aux_int)])
+        a0 = r.mode_state if r.mode_state is not None else eng.zero_mode()
+        carry = (jnp.asarray(self.F), jnp.asarray(u, eng.dtype), a0)
+
+        cache = getattr(eng, "_fused_boost_cache", None)
+        if cache is None:
+            cache = eng._fused_boost_cache = {}
+        done = 0
+        nll_last = None
+        while done < num_rounds:
+            c = int(min(chunk, num_rounds - done))
+            key = ("lagaboost", c, grow_cfg, maxit_gp, lr0, est_aux)
+            if key not in cache:
+                cache[key] = _make_fused_lagaboost_scan(
+                    eng, c, grow_cfg, maxit_gp, lr0, est_aux)
+            carry, outs = cache[key](
+                carry, yp, le.bins_pos, fm, mono, catm,
+                jnp.float64(lr_tree), jnp.float32(le.lambda_l2),
+                jnp.float32(le.min_data_in_leaf),
+                jnp.float32(le.min_sum_hessian), jnp.float32(le.min_gain),
+                jnp.float32(le.lambda_l1))
+            rec, lv, rgain, rcat, cs, nlls = [np.asarray(o) for o in
+                                              jax.device_get(outs)]
+            for ri in range(c):
+                cnt = np.concatenate([cs[ri], np.zeros(8)])
+                tree, _ = le.build_tree(rec[ri], lv[ri], rgain[ri],
+                                        rcat[ri], cnt)
+                tree.shrinkage(lr_tree)
+                self.trees.append(tree)
+            nll_last = float(nlls[-1])
+            done += c
+        F, u_f, a_f = carry
+        self.F = np.asarray(F)
+        self.current_iteration_ = len(self.trees)
+        u_f = np.asarray(jax.device_get(u_f), dtype=np.float64)
+        pars = eng.back_transform_pars(np.exp(u_f[:eng.num_theta]))
+        r.cov_pars = pars
+        if eng.num_aux:
+            r.aux_pars = eng.likelihood.aux_from_internal(
+                np.exp(u_f[eng.num_theta:]))
+        r.neg_log_likelihood = nll_last
+        r.mode_state = a_f
+        self._gp_init_pars = pars
+        self._gp_refit_iter = self.current_iteration_
+
     def update_many_gpboost(self, num_rounds, chunk=25):
         """Fused GPBoost-algorithm training (Gaussian): the first covariance
         estimate is a full host fit (the reference's first OptimCovPar,
@@ -1693,6 +1852,11 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
             return booster
         if booster.can_train_scanned_gpboost():
             booster.update_many_gpboost(nbr)
+            booster.best_iteration = -1
+            booster.best_score = None
+            return booster
+        if booster.can_train_scanned_lagaboost():
+            booster.update_many_lagaboost(nbr)
             booster.best_iteration = -1
             booster.best_score = None
             return booster

@@ -115,3 +115,42 @@ class TestScanGPBoost:
         ps = bs.predict(X[:100], gp_coords_pred=coords[:100])
         np.testing.assert_allclose(pf["response_mean"], ps["response_mean"],
                                    rtol=0, atol=1e-6)
+
+
+class TestScanLaGaBoost:
+    def test_matches_per_round_loop(self):
+        rng = np.random.RandomState(9)
+        n = 400
+        coords = rng.rand(n, 2)
+        X = rng.rand(n, 3)
+        lat = (0.4 * np.sin(3 * X[:, 0])
+               + 0.6 * np.sin(6 * coords[:, 0]) * np.cos(4 * coords[:, 1]))
+        y = rng.poisson(np.exp(lat)).astype(float)
+
+        def run(fast):
+            gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                             likelihood="poisson", gp_approx="vecchia",
+                             num_neighbors=8,
+                             matrix_inversion_method="cholesky")
+            ds = gpb.Dataset(X, label=y)
+            bst = gpb.train({"objective": "poisson", "learning_rate": 0.1,
+                             "num_leaves": 7, "verbose": 0}, ds,
+                            num_boost_round=5, gp_model=gp,
+                            callbacks=None if fast else [lambda env: None])
+            return bst, gp
+
+        bf, gf = run(True)
+        bs, gs = run(False)
+        assert bf.can_train_scanned_lagaboost()
+        assert len(bf.trees) == len(bs.trees) == 5
+        np.testing.assert_allclose(np.ravel(gf.get_cov_pars()),
+                                   np.ravel(gs.get_cov_pars()), rtol=1e-5)
+        pf = bf.predict(X[:50], gp_coords_pred=coords[:50],
+                        pred_latent=True)
+        ps = bs.predict(X[:50], gp_coords_pred=coords[:50],
+                        pred_latent=True)
+        np.testing.assert_allclose(pf["fixed_effect"], ps["fixed_effect"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(pf["random_effect_mean"],
+                                   ps["random_effect_mean"],
+                                   rtol=0, atol=1e-5)
