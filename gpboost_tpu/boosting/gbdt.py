@@ -104,6 +104,72 @@ def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
     return jax.lax.scan(body, F0, None, length=chunk)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _train_rounds_scanned_multi(obj_name, obj_args, K, grow_cfg, chunk,
+                                bins_pos, y, w, F0, lr,
+                                l2, min_data, min_hess, min_gain, fm, l1,
+                                monotone, cat_mask):
+    """Fused multi-round training for the K-trees-per-iteration objectives
+    (multiclass softmax, mean_scale_regression): one device dispatch runs
+    `chunk` iterations of [shared gradients -> K leaf-partitioned trees ->
+    per-block score updates] (gbdt.cpp TrainOneIter over num_class_
+    models / regression_objective.hpp:1010 MeanScaleLoss)."""
+    from .tree_learner import _grow_tree_partitioned_impl
+    (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
+     path_smooth) = grow_cfg
+    n = y.shape[0]
+    n_pad = bins_pos.shape[0]
+    L = num_leaves
+
+    if obj_name == "multiclass":
+        onehot = jax.nn.one_hot(y.astype(jnp.int32), K, axis=0,
+                                dtype=jnp.float64)              # (K, n)
+        factor = K / (K - 1.0)
+
+        def grads(F):
+            S = F.reshape(K, n)
+            S = S - jnp.max(S, axis=0, keepdims=True)
+            P = jnp.exp(S)
+            P = P / jnp.sum(P, axis=0, keepdims=True)
+            g = P - onehot
+            h = jnp.maximum(factor * P * (1.0 - P), 1e-12)
+            return g, h
+    else:                                 # mean_scale_regression
+        def grads(F):
+            m_ = F[:n]
+            sv = F[n:]
+            inv_var = jnp.exp(-sv)
+            neg_resid = m_ - y
+            g1 = inv_var * neg_resid
+            h1 = inv_var
+            h2 = inv_var * neg_resid ** 2 / 2.0
+            g2 = -h2 + 0.5
+            g = jnp.stack([g1, g2])
+            h = jnp.maximum(jnp.stack([h1, h2]), 1e-12)
+            return g, h
+
+    def body(F, _):
+        g, h = grads(F)
+        if w is not None:
+            g, h = g * w[None, :], h * w[None, :]
+        outs = []
+        for k in range(K):
+            rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
+                bins_pos, _stats_pos_of(g[k], h[k], n_pad), num_bins, L,
+                max_depth, use_pallas, row_block, feat_chunk, l2, min_data,
+                min_hess, min_gain, fm, l1, monotone, cat_mask, path_smooth)
+            lv64 = lv.astype(F.dtype)
+            slot = jnp.clip(node[:n], 0, L - 1)
+            contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
+            F = F.at[k * n:(k + 1) * n].add(lr * contrib)
+            outs.append((rec, lv64, rgain, rcat, cs))
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *outs)
+        return F, stacked
+
+    return jax.lax.scan(body, F0, None, length=chunk)
+
+
 def _psi_inv_jax_builder(eng):
     """Traceable Psi_tilde^-1 v (the unit-sigma2 scaled covariance) for the
     engines the fused GPBoost scan supports; None when unsupported. The
@@ -1023,6 +1089,61 @@ class Booster:
                 and hasattr(gp._engine, "nll_parts_raw")
                 and _psi_inv_jax_builder(gp._engine) is not None)
 
+    def can_train_scanned_multi(self):
+        """True when the K-trees-per-iteration objectives (multiclass /
+        mean_scale_regression) can run through the fused scan."""
+        p = self.params
+        return (self.gp_model is None and self._nsets > 1
+                and self.objective_name in ("multiclass",
+                                            "mean_scale_regression")
+                and p["boosting"] == "gbdt"
+                and not p["use_nesterov_acc"]
+                and not p.get("linear_tree")
+                and not (float(p["bagging_fraction"]) < 1.0
+                         and int(p["bagging_freq"]) > 0)
+                and float(p["feature_fraction"]) >= 1.0
+                and self.learner.mesh is None
+                and not np.any(self.learner.monotone != 0))
+
+    def update_many_multi(self, num_rounds, chunk=25):
+        """Fused multi-set training (see _train_rounds_scanned_multi)."""
+        le = self.learner
+        n, n_pad, L = self.n, le.n_pad, le.num_leaves
+        K = self._nsets
+        lr = float(self.params["learning_rate"])
+        grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
+                    le.row_block, le.feat_chunk, le.path_smooth)
+        fm = np.zeros(le.p_pad, dtype=np.float32)
+        fm[:le.p] = 1.0
+        w = self.train_set.weight
+        w_d = None if w is None else jnp.asarray(
+            np.asarray(w, dtype=np.float64))
+        y_d = jnp.asarray(self.y)
+        F = jnp.asarray(self.F)
+        done = 0
+        while done < num_rounds:
+            c = int(min(chunk, num_rounds - done))
+            F, outs = _train_rounds_scanned_multi(
+                self.objective_name, (), K, grow_cfg, c,
+                le.bins_pos, y_d, w_d, F, jnp.float64(lr),
+                jnp.float32(le.lambda_l2),
+                jnp.float32(le.min_data_in_leaf),
+                jnp.float32(le.min_sum_hessian), jnp.float32(le.min_gain),
+                jnp.asarray(fm), jnp.float32(le.lambda_l1),
+                jnp.asarray(le.monotone), jnp.asarray(le.cat_mask))
+            rec, lv, rgain, rcat, cs = [np.asarray(o) for o in
+                                        jax.device_get(outs)]
+            for r in range(c):
+                for k in range(K):
+                    cnt = np.concatenate([cs[r, k], np.zeros(8)])
+                    tree, _ = le.build_tree(rec[r, k], lv[r, k],
+                                            rgain[r, k], rcat[r, k], cnt)
+                    tree.shrinkage(lr)
+                    self.trees.append(tree)
+            done += c
+        self.F = np.asarray(F)
+        self.current_iteration_ = len(self.trees) // K
+
     def can_train_scanned_lagaboost(self):
         """True when the non-Gaussian LaGaBoost algorithm can run through
         the fused per-round scan (update_many_lagaboost)."""
@@ -1857,6 +1978,11 @@ def train(params, train_set, num_boost_round=100, gp_model=None,
             return booster
         if booster.can_train_scanned_lagaboost():
             booster.update_many_lagaboost(nbr)
+            booster.best_iteration = -1
+            booster.best_score = None
+            return booster
+        if booster.can_train_scanned_multi():
+            booster.update_many_multi(nbr)
             booster.best_iteration = -1
             booster.best_score = None
             return booster

@@ -85,6 +85,43 @@ class TestScanFastPath:
         assert b2.can_train_scanned()
 
 
+class TestScanMulti:
+    def test_multiclass_matches_per_round_loop(self):
+        rng = np.random.RandomState(11)
+        n, p, K = 900, 6, 3
+        X = rng.rand(n, p)
+        yy = (np.digitize(X[:, 0] + 0.3 * rng.randn(n),
+                          [0.33, 0.66])).astype(float)
+        params = {"objective": "multiclass", "num_class": K,
+                  "num_leaves": 7, "learning_rate": 0.2, "verbose": 0}
+        bf = gpb.train(params, gpb.Dataset(X, label=yy), num_boost_round=6)
+        bs = gpb.train(params, gpb.Dataset(X, label=yy), num_boost_round=6,
+                       callbacks=[lambda env: None])
+        assert len(bf.trees) == len(bs.trees) == 6 * K
+        np.testing.assert_allclose(np.asarray(bf.predict(X[:200])),
+                                   np.asarray(bs.predict(X[:200])),
+                                   rtol=0, atol=1e-12)
+
+    def test_mean_scale_matches_per_round_loop(self):
+        rng = np.random.RandomState(12)
+        n = 700
+        X = rng.rand(n, 5)
+        yy = X[:, 0] * 2 + np.exp(X[:, 1]) * 0.3 * rng.randn(n)
+        params = {"objective": "mean_scale_regression", "num_leaves": 7,
+                  "learning_rate": 0.1, "verbose": 0}
+        bf = gpb.train(params, gpb.Dataset(X, label=yy), num_boost_round=5)
+        bs = gpb.train(params, gpb.Dataset(X, label=yy), num_boost_round=5,
+                       callbacks=[lambda env: None])
+        assert len(bf.trees) == len(bs.trees) == 10
+        pf, ps = bf.predict(X[:200]), bs.predict(X[:200])
+        np.testing.assert_allclose(np.asarray(pf["pred_mean"]),
+                                   np.asarray(ps["pred_mean"]),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pf["pred_var"]),
+                                   np.asarray(ps["pred_var"]),
+                                   rtol=0, atol=1e-12)
+
+
 class TestScanGPBoost:
     def test_matches_per_round_loop(self):
         rng = np.random.RandomState(5)
