@@ -533,6 +533,30 @@ def _grow_tree_partitioned(*args, **kw):
     return _grow_tree_partitioned_impl(*args, **kw)[:5]
 
 
+_POSITIONAL_KERNEL_OK = None
+
+
+def _positional_kernel_available():
+    """Eagerly probe the row-major Pallas histogram kernel once per process;
+    fall back to the XLA one-hot einsum path if Mosaic rejects it on this
+    backend (keeps training correct even if a toolchain change breaks the
+    kernel — the einsum path is slower but identical)."""
+    global _POSITIONAL_KERNEL_OK
+    if _POSITIONAL_KERNEL_OK is None:
+        try:
+            from ..ops.histogram import hist_block_rows_pallas
+            bb = jnp.zeros((256, 8), jnp.uint8)
+            sb = jnp.zeros((256, 8), jnp.float32)
+            jax.block_until_ready(hist_block_rows_pallas(bb, sb, 16, 8))
+            _POSITIONAL_KERNEL_OK = True
+        except Exception as e:      # Mosaic lowering / runtime failure
+            from ..utils.log import Log
+            Log.warning(f"positional Pallas histogram kernel unavailable "
+                        f"({type(e).__name__}); using the XLA einsum path")
+            _POSITIONAL_KERNEL_OK = False
+    return _POSITIONAL_KERNEL_OK
+
+
 class SerialTreeLearner:
     """Leaf-wise growth; one compiled program per tree."""
 
@@ -554,6 +578,8 @@ class SerialTreeLearner:
         n, p = dataset.bins.shape
         import jax as _jax
         self.use_pallas = _jax.default_backend() == "tpu"
+        if self.use_pallas and mesh is None:
+            self.use_pallas = _positional_kernel_available()
         if row_block is None:
             row_block = 2048 if self.use_pallas else 8192
         self.row_block = int(min(row_block, max(n, 256)))
