@@ -379,6 +379,11 @@ _BOOST_PARAM_DEFAULTS = dict(
     # path smoothing (config.h path_smooth): shrink leaf outputs toward the
     # parent, weighted by ps/(n_leaf+ps)
     path_smooth=0.0,
+    # cost-effective gradient boosting (config.h cegb_*,
+    # cost_effective_gradient_boosting.hpp): split gains are penalized by
+    # tradeoff*penalty_split*n_leaf and a once-per-model per-feature cost
+    cegb_tradeoff=1.0, cegb_penalty_split=0.0,
+    cegb_penalty_feature_coupled=None, cegb_penalty_feature_lazy=None,
 )
 
 _PARAM_ALIASES = {
@@ -405,6 +410,7 @@ class Booster:
 
     _nsets = 1          # predictor blocks (2 for heteroscedastic-type GPs)
     init_score2 = 0.0
+    _cegb_used = None   # CEGB model-wide feature-usage mask
 
     def __init__(self, params=None, train_set=None, gp_model=None,
                  model_file=None, model_dict=None, init_model=None):
@@ -447,6 +453,26 @@ class Booster:
         if tl is None:
             raise ValueError(f"Unknown tree_learner "
                              f"'{p.get('tree_learner')}'")
+        if p.get("cegb_penalty_feature_lazy") is not None:
+            raise NotImplementedError(
+                "cegb_penalty_feature_lazy (per-row feature-acquisition "
+                "costs) is not supported; use "
+                "cegb_penalty_feature_coupled / cegb_penalty_split")
+        cegb = None
+        coupled = p.get("cegb_penalty_feature_coupled")
+        if coupled is not None or float(p["cegb_penalty_split"]) > 0.0:
+            tr = float(p["cegb_tradeoff"])
+            cvec = np.zeros(train_set.num_features, dtype=np.float64)
+            if coupled is not None:
+                cp = np.asarray(coupled, dtype=np.float64)
+                if len(cp) != train_set.num_features:
+                    raise ValueError(
+                        "cegb_penalty_feature_coupled must have one entry "
+                        "per feature")
+                cvec = cp
+            cegb = {"coupled": tr * cvec,
+                    "split": tr * float(p["cegb_penalty_split"])}
+        self._cegb_used = None
         self.learner = SerialTreeLearner(
             train_set, num_leaves=int(p["num_leaves"]),
             max_depth=int(p["max_depth"]),
@@ -457,7 +483,9 @@ class Booster:
             min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
             min_gain_to_split=float(p["min_gain_to_split"]),
             mesh=mesh, parallel_mode=tl,
-            path_smooth=float(p["path_smooth"]))
+            path_smooth=float(p["path_smooth"]), cegb=cegb)
+        if cegb is not None:
+            self._cegb_used = np.zeros(self.learner.p_pad, dtype=np.float32)
 
         if gp_model is not None:
             self.objective_name = gp_model.likelihood
@@ -924,7 +952,9 @@ class Booster:
                 gk = grad[k * self.n:(k + 1) * self.n]
                 hk = hess[k * self.n:(k + 1) * self.n]
                 tree, slot_of_row, leaf_value_of_slot = self.learner.train(
-                    gk, hk, row_mask=row_mask, feat_mask=feat_mask)
+                    gk, hk, row_mask=row_mask, feat_mask=feat_mask,
+                    cegb_used=self._cegb_used)
+                self._note_cegb_usage(tree)
                 tree.shrinkage(lr)
                 self.F[k * self.n:(k + 1) * self.n] += \
                     lr * leaf_value_of_slot[slot_of_row]
@@ -972,7 +1002,9 @@ class Booster:
             if gm is not None:
                 row_mask = gm
         tree, slot_of_row, leaf_value_of_slot = self.learner.train(
-            grad, hess, row_mask=row_mask, feat_mask=feat_mask)
+            grad, hess, row_mask=row_mask, feat_mask=feat_mask,
+            cegb_used=self._cegb_used)
+        self._note_cegb_usage(tree)
         if self.params.get("linear_tree"):
             _fit_linear_leaves(tree, self.train_set.data, grad, hess,
                                slot_of_row,
@@ -1046,6 +1078,15 @@ class Booster:
             self._refit_gp_cov()
         return False
 
+    def _note_cegb_usage(self, tree):
+        """Record the model-wide feature usage for the CEGB coupled
+        penalty (cost_effective_gradient_boosting.hpp:93-103 UpdateUsed)."""
+        if self._cegb_used is None:
+            return
+        for i in range(tree.num_nodes):
+            if not tree.is_leaf[i]:
+                self._cegb_used[int(tree.split_feature[i])] = 1.0
+
     # ------------------------------------------------------------------
     def can_train_scanned(self):
         """True when training can run through the fused multi-round scan
@@ -1061,6 +1102,7 @@ class Booster:
                          and int(p["bagging_freq"]) > 0)
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
+                and self.learner.cegb is None
                 and not np.any(self.learner.monotone != 0)
                 and (self.objective_name in ("gaussian", "quantile",
                                              "cross_entropy")
@@ -1084,6 +1126,7 @@ class Booster:
                          and int(p["bagging_freq"]) > 0)
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
+                and self.learner.cegb is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and hasattr(gp._engine, "nll_parts_raw")
@@ -1103,6 +1146,7 @@ class Booster:
                          and int(p["bagging_freq"]) > 0)
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
+                and self.learner.cegb is None
                 and not np.any(self.learner.monotone != 0))
 
     def update_many_multi(self, num_rounds, chunk=25):
@@ -1160,6 +1204,7 @@ class Booster:
                          and int(p["bagging_freq"]) > 0)
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
+                and self.learner.cegb is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and getattr(eng, "num_sets_fe", 1) == 1

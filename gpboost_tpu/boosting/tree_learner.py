@@ -80,7 +80,8 @@ def _smoothed_output(G, H, C, lambda_l2, lambda_l1, path_smooth, parent_out):
 
 def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
-                        cat_mask=None, path_smooth=0.0, parent_out=0.0):
+                        cat_mask=None, path_smooth=0.0, parent_out=0.0,
+                        cegb_coupled=None, cegb_split=0.0, cegb_used=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
@@ -127,6 +128,14 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
 
         gain = (leaf_gain(GL, HL, wl) + leaf_gain(GR, HR, wr)
                 - leaf_gain(G, H, wp))
+    if cegb_coupled is not None:
+        # cost-effective gradient boosting
+        # (cost_effective_gradient_boosting.hpp:70-74 DetailGain): gain is
+        # penalized by tradeoff*penalty_split*num_data_in_leaf plus, for a
+        # feature not yet used anywhere in the model, the coupled per-
+        # feature penalty. In-tree usage updates come through cegb_used.
+        gain = gain - (cegb_coupled * (1.0 - cegb_used))[:, None] \
+            - cegb_split * C
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
     if monotone is not None:
@@ -324,7 +333,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 max_depth, use_pallas, row_block, feat_chunk,
                                 lambda_l2, min_data, min_hess, min_gain,
                                 feat_mask, lambda_l1, monotone, cat_mask,
-                                path_smooth=0.0):
+                                path_smooth=0.0, cegb_coupled=None,
+                                cegb_split=0.0, cegb_used0=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -381,10 +391,11 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 jnp.zeros((p, num_bins, 8), jnp.float32))
         return jnp.transpose(acc, (0, 2, 1))[:, :3, :]
 
-    def best_of(hist, parent_out):
+    def best_of(hist, parent_out, used):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
-                                   cat_mask, path_smooth, parent_out)
+                                   cat_mask, path_smooth, parent_out,
+                                   cegb_coupled, cegb_split, used)
 
     def raw_out(hist):
         G = jnp.sum(hist[0, 0, :])
@@ -401,10 +412,12 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
 
     row_ids0 = pos_iota                    # identity: position i holds row i
     leaf_of_pos0 = jnp.zeros(n_pad, jnp.int32)
+    used0 = cegb_used0 if cegb_used0 is not None \
+        else jnp.zeros((p,), jnp.float32)
     hist0 = hist_segment(bins_pos, stats_pos, jnp.int32(0),
                          jnp.int32(n_pad))
     out0 = raw_out(hist0)
-    g0, f0, b0_ = best_of(hist0, out0)
+    g0, f0, b0_ = best_of(hist0, out0, used0)
 
     leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
         out0.astype(hist0.dtype))
@@ -421,7 +434,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     rec_cat = jnp.zeros((L - 1, n_words), jnp.uint32)
 
     def split_step(s, carry):
-        (bins_p, stats_p, row_ids, leaf_of_pos, seg_start, seg_cnt,
+        (bins_p, stats_p, row_ids, leaf_of_pos, used, seg_start, seg_cnt,
          leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, leaf_out,
          rec, rec_gain, rec_cat) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
@@ -432,8 +445,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         gain_l = leaf_gain[l]
 
         def do_split(args):
-            (bins_p, stats_p, row_ids, leaf_of_pos, seg_start, seg_cnt,
-             leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+            (bins_p, stats_p, row_ids, leaf_of_pos, used, seg_start,
+             seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
              leaf_out, rec, rec_gain, rec_cat) = args
             s0 = seg_start[l]
             c = seg_cnt[l]
@@ -477,12 +490,13 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
 
             d = leaf_depth[l] + 1
             pout = leaf_out[l]
+            used2 = used.at[f].set(1.0)
             out_l = child_out(hist_left, jnp.sum(hist_left[0, 2, :]), pout)
             out_r = child_out(hist_right, jnp.sum(hist_right[0, 2, :]), pout)
             leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
                                .at[new_slot].set(out_r.astype(leaf_out.dtype))
-            gl_g, fl, bl = best_of(hist_left, out_l)
-            gr_g, fr, br = best_of(hist_right, out_r)
+            gl_g, fl, bl = best_of(hist_left, out_l, used2)
+            gr_g, fr, br = best_of(hist_right, out_r, used2)
             depth_ok = d < max_depth
             gl_g = jnp.where(depth_ok, gl_g, -jnp.inf)
             gr_g = jnp.where(depth_ok, gr_g, -jnp.inf)
@@ -499,21 +513,22 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
             rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
             rec_cat2 = rec_cat.at[s].set(words)
-            return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, seg_start,
-                    seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
-                    leaf_depth, leaf_out, rec2, rec_gain2, rec_cat2)
+            return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, used2,
+                    seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
+                    leaf_bin, leaf_depth, leaf_out, rec2, rec_gain2,
+                    rec_cat2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
-                            (bins_p, stats_p, row_ids, leaf_of_pos,
+                            (bins_p, stats_p, row_ids, leaf_of_pos, used,
                              seg_start, seg_cnt, leaf_hist, leaf_gain,
                              leaf_feat, leaf_bin, leaf_depth, leaf_out,
                              rec, rec_gain, rec_cat))
 
-    carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, seg_start,
+    carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, used0, seg_start,
              seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
              leaf_out, rec, rec_gain, rec_cat)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    (_, _, row_ids, leaf_of_pos, _, _, leaf_hist, _, _, _, _, leaf_out,
+    (_, _, row_ids, leaf_of_pos, _, _, _, leaf_hist, _, _, _, _, leaf_out,
      rec, rec_gain, rec_cat) = carry
     # row -> leaf slot, back in ROW order (one scatter)
     node = jnp.zeros(n_pad, jnp.int32).at[row_ids].set(leaf_of_pos)
@@ -564,7 +579,7 @@ class SerialTreeLearner:
                  min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
-                 parallel_mode="data", path_smooth=0.0):
+                 parallel_mode="data", path_smooth=0.0, cegb=None):
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
@@ -637,8 +652,17 @@ class SerialTreeLearner:
         self.min_sum_hessian = float(min_sum_hessian_in_leaf)
         self.min_gain = float(min_gain_to_split)
         self.path_smooth = float(path_smooth)
+        # cost-effective gradient boosting
+        # (cost_effective_gradient_boosting.hpp): dict with 'coupled'
+        # (p,)-array of tradeoff-scaled per-feature penalties and 'split'
+        # (tradeoff * cegb_penalty_split); None when disabled
+        self.cegb = cegb
+        if cegb is not None and mesh is not None:
+            raise NotImplementedError(
+                "CEGB penalties are not supported with a device mesh")
 
-    def train(self, grad, hess, row_mask=None, feat_mask=None):
+    def train(self, grad, hess, row_mask=None, feat_mask=None,
+              cegb_used=None):
         """row_mask (n,) 0/1: bagging — out-of-bag rows contribute nothing to
         histograms (grad/hess/count zeroed) but keep their leaf assignment so
         training scores update for every row (LightGBM bagging semantics,
@@ -663,6 +687,17 @@ class SerialTreeLearner:
                 stats_pos[:n, 0] = grad * rm
                 stats_pos[:n, 1] = hess * rm
                 stats_pos[:n, 2] = (rm > 0).astype(np.float32)
+            if self.cegb is not None:
+                cpen = np.zeros(self.p_pad, dtype=np.float32)
+                cpen[:len(self.cegb["coupled"])] = self.cegb["coupled"]
+                cegb_args = (jnp.asarray(cpen),
+                             jnp.float32(self.cegb["split"]),
+                             jnp.asarray(np.asarray(
+                                 cegb_used if cegb_used is not None
+                                 else np.zeros(self.p_pad),
+                                 dtype=np.float32)))
+            else:
+                cegb_args = (None, jnp.float32(0.0), None)
             rec, leaf_values, node, rec_gain, rec_cat = \
                 _grow_tree_partitioned(
                     self.bins_pos, jnp.asarray(stats_pos),
@@ -674,7 +709,7 @@ class SerialTreeLearner:
                     jnp.float32(self.min_gain),
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
                     jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                    self.path_smooth)
+                    self.path_smooth, *cegb_args)
         else:
             stats_T = np.zeros((3, n_pad), dtype=np.float32)
             if row_mask is None:

@@ -450,3 +450,61 @@ class TestSklearnMulticlass:
         np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-6)
         acc = np.mean(clf.predict(X) == y)
         assert acc > 0.85, acc
+
+
+class TestCEGB:
+    """Cost-effective gradient boosting
+    (cost_effective_gradient_boosting.hpp): split gains penalized by
+    tradeoff * penalty_split * n_leaf and a once-per-model coupled
+    per-feature cost."""
+
+    def _data(self):
+        rng = np.random.RandomState(13)
+        n = 1500
+        X = rng.rand(n, 4)
+        # feature 0 is strong, feature 1 is a slightly weaker copy
+        X[:, 1] = X[:, 0] + 0.05 * rng.randn(n)
+        y = 2.0 * X[:, 0] + 0.2 * rng.randn(n)
+        return X, y
+
+    def test_coupled_penalty_steers_feature_choice(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        params = {"objective": "regression", "num_leaves": 7, "verbose": 0}
+        b0 = train(dict(params), Dataset(X, label=y), num_boost_round=5)
+        # a large coupled penalty on feature 0 pushes splits to feature 1
+        b1 = train(dict(params, cegb_penalty_feature_coupled=[1e6, 0, 0, 0]),
+                   Dataset(X, label=y), num_boost_round=5)
+        used0 = {int(f) for t in b0.trees
+                 for i, f in enumerate(t.split_feature[:t.num_nodes])
+                 if not t.is_leaf[i]}
+        used1 = {int(f) for t in b1.trees
+                 for i, f in enumerate(t.split_feature[:t.num_nodes])
+                 if not t.is_leaf[i]}
+        assert 0 in used0
+        assert 0 not in used1 and 1 in used1
+
+    def test_coupled_penalty_paid_once_per_model(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        # a modest penalty: worth paying once for the dominant feature,
+        # after which feature 0 splits are free again
+        b = train({"objective": "regression", "num_leaves": 7, "verbose": 0,
+                   "cegb_penalty_feature_coupled": [50.0, 1e6, 1e6, 1e6]},
+                  Dataset(X, label=y), num_boost_round=4)
+        used = [int(f) for t in b.trees
+                for i, f in enumerate(t.split_feature[:t.num_nodes])
+                if not t.is_leaf[i]]
+        assert set(used) == {0}
+        assert len(used) > 1     # feature 0 reused after the one-time cost
+
+    def test_split_penalty_prunes(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        params = {"objective": "regression", "num_leaves": 31, "verbose": 0}
+        b0 = train(dict(params), Dataset(X, label=y), num_boost_round=2)
+        b1 = train(dict(params, cegb_penalty_split=10.0),
+                   Dataset(X, label=y), num_boost_round=2)
+        n_splits = lambda bb: sum(int((~t.is_leaf[:t.num_nodes]).sum())
+                                  for t in bb.trees)
+        assert n_splits(b1) < n_splits(b0)
