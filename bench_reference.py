@@ -87,6 +87,27 @@ def sim_boost(n=200_000, p=50, seed=2):
     return X, y
 
 
+def sim_lagab(n=50_000, p=5, seed=4):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    coords = rng.rand(n, 2)
+    X = rng.rand(n, p)
+    lat = (np.sin(3 * X[:, 0]) + X[:, 1] ** 2 - 1.0
+           + 0.8 * np.sin(6 * coords[:, 0]) * np.cos(4 * coords[:, 1]))
+    from scipy.stats import norm
+    y = (rng.rand(n) < norm.cdf(lat)).astype(float)
+    return coords, X, y
+
+
+def sim_glmm(n=100_000, q=1000, seed=5):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, q, n)
+    b = 0.8 * rng.normal(size=q)
+    y = (rng.rand(n) < 1.0 / (1.0 + np.exp(-b[g]))).astype(float)
+    return g, y
+
+
 def sim_vl(n=20_000, seed=3):
     import numpy as np
     rng = np.random.RandomState(seed)
@@ -166,7 +187,30 @@ def main():
         record(f"boosting_n200k_p50_leaves{leaves}_20rounds",
                time.time() - t0, rounds=20, n=200_000, p=50)
 
-    # 4. iterative Vecchia-Laplace fit: bernoulli_probit, n=20k, m=20
+    # 4. LaGaBoost: binary Vecchia GPBoost, n=50k, 10 rounds
+    if not args.skip_slow:
+        coords, Xl, yl = sim_lagab()
+        gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                          gp_approx="vecchia", num_neighbors=20,
+                          likelihood="bernoulli_probit",
+                          matrix_inversion_method="iterative")
+        dsl = gpb.Dataset(Xl, label=yl)
+        t0 = time.time()
+        gpb.train({"objective": "binary", "learning_rate": 0.1,
+                   "num_leaves": 31, "verbose": -1}, dsl,
+                  num_boost_round=10, gp_model=gpl)
+        record("lagaboost_binary_vecchia_n50k_10rounds", time.time() - t0,
+               rounds=10, n=50_000)
+
+    # 5. RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k
+    gg, yg2 = sim_glmm()
+    mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
+    t0 = time.time()
+    mg.fit(y=yg2, params={"maxit": 50})
+    record("grouped_glmm_bernoulli_n100k_q1k_fit", time.time() - t0,
+           num_it=int(mg._get_num_optim_iter()), maxit=50)
+
+    # 6. iterative Vecchia-Laplace fit: bernoulli_probit, n=20k, m=20
     coords, y = sim_vl()
     m = gpb.GPModel(gp_coords=coords, cov_function="exponential",
                     gp_approx="vecchia", num_neighbors=20,
