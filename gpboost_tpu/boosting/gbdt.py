@@ -858,9 +858,14 @@ class Booster:
                     r.mode_state = a
                     self._gp_init_pars = pars
                 else:
-                    gp.fit(y=self.y, offset=self.F, params={
-                        "init_cov_pars": self._gp_init_pars,
-                        "maxit": int(self.params["maxit_gp"])})
+                    # first fit: honor the user's configured init_cov_pars
+                    # (the reference's first OptimCovPar does); explicitly
+                    # passing init_cov_pars=None would RESET it to the
+                    # data-driven default
+                    fp = {"maxit": int(self.params["maxit_gp"])}
+                    if self._gp_init_pars is not None:
+                        fp["init_cov_pars"] = self._gp_init_pars
+                    gp.fit(y=self.y, offset=self.F, params=fp)
                     self._gp_init_pars = gp._fit_result.cov_pars
         self._gp_refit_iter = self.current_iteration_
 

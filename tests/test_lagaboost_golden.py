@@ -414,7 +414,12 @@ class TestNegativeBinomialGrouped:
         shape = 0.9
         y = nbinom.ppf(sim_rand_unif(len(mu), 0.134686),
                        n=shape, p=shape / (shape + mu))
-        gp, bst = _run(sim, y, "negative_binomial", V2, "negative_binomial")
+        # the reference block fixes the shape (R:1668-1671
+        # OPTIM_PARAMS_GAMMA: estimate_aux_pars=FALSE, init_aux_pars=1,
+        # init_cov_pars=c(1,1)); its goldens are for the FIXED-aux fit
+        opt = dict(V2, estimate_aux_pars=False, init_aux_pars=[1.0])
+        gp, bst = _run(sim, y, "negative_binomial", opt,
+                       "negative_binomial")
         cp = np.asarray(gp.get_cov_pars()).ravel()
         assert np.sum(np.abs(cp - np.array([0.5539764, 0.4821519]))) < 0.05
         nt = sim["ntrain"]
