@@ -117,6 +117,14 @@ def load_reference():
 
 
 def main():
+    # persistent compilation cache: the fused multi-round scans are
+    # compile-heavy; repeated bench runs (driver rounds, warm-ups after
+    # restarts) reuse the executables
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import gpboost_tpu as gpb
 
     ref = load_reference()
