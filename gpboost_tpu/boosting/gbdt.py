@@ -384,6 +384,9 @@ _BOOST_PARAM_DEFAULTS = dict(
     # tradeoff*penalty_split*n_leaf and a once-per-model per-feature cost
     cegb_tradeoff=1.0, cegb_penalty_split=0.0,
     cegb_penalty_feature_coupled=None, cegb_penalty_feature_lazy=None,
+    # extra_trees (config.h): extremely-randomized split thresholds — one
+    # uniformly random candidate per feature per node
+    extra_trees=False, extra_seed=6,
 )
 
 _PARAM_ALIASES = {
@@ -483,7 +486,8 @@ class Booster:
             min_sum_hessian_in_leaf=float(p["min_sum_hessian_in_leaf"]),
             min_gain_to_split=float(p["min_gain_to_split"]),
             mesh=mesh, parallel_mode=tl,
-            path_smooth=float(p["path_smooth"]), cegb=cegb)
+            path_smooth=float(p["path_smooth"]), cegb=cegb,
+            extra_trees=bool(p["extra_trees"]))
         if cegb is not None:
             self._cegb_used = np.zeros(self.learner.p_pad, dtype=np.float32)
 
@@ -958,7 +962,9 @@ class Booster:
                 hk = hess[k * self.n:(k + 1) * self.n]
                 tree, slot_of_row, leaf_value_of_slot = self.learner.train(
                     gk, hk, row_mask=row_mask, feat_mask=feat_mask,
-                    cegb_used=self._cegb_used)
+                    cegb_used=self._cegb_used,
+                    extra_seed=int(self.params["extra_seed"])
+                    + 131 * len(self.trees))
                 self._note_cegb_usage(tree)
                 tree.shrinkage(lr)
                 self.F[k * self.n:(k + 1) * self.n] += \
@@ -1008,7 +1014,9 @@ class Booster:
                 row_mask = gm
         tree, slot_of_row, leaf_value_of_slot = self.learner.train(
             grad, hess, row_mask=row_mask, feat_mask=feat_mask,
-            cegb_used=self._cegb_used)
+            cegb_used=self._cegb_used,
+            extra_seed=int(self.params["extra_seed"])
+            + 131 * len(self.trees))
         self._note_cegb_usage(tree)
         if self.params.get("linear_tree"):
             _fit_linear_leaves(tree, self.train_set.data, grad, hess,
@@ -1108,6 +1116,7 @@ class Booster:
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
                 and self.learner.cegb is None
+                and not self.learner.extra_trees
                 and not np.any(self.learner.monotone != 0)
                 and (self.objective_name in ("gaussian", "quantile",
                                              "cross_entropy")
@@ -1132,6 +1141,7 @@ class Booster:
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
                 and self.learner.cegb is None
+                and not self.learner.extra_trees
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and hasattr(gp._engine, "nll_parts_raw")
@@ -1152,6 +1162,7 @@ class Booster:
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
                 and self.learner.cegb is None
+                and not self.learner.extra_trees
                 and not np.any(self.learner.monotone != 0))
 
     def update_many_multi(self, num_rounds, chunk=25):
@@ -1210,6 +1221,7 @@ class Booster:
                 and float(p["feature_fraction"]) >= 1.0
                 and self.learner.mesh is None
                 and self.learner.cegb is None
+                and not self.learner.extra_trees
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and getattr(eng, "num_sets_fe", 1) == 1

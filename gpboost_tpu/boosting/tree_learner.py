@@ -81,7 +81,8 @@ def _smoothed_output(G, H, C, lambda_l2, lambda_l1, path_smooth, parent_out):
 def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
                         cat_mask=None, path_smooth=0.0, parent_out=0.0,
-                        cegb_coupled=None, cegb_split=0.0, cegb_used=None):
+                        cegb_coupled=None, cegb_split=0.0, cegb_used=None,
+                        extra_key=None, feat_hi=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
@@ -128,6 +129,17 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
 
         gain = (leaf_gain(GL, HL, wl) + leaf_gain(GR, HR, wr)
                 - leaf_gain(G, H, wp))
+    if extra_key is not None:
+        # extra_trees (config.h extra_trees; feature_histogram.hpp USE_RAND):
+        # ONE uniformly random threshold per feature per node is considered
+        # instead of the full scan; feat_hi is each feature's largest
+        # candidate bin
+        pB = hist.shape[0]
+        uu = jax.random.uniform(extra_key, (pB,))
+        t = jnp.minimum((uu * (feat_hi.astype(jnp.float32) + 1.0)
+                         ).astype(jnp.int32), feat_hi)
+        sel = jnp.arange(hist.shape[2])[None, :] == t[:, None]
+        gain = jnp.where(sel, gain, -jnp.inf)
     if cegb_coupled is not None:
         # cost-effective gradient boosting
         # (cost_effective_gradient_boosting.hpp:70-74 DetailGain): gain is
@@ -334,7 +346,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 lambda_l2, min_data, min_hess, min_gain,
                                 feat_mask, lambda_l1, monotone, cat_mask,
                                 path_smooth=0.0, cegb_coupled=None,
-                                cegb_split=0.0, cegb_used0=None):
+                                cegb_split=0.0, cegb_used0=None,
+                                extra_key0=None, feat_hi=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -391,11 +404,14 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 jnp.zeros((p, num_bins, 8), jnp.float32))
         return jnp.transpose(acc, (0, 2, 1))[:, :3, :]
 
-    def best_of(hist, parent_out, used):
+    use_extra = extra_key0 is not None
+
+    def best_of(hist, parent_out, used, key=None):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
                                    cat_mask, path_smooth, parent_out,
-                                   cegb_coupled, cegb_split, used)
+                                   cegb_coupled, cegb_split, used,
+                                   key if use_extra else None, feat_hi)
 
     def raw_out(hist):
         G = jnp.sum(hist[0, 0, :])
@@ -414,10 +430,15 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     leaf_of_pos0 = jnp.zeros(n_pad, jnp.int32)
     used0 = cegb_used0 if cegb_used0 is not None \
         else jnp.zeros((p,), jnp.float32)
+    key0 = extra_key0 if use_extra else jnp.zeros((2,), jnp.uint32)
+    if use_extra:
+        key0, kroot = jax.random.split(key0)
+    else:
+        kroot = key0
     hist0 = hist_segment(bins_pos, stats_pos, jnp.int32(0),
                          jnp.int32(n_pad))
     out0 = raw_out(hist0)
-    g0, f0, b0_ = best_of(hist0, out0, used0)
+    g0, f0, b0_ = best_of(hist0, out0, used0, kroot)
 
     leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
         out0.astype(hist0.dtype))
@@ -434,9 +455,9 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     rec_cat = jnp.zeros((L - 1, n_words), jnp.uint32)
 
     def split_step(s, carry):
-        (bins_p, stats_p, row_ids, leaf_of_pos, used, seg_start, seg_cnt,
-         leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth, leaf_out,
-         rec, rec_gain, rec_cat) = carry
+        (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
+         seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+         leaf_out, rec, rec_gain, rec_cat) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -445,9 +466,13 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         gain_l = leaf_gain[l]
 
         def do_split(args):
-            (bins_p, stats_p, row_ids, leaf_of_pos, used, seg_start,
+            (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
              seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
              leaf_out, rec, rec_gain, rec_cat) = args
+            if use_extra:
+                key, kl_, kr_ = jax.random.split(key, 3)
+            else:
+                kl_ = kr_ = key
             s0 = seg_start[l]
             c = seg_cnt[l]
             fcol = jnp.take(bins_p, f, axis=1).astype(jnp.int32)  # (n_pad,)
@@ -495,8 +520,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             out_r = child_out(hist_right, jnp.sum(hist_right[0, 2, :]), pout)
             leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
                                .at[new_slot].set(out_r.astype(leaf_out.dtype))
-            gl_g, fl, bl = best_of(hist_left, out_l, used2)
-            gr_g, fr, br = best_of(hist_right, out_r, used2)
+            gl_g, fl, bl = best_of(hist_left, out_l, used2, kl_)
+            gr_g, fr, br = best_of(hist_right, out_r, used2, kr_)
             depth_ok = d < max_depth
             gl_g = jnp.where(depth_ok, gl_g, -jnp.inf)
             gr_g = jnp.where(depth_ok, gr_g, -jnp.inf)
@@ -513,23 +538,23 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
             rec_gain2 = rec_gain.at[s].set(gain_l.astype(rec_gain.dtype))
             rec_cat2 = rec_cat.at[s].set(words)
-            return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, used2,
+            return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, used2, key,
                     seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
                     leaf_bin, leaf_depth, leaf_out, rec2, rec_gain2,
                     rec_cat2)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (bins_p, stats_p, row_ids, leaf_of_pos, used,
-                             seg_start, seg_cnt, leaf_hist, leaf_gain,
+                             key, seg_start, seg_cnt, leaf_hist, leaf_gain,
                              leaf_feat, leaf_bin, leaf_depth, leaf_out,
                              rec, rec_gain, rec_cat))
 
-    carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, used0, seg_start,
-             seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             leaf_out, rec, rec_gain, rec_cat)
+    carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, used0, key0,
+             seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+             leaf_depth, leaf_out, rec, rec_gain, rec_cat)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
-    (_, _, row_ids, leaf_of_pos, _, _, _, leaf_hist, _, _, _, _, leaf_out,
-     rec, rec_gain, rec_cat) = carry
+    (_, _, row_ids, leaf_of_pos, _, _, _, _, leaf_hist, _, _, _, _,
+     leaf_out, rec, rec_gain, rec_cat) = carry
     # row -> leaf slot, back in ROW order (one scatter)
     node = jnp.zeros(n_pad, jnp.int32).at[row_ids].set(leaf_of_pos)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
@@ -579,7 +604,8 @@ class SerialTreeLearner:
                  min_data_in_leaf=20, lambda_l2=0.0, min_sum_hessian_in_leaf=1e-3,
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
-                 parallel_mode="data", path_smooth=0.0, cegb=None):
+                 parallel_mode="data", path_smooth=0.0, cegb=None,
+                 extra_trees=False):
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
@@ -660,9 +686,18 @@ class SerialTreeLearner:
         if cegb is not None and mesh is not None:
             raise NotImplementedError(
                 "CEGB penalties are not supported with a device mesh")
+        # extra_trees (config.h): one random threshold per feature per node
+        self.extra_trees = bool(extra_trees)
+        if self.extra_trees and mesh is not None:
+            raise NotImplementedError(
+                "extra_trees is not supported with a device mesh")
+        hi = np.zeros(self.p_pad, dtype=np.int32)
+        for j, mp_ in enumerate(self.mappers):
+            hi[j] = max(int(mp_.num_bins) - 2, 0)
+        self.feat_hi = hi
 
     def train(self, grad, hess, row_mask=None, feat_mask=None,
-              cegb_used=None):
+              cegb_used=None, extra_seed=None):
         """row_mask (n,) 0/1: bagging — out-of-bag rows contribute nothing to
         histograms (grad/hess/count zeroed) but keep their leaf assignment so
         training scores update for every row (LightGBM bagging semantics,
@@ -698,6 +733,13 @@ class SerialTreeLearner:
                                  dtype=np.float32)))
             else:
                 cegb_args = (None, jnp.float32(0.0), None)
+            if self.extra_trees:
+                import jax as _jax
+                ek = _jax.random.PRNGKey(0 if extra_seed is None
+                                         else int(extra_seed))
+                extra_args = (ek, jnp.asarray(self.feat_hi))
+            else:
+                extra_args = (None, None)
             rec, leaf_values, node, rec_gain, rec_cat = \
                 _grow_tree_partitioned(
                     self.bins_pos, jnp.asarray(stats_pos),
@@ -709,7 +751,7 @@ class SerialTreeLearner:
                     jnp.float32(self.min_gain),
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
                     jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                    self.path_smooth, *cegb_args)
+                    self.path_smooth, *cegb_args, *extra_args)
         else:
             stats_T = np.zeros((3, n_pad), dtype=np.float32)
             if row_mask is None:

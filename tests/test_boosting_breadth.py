@@ -508,3 +508,43 @@ class TestCEGB:
         n_splits = lambda bb: sum(int((~t.is_leaf[:t.num_nodes]).sum())
                                   for t in bb.trees)
         assert n_splits(b1) < n_splits(b0)
+
+
+class TestExtraTrees:
+    """config.h extra_trees: one uniformly random split threshold per
+    feature per node (feature_histogram.hpp USE_RAND)."""
+
+    def test_learns_but_differs_from_exact_search(self):
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(21)
+        n = 2000
+        X = rng.rand(n, 5)
+        y = 2 * X[:, 0] + np.sin(5 * X[:, 1]) + 0.2 * rng.randn(n)
+        params = {"objective": "regression", "num_leaves": 15,
+                  "learning_rate": 0.2, "verbose": 0}
+        b0 = train(dict(params), Dataset(X, label=y), num_boost_round=20)
+        b1 = train(dict(params, extra_trees=True), Dataset(X, label=y),
+                   num_boost_round=20)
+        p0 = np.asarray(b0.predict(X[:500]))
+        p1 = np.asarray(b1.predict(X[:500]))
+        # the randomized trees differ from the exact search...
+        assert np.max(np.abs(p0 - p1)) > 1e-6
+        # ...but still fit the signal
+        r2 = 1 - np.var(y[:500] - p1) / np.var(y[:500])
+        assert r2 > 0.7
+
+    def test_deterministic_given_seed(self):
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(22)
+        X = rng.rand(800, 4)
+        y = X[:, 0] + 0.1 * rng.randn(800)
+        params = {"objective": "regression", "num_leaves": 7, "verbose": 0,
+                  "extra_trees": True, "extra_seed": 11}
+        p1 = train(dict(params), Dataset(X, label=y),
+                   num_boost_round=4).predict(X[:100])
+        p2 = train(dict(params), Dataset(X, label=y),
+                   num_boost_round=4).predict(X[:100])
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+        p3 = train(dict(params, extra_seed=12), Dataset(X, label=y),
+                   num_boost_round=4).predict(X[:100])
+        assert np.max(np.abs(np.asarray(p1) - np.asarray(p3))) > 1e-9
