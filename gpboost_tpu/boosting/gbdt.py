@@ -28,6 +28,14 @@ from .tree_learner import SerialTreeLearner
 from ..likelihoods import get_likelihood
 
 
+def _load_forced_splits(path):
+    if not path:
+        return None
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
 def _scan_grad_builder(obj_name, obj_args, y, w, aux):
     """Elementwise jax (grad, hess) of the training loss at score F — the
     in-scan analogue of Booster._gradients() for the fused multi-round path
@@ -387,6 +395,9 @@ _BOOST_PARAM_DEFAULTS = dict(
     # extra_trees (config.h): extremely-randomized split thresholds — one
     # uniformly random candidate per feature per node
     extra_trees=False, extra_seed=6,
+    # forcedsplits_filename (config.h): JSON file with nested
+    # {feature, threshold, left, right} splits applied before gain splits
+    forcedsplits_filename="",
 )
 
 _PARAM_ALIASES = {
@@ -487,7 +498,9 @@ class Booster:
             min_gain_to_split=float(p["min_gain_to_split"]),
             mesh=mesh, parallel_mode=tl,
             path_smooth=float(p["path_smooth"]), cegb=cegb,
-            extra_trees=bool(p["extra_trees"]))
+            extra_trees=bool(p["extra_trees"]),
+            forced_splits=_load_forced_splits(
+                p.get("forcedsplits_filename")))
         if cegb is not None:
             self._cegb_used = np.zeros(self.learner.p_pad, dtype=np.float32)
 
@@ -1117,6 +1130,7 @@ class Booster:
                 and self.learner.mesh is None
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
+                and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0)
                 and (self.objective_name in ("gaussian", "quantile",
                                              "cross_entropy")
@@ -1142,6 +1156,7 @@ class Booster:
                 and self.learner.mesh is None
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
+                and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and hasattr(gp._engine, "nll_parts_raw")
@@ -1163,6 +1178,7 @@ class Booster:
                 and self.learner.mesh is None
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
+                and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0))
 
     def update_many_multi(self, num_rounds, chunk=25):
@@ -1222,6 +1238,7 @@ class Booster:
                 and self.learner.mesh is None
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
+                and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and getattr(eng, "num_sets_fe", 1) == 1

@@ -78,6 +78,21 @@ def _smoothed_output(G, H, C, lambda_l2, lambda_l1, path_smooth, parent_out):
     return f * raw + (1.0 - f) * parent_out
 
 
+def _gain_at(hist, f, b, lambda_l2, lambda_l1):
+    """Split gain of the specific (feature, bin) pair — used to record the
+    gain of FORCED splits (serial_tree_learner.cpp:453 ForceSplits), which
+    are not the leaf's gain-argmax."""
+    g = hist[f, 0, :]
+    h = hist[f, 1, :]
+    G = jnp.sum(g)
+    H = jnp.sum(h)
+    GL = jnp.cumsum(g)[b]
+    HL = jnp.cumsum(h)[b]
+    return (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
+            + _thresholded(G - GL, lambda_l1) ** 2 / (H - HL + lambda_l2)
+            - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
+
+
 def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
                         cat_mask=None, path_smooth=0.0, parent_out=0.0,
@@ -347,7 +362,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 feat_mask, lambda_l1, monotone, cat_mask,
                                 path_smooth=0.0, cegb_coupled=None,
                                 cegb_split=0.0, cegb_used0=None,
-                                extra_key0=None, feat_hi=None):
+                                extra_key0=None, feat_hi=None,
+                                forced=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -462,8 +478,23 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
         b = leaf_bin[l]
-        new_slot = jnp.int32(s + 1)
         gain_l = leaf_gain[l]
+        if forced is not None:
+            # ForceSplits (serial_tree_learner.cpp:453): the first
+            # len(forced) splits are dictated (slot, feature, bin); slots
+            # were pre-assigned on the host in parent-before-child order
+            is_f = s < forced.shape[0]
+            l = jnp.where(is_f, forced[jnp.minimum(s, forced.shape[0] - 1),
+                                       0], l)
+            f = jnp.where(is_f, forced[jnp.minimum(s, forced.shape[0] - 1),
+                                       1], f)
+            b = jnp.where(is_f, forced[jnp.minimum(s, forced.shape[0] - 1),
+                                       2], b)
+            ok = jnp.where(is_f, True, ok)
+            gain_l = jnp.where(is_f,
+                               _gain_at(leaf_hist[l], f, b, lambda_l2,
+                                        lambda_l1), gain_l)
+        new_slot = jnp.int32(s + 1)
 
         def do_split(args):
             (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
@@ -605,7 +636,7 @@ class SerialTreeLearner:
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
                  parallel_mode="data", path_smooth=0.0, cegb=None,
-                 extra_trees=False):
+                 extra_trees=False, forced_splits=None):
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
@@ -695,6 +726,32 @@ class SerialTreeLearner:
         for j, mp_ in enumerate(self.mappers):
             hi[j] = max(int(mp_.num_bins) - 2, 0)
         self.feat_hi = hi
+        # forcedsplits_filename (serial_tree_learner.cpp:453 ForceSplits):
+        # nested {feature, threshold, left, right} applied before gain
+        # splits; slots pre-assigned in parent-before-child (BFS) order
+        self.forced = None
+        if forced_splits is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "forced splits are not supported with a device mesh")
+            rows = []
+            queue = [(forced_splits, 0)]
+            while queue and len(rows) < self.num_leaves - 1:
+                nodejs, slot = queue.pop(0)
+                fj = int(nodejs["feature"])
+                if getattr(self.mappers[fj], "is_categorical", False):
+                    raise NotImplementedError(
+                        "forced splits on categorical features are not "
+                        "supported")
+                bj = int(self.mappers[fj].transform(
+                    [float(nodejs["threshold"])])[0])
+                s_idx = len(rows)
+                rows.append((slot, fj, bj))
+                if "left" in nodejs and nodejs["left"]:
+                    queue.append((nodejs["left"], slot))
+                if "right" in nodejs and nodejs["right"]:
+                    queue.append((nodejs["right"], s_idx + 1))
+            self.forced = np.asarray(rows, dtype=np.int32)
 
     def train(self, grad, hess, row_mask=None, feat_mask=None,
               cegb_used=None, extra_seed=None):
@@ -740,6 +797,8 @@ class SerialTreeLearner:
                 extra_args = (ek, jnp.asarray(self.feat_hi))
             else:
                 extra_args = (None, None)
+            forced_arg = None if self.forced is None \
+                else jnp.asarray(self.forced)
             rec, leaf_values, node, rec_gain, rec_cat = \
                 _grow_tree_partitioned(
                     self.bins_pos, jnp.asarray(stats_pos),
@@ -751,7 +810,7 @@ class SerialTreeLearner:
                     jnp.float32(self.min_gain),
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
                     jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                    self.path_smooth, *cegb_args, *extra_args)
+                    self.path_smooth, *cegb_args, *extra_args, forced_arg)
         else:
             stats_T = np.zeros((3, n_pad), dtype=np.float32)
             if row_mask is None:

@@ -548,3 +548,50 @@ class TestExtraTrees:
         p3 = train(dict(params, extra_seed=12), Dataset(X, label=y),
                    num_boost_round=4).predict(X[:100])
         assert np.max(np.abs(np.asarray(p1) - np.asarray(p3))) > 1e-9
+
+
+class TestForcedSplits:
+    """forcedsplits_filename (serial_tree_learner.cpp:453 ForceSplits):
+    the JSON-specified splits are applied before any gain-based split."""
+
+    def test_forced_structure_respected(self, tmp_path):
+        import json
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(31)
+        n = 1500
+        X = rng.rand(n, 4)
+        y = 2 * X[:, 0] + 0.2 * rng.randn(n)    # feature 0 dominates
+        fs = {"feature": 3, "threshold": 0.5,
+              "left": {"feature": 2, "threshold": 0.25}}
+        fpath = tmp_path / "forced.json"
+        fpath.write_text(json.dumps(fs))
+        bst = train({"objective": "regression", "num_leaves": 7,
+                     "verbose": 0, "forcedsplits_filename": str(fpath)},
+                    Dataset(X, label=y), num_boost_round=2)
+        for t in bst.trees:
+            # root split must be on feature 3 (never gain-chosen: y has no
+            # dependence on it), its left child on feature 2
+            assert int(t.split_feature[0]) == 3
+            assert abs(t.threshold_real[0] - 0.5) < 0.02
+            left = int(t.left[0])
+            assert not t.is_leaf[left]
+            assert int(t.split_feature[left]) == 2
+
+    def test_growth_continues_gain_based_after_forced(self, tmp_path):
+        import json
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(32)
+        X = rng.rand(1200, 3)
+        y = 3 * X[:, 0] + 0.1 * rng.randn(1200)
+        fpath = tmp_path / "forced.json"
+        fpath.write_text(json.dumps({"feature": 1, "threshold": 0.5}))
+        bst = train({"objective": "regression", "num_leaves": 15,
+                     "verbose": 0, "forcedsplits_filename": str(fpath)},
+                    Dataset(X, label=y), num_boost_round=12)
+        used = {int(f) for t in bst.trees
+                for i, f in enumerate(t.split_feature[:t.num_nodes])
+                if not t.is_leaf[i]}
+        assert 1 in used and 0 in used
+        pred = np.asarray(bst.predict(X[:300]))
+        r2 = 1 - np.var(y[:300] - pred) / np.var(y[:300])
+        assert r2 > 0.7
