@@ -49,6 +49,14 @@ class Likelihood:
     #: sqrt(W) is then not autodiff-safe and the determinant uses the
     #: custom-VJP logdet (models/laplace.py _negw_half_logdet)
     W_may_be_zero = False
+    #: mode-finding override from the '_(not_)fisher_mode_finding' name
+    #: suffixes (ParseLikelihoodAliasModeFindingMethod, likelihoods.h:10347):
+    #: None = the approximation type's default, "fisher", or "not_fisher"
+    mode_finding = None
+    #: predictive-variance correction from the '_var_cor_pred_*' suffixes
+    #: (likelihoods.h:10319): None, "freq_asymptotic", or "learning_rate"
+    var_correction = None
+    kink_clipping = False
 
     def log_lik(self, y, f, aux):
         raise NotImplementedError
@@ -630,8 +638,17 @@ class AsymmetricLaplace(Likelihood):
         sigma = aux[0]
         return jnp.full_like(loc, self.q * (1.0 - self.q) / (sigma * sigma))
 
+    def init_intercept(self, y, tot_var, F=None):
+        # zero on purpose: the marginal likelihood is flat for small scale
+        # and a large initial intercept hurts convergence (likelihoods.h:1783)
+        return 0.0
+
     def init_aux(self, y):
-        return np.asarray([max(float(np.std(y)), 1e-6)])
+        # MLE for the scale assuming location 0 (likelihoods.h:2553-2573):
+        # lambda0 = -sum(y_i * (1{y_i <= 0} - q)) / n
+        y = np.asarray(y, dtype=np.float64)
+        ind = (y <= 0.0).astype(np.float64)
+        return np.asarray([-np.sum(y * (ind - self.q)) / len(y)])
 
     def cond_mean(self, f, aux):
         q = self.q
@@ -693,6 +710,7 @@ _ALIASES = {
     "quasi_binary": "quasi_bernoulli_logit",
     "quasi_binary_logit": "quasi_bernoulli_logit",
     "quasi_binary_probit": "quasi_bernoulli_probit",
+    "quantile": "asymmetric_laplace",
     "quantile_regression": "asymmetric_laplace",
     "student_t": "t",
     "nbinom2": "negative_binomial",
@@ -701,28 +719,77 @@ _ALIASES = {
 }
 
 
-def _parse_approx_suffix(name):
-    """Strip a trailing approximation-variant token (ParseLikelihoodAlias*,
-    likelihoods.h:244-258 / :1058): '_laplace', '_fisher_laplace',
-    '_fisher_laplace_combined'. Returns (base_name, approx or None)."""
-    for suffix, approx in (("_fisher_laplace_combined", "combined"),
-                           ("_fisher_laplace", "fisher_laplace"),
-                           ("_laplace", "laplace")):
+def _parse_likelihood_options(name):
+    """Strip trailing option tokens in the reference's parse order
+    (likelihoods.h:244-252: kink clipping -> variance correction -> mode
+    finding -> approximation type). Returns (base_name, options dict)."""
+    opts = {}
+    if name.endswith("_kink_clipping"):                 # :10337
+        opts["kink_clipping"] = True
+        name = name[: -len("_kink_clipping")]
+    for suffix, version in (("_var_cor_pred_freq_asym", "freq_asymptotic"),
+                            ("_var_cor_pred_lr", "learning_rate")):  # :10319
         if name.endswith(suffix):
-            return name[: -len(suffix)], approx
-    return name, None
+            opts["var_correction"] = version
+            name = name[: -len(suffix)]
+            break
+    for suffix, mode in (("_fisher_mode_finding_continue", "fisher"),
+                         ("_not_fisher_mode_finding", "not_fisher"),
+                         ("_fisher_mode_finding", "fisher")):        # :10347
+        if name.endswith(suffix):
+            opts["mode_finding"] = mode
+            name = name[: -len(suffix)]
+            break
+    for suffix, approx in (("_fisher_laplace_combined", "combined"),
+                           ("_fisher-laplace", "fisher_laplace"),
+                           ("_fisher_laplace", "fisher_laplace"),
+                           ("_triangular_kernel_curvature", "tkc"),
+                           ("_tkc", "tkc"),
+                           ("_TKC", "tkc"),
+                           ("_laplace", "laplace")):                 # :10374
+        if name.endswith(suffix):
+            # 'asymmetric_laplace' is itself a likelihood name, not the
+            # '_laplace' approximation suffix (likelihoods.h:10411)
+            if suffix == "_laplace" and name == "asymmetric_laplace":
+                break
+            opts["approx"] = approx
+            name = name[: -len(suffix)]
+            break
+    return name, opts
+
+
+def _validate_al_quantile(q):
+    """ValidateAsymmetricLaplaceQuantile, likelihoods.h:730-741."""
+    if q is None:
+        raise ValueError(
+            "No value was provided for 'likelihood_additional_param'. For "
+            "likelihood='asymmetric_laplace' (aliases 'quantile' and "
+            "'quantile_regression'), provide a quantile q with 0 < q < 1")
+    q = float(q)
+    if not math.isfinite(q):
+        raise ValueError(
+            "For likelihood='asymmetric_laplace', "
+            "'likelihood_additional_param' must be a finite quantile q with "
+            f"0 < q < 1. Found q = {q}")
+    if q <= 0.0 or q >= 1.0:
+        raise ValueError(
+            "For likelihood='asymmetric_laplace', "
+            "'likelihood_additional_param' must be a quantile q with "
+            f"0 < q < 1. Found q = {q}")
+    return q
 
 
 def get_likelihood(name, additional_param=None):
-    name, approx = _parse_approx_suffix(name)
+    name, opts = _parse_likelihood_options(name)
     name = _ALIASES.get(name, name)
+    approx = opts.get("approx")
     if name == "t_fix_df":
         lik = TFixDf(df=additional_param if additional_param is not None else 2.0)
     elif name == "tweedie_fixed_p":
         lik = TweedieFixedP(p=additional_param if additional_param is not None else 1.5)
     elif name == "asymmetric_laplace":
-        lik = AsymmetricLaplace(
-            quantile=additional_param if additional_param is not None else 0.5)
+        lik = AsymmetricLaplace(quantile=_validate_al_quantile(
+            additional_param))
     elif name in _REGISTRY:
         lik = _REGISTRY[name]()
     else:
@@ -735,5 +802,16 @@ def get_likelihood(name, additional_param=None):
             raise ValueError(
                 f"likelihood '{name}' has no (quasi-)Fisher information; "
                 f"'_{approx}' is not supported for it")
+        if approx == "tkc" and name != "asymmetric_laplace":
+            raise ValueError(
+                "'approximation_type' = 'triangular_kernel_curvature' is "
+                f"only supported for likelihood = 'asymmetric_laplace', "
+                f"not '{name}'")
         lik.approx_type = approx
+    if "mode_finding" in opts:
+        lik.mode_finding = opts["mode_finding"]
+    if "var_correction" in opts:
+        lik.var_correction = opts["var_correction"]
+    if opts.get("kink_clipping"):
+        lik.kink_clipping = True
     return lik

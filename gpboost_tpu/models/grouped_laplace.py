@@ -138,6 +138,22 @@ class GroupedRELaplaceEngine:
         use_fisher_det = has_fisher and lik.approx_type == "fisher_laplace"
         _W_mode = _W_fisher if use_fisher_mode else _W_obs
         _W = _W_fisher if use_fisher_det else _W_obs     # determinant
+        if lik.approx_type == "tkc":
+            # triangular-kernel curvature (likelihoods.h:13097-13111): one
+            # constant curvature from a jitted scalar search; Fisher mode
+            # finding by default (:449-451), '_not_fisher_mode_finding'
+            # recomputes the TKC information at every Newton iterate
+            from ..likelihoods.tkc import tkc_neg_curvature
+
+            def _W_tkc(y, loc, F2, aux):
+                c = tkc_neg_curvature(
+                    lambda s: _loglik(y, loc + s, F2, aux), n)
+                base = jnp.ones_like(loc) if wobs is None else wobs
+                return base * c
+
+            _W_mode = _W_tkc if getattr(lik, "mode_finding", None) == \
+                "not_fisher" else _W_fisher
+            _W = _W_tkc
 
         # ---- Z operators (gathers / scatter-adds over static index arrays)
         def _Zb(b):
@@ -420,14 +436,43 @@ class GroupedRELaplaceEngine:
         import scipy.linalg as sla
         sbinv = np.concatenate([np.full(m, 1.0 / pars_orig[j])
                                 for j, m in enumerate(self.block_sizes)])
+        # optional predictive-variance correction of the information
+        # (CalcInformationLogLik, likelihoods.h:12736-12786)
+        var_cor = getattr(self.likelihood, "var_correction", None)
+        fi_np = None
+        if var_cor == "freq_asymptotic":
+            if self.likelihood.name != "asymmetric_laplace":
+                raise ValueError(
+                    "var_cor_pred_version 'freq_asymptotic' is not "
+                    "implemented for this likelihood")
+            qq = self.likelihood.q
+            sigma = float(np.exp(u[self.num_theta]))
+            fi_np = np.full(self.n, qq * (1.0 - qq) / (sigma * sigma))
+        elif var_cor == "learning_rate":
+            W_np = W_np * float(getattr(self.likelihood,
+                                        "likelihood_learning_rate", 1.0))
+
         wz = self._w_np * W_np[None, :]
         if self.diag_path:
-            h_diag = sbinv + np.bincount(
-                self._idx_np.reshape(-1),
-                weights=(self._w_np * wz).reshape(-1), minlength=self.q)
+            zt_w = np.bincount(self._idx_np.reshape(-1),
+                               weights=(self._w_np * wz).reshape(-1),
+                               minlength=self.q)
+            if fi_np is not None:
+                # RE-scale correction: (Zt W Z)^2 / (Zt FI Z) per level
+                zt_fi = np.bincount(
+                    self._idx_np.reshape(-1),
+                    weights=np.broadcast_to(
+                        fi_np, self._idx_np.shape).reshape(-1).copy(),
+                    minlength=self.q)
+                zt_w = zt_w * zt_w / np.maximum(zt_fi, 1e-300)
+            h_diag = sbinv + zt_w
             h_solve = lambda rhs: rhs / (h_diag[:, None]
                                          if rhs.ndim == 2 else h_diag)
         else:
+            if fi_np is not None:
+                # data-scale correction: W_i^2 / FI_i per datum
+                W_np = W_np * W_np / fi_np
+                wz = self._w_np * W_np[None, :]
             H = np.diag(sbinv)
             for j in range(self.num_theta):
                 for k in range(self.num_theta):

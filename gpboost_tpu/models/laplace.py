@@ -187,6 +187,21 @@ class LaplaceDenseEngine:
         # finding, adjoint, prediction) only need it for negative W
         w_det_general = w_neg or bool(getattr(lik, "W_may_be_zero", False))
         w_neg_mode = w_neg and not use_fisher_mode
+        if lik.approx_type == "tkc":
+            # triangular-kernel curvature (likelihoods.h:13097-13111):
+            # constant curvature from a jitted scalar search; Fisher mode
+            # finding by default (:449-451)
+            from ..likelihoods.tkc import tkc_neg_curvature
+
+            def _W_tkc(y, loc, F2, aux):
+                c = tkc_neg_curvature(
+                    lambda s: _loglik(y, loc + s, F2, aux), n)
+                base = jnp.ones_like(loc) if w is None else w
+                return base * c
+
+            _W_mode = _W_tkc if getattr(lik, "mode_finding", None) == \
+                "not_fisher" else _W_fisher
+            _W_det = _W_tkc
         _W = _W_det     # determinant curvature (used by _g / bwd / predict)
 
 
