@@ -656,6 +656,12 @@ class SerialTreeLearner:
             row_block = 2048 if self.use_pallas else 8192
         self.row_block = int(min(row_block, max(n, 256)))
         self.feat_chunk = min(feat_chunk, max(p, 1))
+        if self.use_pallas and mesh is None:
+            # Mosaic block rule: the lane (last) dim of a block must be a
+            # multiple of 128 or cover the whole axis. Narrow data runs the
+            # kernel in ONE grid step over all (padded) features; wide data
+            # uses 128-feature chunks.
+            self.feat_chunk = -(-p // 8) * 8 if p <= 512 else 128
         data_par = mesh is not None and self.parallel_mode == "data"
         feat_par = mesh is not None and self.parallel_mode == "feature"
         row_quant = self.row_block * (mesh.size if data_par else 1)

@@ -324,6 +324,15 @@ class GPModel:
                 f"gp_approx '{gp_approx}' is not implemented yet "
                 "(currently: 'none', 'vecchia', 'vecchia_latent', 'fitc', "
                 "'tapering', 'full_scale_tapering')")
+        if likelihood != "gaussian" and gp_approx != "none":
+            _lik_probe = get_likelihood(likelihood, likelihood_additional_param)
+            if getattr(_lik_probe, "num_sets_re", 1) == 2:
+                # gaussian_heteroscedastic_fixed_and_random: two sets of
+                # random effects (likelihoods.h:474-485). The Vecchia /
+                # FITC engines are single-set; run the exact dense Laplace
+                # engine (golden-equivalent to the reference's Vecchia at
+                # num_neighbors = n-1, ordering 'none').
+                gp_approx = "none"
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
                 self._likelihood_obj = get_likelihood(
@@ -402,6 +411,11 @@ class GPModel:
                     self.components, self.num_data, self._likelihood_obj,
                     cluster_ids=self.cluster_ids, dtype=self._dtype,
                     weights=eng_weights)
+            if getattr(self._engine, "num_sets_re", 1) == 2:
+                # second-set covariance parameters (same structure,
+                # re_model_template.h:4915-4932)
+                self._par_names = self._par_names + \
+                    [nm + "_set2" for nm in self._par_names]
         else:
             self._use_woodbury = all(c.kind == "grouped"
                                      for c in self.components)
@@ -510,6 +524,21 @@ class GPModel:
             pars.append(init_marg_var)
             if comp.kind == "gp":
                 pars.extend(_init_ranges(comp))
+        if getattr(self._engine, "num_sets_re", 1) == 2:
+            # second (log-variance) set: variance from the mean-zero
+            # log-normal moment equation (e^s2 - 1) e^s2 = marg_var / 2,
+            # ranges reused (FindInitCovPar, re_model_template.h:4915-4932)
+            pars2 = []
+            off = 0
+            for comp in self.components:
+                v = pars[off]
+                pars2.append(
+                    np.log((1.0 + np.sqrt(1.0 + 2.0 * v)) / 2.0) / 2.0)
+                npar = 1 + (len(_init_ranges(comp)) if comp.kind == "gp"
+                            else 0)
+                pars2.extend(pars[off + 1: off + npar])
+                off += npar
+            pars = list(pars) + pars2
         return np.asarray(pars)
 
     # ------------------------------------------------------------------

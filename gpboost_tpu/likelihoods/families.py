@@ -1068,6 +1068,30 @@ class GaussianHeteroscedastic(Likelihood):
         return mu_lat, var_lat + jnp.exp(zeta)
 
 
+class GaussianHeteroscedasticFixedAndRandom(GaussianHeteroscedastic):
+    """gaussian_heteroscedastic_fixed_and_random (likelihoods.h:474-485):
+    like gaussian_heteroscedastic, but BOTH the mean eta and the log-error
+    variance zeta carry random effects / GPs (num_sets_re_ = 2). The same
+    random-effects structure is duplicated for the second set with its own
+    covariance parameters; the approximation is forced to fisher_laplace
+    (the log-likelihood is not concave jointly in mean and variance)."""
+
+    name = "gaussian_heteroscedastic_fixed_and_random"
+    num_sets_re = 2
+
+    def fisher_W_stacked(self, y, loc1, loc2, aux):
+        """Block-diagonal Fisher information of (-loglik) wrt (f1, f2):
+        E[-d2/df1^2] = exp(-f2), E[-d2/df2^2] = 1/2, cross term 0
+        (SecondDerivNegLogLikGaussianHeteroscedastic Fisher branch)."""
+        return jnp.concatenate(
+            [jnp.exp(-loc2), jnp.full_like(loc2, 0.5)])
+
+    def response_mean_var_2re(self, mu1, var1, mu2, var2, aux):
+        """Response mean/variance when zeta is latent-Gaussian:
+        E[y] = mu1, Var[y] = var1 + E[exp(zeta)] = var1 + exp(mu2+var2/2)."""
+        return mu1, var1 + jnp.exp(mu2 + 0.5 * var2)
+
+
 class _HurdleRegressionBase(Likelihood):
     """hurdle_regression_<base> (likelihoods.h:90-93): structural-zero
     probability pi_i = sigmoid(zeta_i) from the second fixed-effects-only
@@ -1266,7 +1290,7 @@ FAMILY_CLASSES = (
     HurdleEGPDPowerBeta,
     ZeroCensoredPowerTransformedNormal, Zoctn,
     ZeroOneCensoredTransformedBeta, ZeroOneCensoredShiftedGamma,
-    GaussianHeteroscedastic,
+    GaussianHeteroscedastic, GaussianHeteroscedasticFixedAndRandom,
     HurdleRegressionGamma, HurdleRegressionLognormal, HurdleRegressionGPD,
     HurdleRegressionEGPDPower, HurdleRegressionEGPDPowerMixture,
     HurdleRegressionEGPDBeta, HurdleRegressionEGPDPowerBeta,

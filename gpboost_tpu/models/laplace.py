@@ -128,6 +128,14 @@ class LaplaceDenseEngine:
         self.likelihood = likelihood
         self.par_offsets = self._assembly.par_offsets
         self.num_theta = self._assembly.num_theta     # cov pars (no nugget)
+        # num_sets_re = 2 (gaussian_heteroscedastic_fixed_and_random,
+        # likelihoods.h:474-485): the SAME random-effects structure is
+        # duplicated for the log-variance predictor with its own covariance
+        # parameters; the mode vector is 2n-dim and Sigma block-diagonal
+        self.num_sets_re = getattr(likelihood, "num_sets_re", 1)
+        if self.num_sets_re == 2:
+            self.num_theta *= 2
+        self.dim_mode = self.n * self.num_sets_re
         self.num_cov_par = self.num_theta             # reference naming
         self.num_aux = likelihood.num_aux
         self.num_par = self.num_theta + self.num_aux
@@ -137,22 +145,43 @@ class LaplaceDenseEngine:
     def _build_jitted(self):
         n = self.n
         lik = self.likelihood
-        sigma_fn = self._assembly.sigma
 
         w = self.weights
         # two-predictor likelihoods (heteroscedastic / regression zero
         # models, c_api.cpp:132 num_sets_fixed_effects): F is (2n,) with the
         # random effects attached to the FIRST block only; the second block
-        # (zeta) enters the per-sample density as an extra argument
+        # (zeta) enters the per-sample density as an extra argument.
+        # two_re (num_sets_re = 2): BOTH blocks carry random effects — the
+        # mode/location vector is 2n-dim and Sigma is block-diagonal with
+        # separate covariance parameters per set (likelihoods.h:474-485).
         two = getattr(lik, "num_sets_fe", 1) == 2
+        two_re = self.num_sets_re == 2
         self.num_sets_fe = 2 if two else 1
+        nd = self.dim_mode                 # Sigma / mode dimension
+
+        base_sigma = self._assembly.sigma
+        kb = self._assembly.num_theta
+        if two_re:
+            def sigma_fn(theta_log):
+                S1 = base_sigma(theta_log[:kb])
+                S2 = base_sigma(theta_log[kb:])
+                Z = jnp.zeros((n, n), S1.dtype)
+                return jnp.block([[S1, Z], [Z, S2]])
+        else:
+            sigma_fn = base_sigma
 
         def _split_F(F):
+            if two_re:
+                return F, None        # both blocks live in the latent path
             return (F[:n], F[n:]) if two else (F, None)
 
         def _loglik(y, loc, F2, aux):
-            ll = lik.log_lik2(y, loc, F2, aux) if two \
-                else lik.log_lik(y, loc, aux)
+            if two_re:
+                ll = lik.log_lik2(y, loc[:n], loc[n:], aux)
+            elif two:
+                ll = lik.log_lik2(y, loc, F2, aux)
+            else:
+                ll = lik.log_lik(y, loc, aux)
             return jnp.sum(ll if w is None else w * ll)
 
         def _d1(y, loc, F2, aux):
@@ -162,6 +191,9 @@ class LaplaceDenseEngine:
             return -jax.grad(lambda l: jnp.sum(_d1(y, l, F2, aux)))(loc)
 
         def _W_fisher(y, loc, F2, aux):
+            if two_re:
+                Wf = lik.fisher_W_stacked(y, loc[:n], loc[n:], aux)
+                return Wf if w is None else jnp.concatenate([w, w]) * Wf
             Wf = lik.fisher_W2(y, loc, F2, aux) if two \
                 else lik.fisher_W(y, loc, aux)
             return Wf if w is None else w * Wf
@@ -224,7 +256,7 @@ class LaplaceDenseEngine:
                                              Sigma)
                 else:
                     sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                    B = jnp.eye(n, dtype=Sigma.dtype) \
+                    B = jnp.eye(nd, dtype=Sigma.dtype) \
                         + (sW[:, None] * Sigma) * sW[None, :]
                     L = jnp.linalg.cholesky(B)
                     rhs2 = sW * (Sigma @ rhs)
@@ -287,7 +319,7 @@ class LaplaceDenseEngine:
                 half_logdet = _negw_half_logdet(Sigma, W)
             else:
                 sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                B = jnp.eye(n, dtype=Sigma.dtype) \
+                B = jnp.eye(nd, dtype=Sigma.dtype) \
                     + (sW[:, None] * Sigma) * sW[None, :]
                 L = jnp.linalg.cholesky(B)
                 half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -332,7 +364,7 @@ class LaplaceDenseEngine:
                 lam = _negw_solve_IpSW(_negw_factors(Sigma, W), g_a)
             else:
                 sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                B = jnp.eye(n, dtype=Sigma.dtype) \
+                B = jnp.eye(nd, dtype=Sigma.dtype) \
                     + (sW[:, None] * Sigma) * sW[None, :]
                 L = jnp.linalg.cholesky(B)
                 # lam = (I + Sigma W)^-1 g_a = (I - Sigma sW B^-1 sW) g_a
@@ -370,7 +402,7 @@ class LaplaceDenseEngine:
                 var_red = jnp.sum(Kcross * M, axis=0)
             else:
                 sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                B = jnp.eye(n, dtype=Sigma.dtype) \
+                B = jnp.eye(nd, dtype=Sigma.dtype) \
                     + (sW[:, None] * Sigma) * sW[None, :]
                 L = jnp.linalg.cholesky(B)
                 V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
@@ -394,7 +426,7 @@ class LaplaceDenseEngine:
                 cov_p = Kpred - Kcross.T @ M
             else:
                 sW = jnp.sqrt(jnp.maximum(W, 0.0))
-                B = jnp.eye(n, dtype=Sigma.dtype) \
+                B = jnp.eye(nd, dtype=Sigma.dtype) \
                     + (sW[:, None] * Sigma) * sW[None, :]
                 L = jnp.linalg.cholesky(B)
                 V = jsl.cho_solve((L, True), sW[:, None] * Kcross)
@@ -406,7 +438,7 @@ class LaplaceDenseEngine:
     # ------------------------------------------------------------------
     # host-facing API
     def zero_mode(self):
-        return jnp.zeros(self.n, dtype=self.dtype)
+        return jnp.zeros(self.dim_mode, dtype=self.dtype)
 
     def laplace_nll(self, u, y, F, a_init):
         nll, (a, nit) = self._nll_fn(jnp.asarray(u, self.dtype), F, y, a_init)
@@ -432,8 +464,7 @@ class LaplaceDenseEngine:
         return float(nll), np.asarray(gu), np.asarray(gF), a
 
     # parameter transforms (sigma2 = 1 for non-Gaussian, cov_fcts.h:501)
-    def transform_pars(self, pars_orig):
-        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+    def _transform_half(self, pars_orig):
         out = []
         for comp, off in zip(self.components, self.par_offsets):
             out.append(pars_orig[off])
@@ -443,8 +474,15 @@ class LaplaceDenseEngine:
                     rho, var=pars_orig[off])))
         return np.asarray(out)
 
-    def back_transform_pars(self, pars_internal):
-        t = np.asarray(pars_internal, dtype=np.float64)
+    def transform_pars(self, pars_orig):
+        pars_orig = np.asarray(pars_orig, dtype=np.float64)
+        if self.num_sets_re == 2:
+            k = len(pars_orig) // 2
+            return np.concatenate([self._transform_half(pars_orig[:k]),
+                                   self._transform_half(pars_orig[k:])])
+        return self._transform_half(pars_orig)
+
+    def _back_transform_half(self, t):
         out = []
         for comp, off in zip(self.components, self.par_offsets):
             out.append(t[off])
@@ -453,6 +491,14 @@ class LaplaceDenseEngine:
                 out.extend(np.atleast_1d(comp.cov_fn.range_from_transformed(
                     alphas, var=t[off])))
         return np.asarray(out)
+
+    def back_transform_pars(self, pars_internal):
+        t = np.asarray(pars_internal, dtype=np.float64)
+        if self.num_sets_re == 2:
+            k = len(t) // 2
+            return np.concatenate([self._back_transform_half(t[:k]),
+                                   self._back_transform_half(t[k:])])
+        return self._back_transform_half(t)
 
     def training_re(self, u, a_state, predict_var=False):
         """Per-component posterior (Laplace) means of the random effects at
@@ -464,6 +510,10 @@ class LaplaceDenseEngine:
             raise ValueError("predict_training_data_random_effects with "
                              "predict_var=True is not implemented for "
                              "non-Gaussian likelihoods; use predict()")
+        if self.num_sets_re == 2:
+            raise NotImplementedError(
+                "predict_training_data_random_effects is not implemented "
+                "for num_sets_re = 2 likelihoods; use predict()")
         from .gaussian_gp import report_matrices
         theta_log = jnp.asarray(u[: self.num_theta], self.dtype)
         a = jnp.asarray(a_state, self.dtype)
@@ -487,10 +537,32 @@ class LaplaceDenseEngine:
             u = np.concatenate([u, np.log(np.asarray(aux_pars, dtype=np.float64))])
         aux_d = jnp.exp(jnp.asarray(u[self.num_theta:], self.dtype))
         theta_log = jnp.asarray(u[:self.num_theta], self.dtype)
-        comp_vars = [t[off] for off in self.par_offsets]
-        K_cross, K_pred = assemble_pred_covs(
-            self.components, self.par_offsets, comp_vars, theta_log,
-            pred_data, self.n, self.dtype)
+        two_re = self.num_sets_re == 2
+        if two_re:
+            # block-diagonal cross/pred covariances, one block per RE set
+            kb = self.num_theta // 2
+            Kc, Kp = [], []
+            for s in range(2):
+                ts = t[s * kb:(s + 1) * kb]
+                ths = theta_log[s * kb:(s + 1) * kb]
+                cvs = [ts[off] for off in self.par_offsets]
+                kc, kp = assemble_pred_covs(
+                    self.components, self.par_offsets, cvs, ths,
+                    pred_data, self.n, self.dtype)
+                Kc.append(kc)
+                Kp.append(kp)
+            m_pred = Kc[0].shape[1]
+            K_cross = jnp.zeros((2 * self.n, 2 * m_pred), self.dtype)
+            K_cross = K_cross.at[:self.n, :m_pred].set(Kc[0])
+            K_cross = K_cross.at[self.n:, m_pred:].set(Kc[1])
+            K_pred = jnp.zeros((2 * m_pred, 2 * m_pred), self.dtype)
+            K_pred = K_pred.at[:m_pred, :m_pred].set(Kp[0])
+            K_pred = K_pred.at[m_pred:, m_pred:].set(Kp[1])
+        else:
+            comp_vars = [t[off] for off in self.par_offsets]
+            K_cross, K_pred = assemble_pred_covs(
+                self.components, self.par_offsets, comp_vars, theta_log,
+                pred_data, self.n, self.dtype)
         yd = jnp.asarray(y, self.dtype)
         Fd = jnp.asarray(F, self.dtype)
         if a_init is None:
@@ -505,6 +577,31 @@ class LaplaceDenseEngine:
             mu, var, _ = self._predict_latent(ud, Fd, yd, a_init, K_cross,
                                               jnp.diagonal(K_pred))
             cov = None
+        if two_re:
+            # both blocks are latent: split (2m,) outputs into the mean
+            # process (block 0) and the log-variance process (block 1)
+            m_pred = len(np.asarray(mu)) // 2
+            mu1, mu2 = mu[:m_pred], mu[m_pred:]
+            var1, var2 = var[:m_pred], var[m_pred:]
+            F1p = F2p = jnp.zeros(m_pred, self.dtype)
+            if F_pred is not None:
+                Fp = jnp.asarray(F_pred, self.dtype)
+                F1p, F2p = Fp[:m_pred], Fp[m_pred:]
+            mu1t, mu2t = mu1 + F1p, mu2 + F2p
+            if predict_response:
+                mm, vv = self.likelihood.response_mean_var_2re(
+                    mu1t, jnp.maximum(var1, 0.0), mu2t,
+                    jnp.maximum(var2, 0.0), aux_d)
+                out["mu"] = np.asarray(mm)
+                if predict_var or predict_cov_mat:
+                    out["var"] = np.asarray(vv)
+            else:
+                out["mu"] = np.asarray(mu1t)
+                if predict_cov_mat:
+                    out["cov"] = np.asarray(cov[:m_pred, :m_pred])
+                if predict_var:
+                    out["var"] = np.asarray(var1).copy()
+            return out
         # two-predictor likelihoods: F_pred carries both blocks stacked
         two = self.num_sets_fe == 2
         np_pred = len(np.asarray(mu))

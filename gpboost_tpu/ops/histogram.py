@@ -51,21 +51,34 @@ def _hist_kernel(bins_ref, node_ref, stats_ref, target_ref, out_ref, *,
         out_ref[...] = out_ref[...] + partial_hist
 
 
-def _hist_block_rows_kernel(bins_ref, stats_ref, out_ref, *, feat_chunk,
-                            num_bins):
+def _hist_block_rows_kernel(bins_ref, stats_ref, out_ref, bt_ref, *,
+                            feat_chunk, num_bins):
     """Row-major block histogram: bins_ref (R, Fc) int (positional layout —
     rows of the physically partitioned bin matrix), stats_ref (R, 8) f32
     ([grad, hess, count, 0...] with out-of-segment rows zeroed), out
-    (Fc, B, 8). Natural layouts end-to-end: the one-hot is built (R, B) and
-    contracted over the shared sublane dim R on the MXU — no transposes."""
+    (Fc, B, 8). The one-hot is built (R, B) and contracted over the shared
+    sublane dim R on the MXU. Features are walked with a fori_loop (NOT a
+    python unroll): the (R, B) one-hot buffer is reused sequentially, so
+    the scoped-VMEM footprint stays ~2 buffers regardless of Fc (a python
+    unroll keeps many iterations' one-hots live and OOMs the 16 MB scope)."""
     sw = stats_ref[...]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, num_bins), 1)
-    for f in range(feat_chunk):
-        col = bins_ref[:, f].astype(jnp.int32)
-        onehot = (col[:, None] == iota_b).astype(jnp.float32)    # (R, B)
-        out_ref[f, :, :] = jax.lax.dot_general(
-            onehot, sw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (B, 8)
+    bt_ref[...] = bins_ref[...].astype(jnp.int32).T              # (Fc, R)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (num_bins, 1), 0)
+
+    def body(f, carry):
+        col = bt_ref[pl.ds(f, 1), :]                             # (1, R)
+        onehot = (iota_b == col).astype(jnp.float32)             # (B, R)
+        # (8, R) x (B, R) -> (8, B): stat channels on the sublane axis and
+        # bins on the 128-lane axis — the (B, 8) orientation would put the
+        # 8-wide channel axis in lanes, padding every block 16x and blowing
+        # the 16 MB scoped-VMEM limit
+        res = jax.lax.dot_general(
+            sw, onehot, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (8, B)
+        out_ref[pl.ds(f, 1), :, :] = res[None]
+        return carry
+
+    jax.lax.fori_loop(0, feat_chunk, body, 0)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -74,6 +87,10 @@ def hist_block_rows_pallas(bins_blk, stats_blk, num_bins, feat_chunk=8):
     bins_blk (R, p) uint8/int32, stats_blk (R, 8) f32 (masked rows zeroed)."""
     R, p = bins_blk.shape
     assert p % feat_chunk == 0
+    # Mosaic requires lane-dim blocks to be a multiple of 128 or the whole
+    # axis (pallas/mosaic/lowering.py _check_block_mappings)
+    assert feat_chunk == p or feat_chunk % 128 == 0, \
+        f"feat_chunk {feat_chunk} must equal p ({p}) or be a multiple of 128"
     kernel = partial(_hist_block_rows_kernel, feat_chunk=feat_chunk,
                      num_bins=num_bins)
     return pl.pallas_call(
@@ -85,11 +102,12 @@ def hist_block_rows_pallas(bins_blk, stats_blk, num_bins, feat_chunk=8):
             pl.BlockSpec((R, 8), lambda j: (j * 0, j * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((feat_chunk, num_bins, 8),
+        out_specs=pl.BlockSpec((feat_chunk, 8, num_bins),
                                lambda j: (j, j * 0, j * 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, num_bins, 8), jnp.float32),
-    )(bins_blk, stats_blk)
+        out_shape=jax.ShapeDtypeStruct((p, 8, num_bins), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((feat_chunk, R), jnp.int32)],
+    )(bins_blk, stats_blk).transpose(0, 2, 1)
 
 
 def _hist_block_kernel(bins_ref, stats_ref, out_ref, *, feat_chunk, num_bins):
