@@ -81,6 +81,11 @@ class GPModel:
         import jax.numpy as _jnp
         self._dtype = _jnp.float32 if str(dtype) in ("float32", "f32") \
             else _jnp.float64
+        # canonicalize pure-name aliases BEFORE engine dispatch so e.g.
+        # "regression" selects the Gaussian engines
+        # (ParseLikelihoodAlias, likelihoods.h:10210-10317)
+        from .likelihoods.base import _ALIASES as _lik_aliases
+        likelihood = _lik_aliases.get(likelihood, likelihood)
         self.likelihood = likelihood
         self.gp_approx = gp_approx
         # "auto" (TPU-native default): direct (Cholesky) factorizations while
@@ -290,6 +295,7 @@ class GPModel:
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None
+            self._coef_override = None
             self.y = None
             self.X = None
             self.model_has_been_fitted = False
@@ -363,6 +369,7 @@ class GPModel:
                 self.num_cov_par = self._engine.num_cov_par
                 self.params = OptimConfig()
                 self._fit_result = None
+                self._coef_override = None
                 self.y = None
                 self.X = None
                 self.model_has_been_fitted = False
@@ -383,6 +390,7 @@ class GPModel:
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None
+            self._coef_override = None
             self.y = None
             self.X = None
             self.model_has_been_fitted = False
@@ -460,6 +468,12 @@ class GPModel:
                 setattr(self.params, k, v)
             elif k == "init_cov_pars":
                 self.params.init_cov_pars = None if v is None else np.asarray(v, dtype=np.float64)
+        if params.get("init_coef") is not None:
+            # re_model.cpp:320-324: init_coef overwrites the stored
+            # coefficients immediately -> predict() with explicit cov_pars
+            # uses these until the next fit() re-estimates them
+            self._coef_override = np.asarray(params["init_coef"],
+                                             dtype=np.float64)
         # CG / stochastic-trace settings live inside the iterative
         # Vecchia-Laplace engine's jitted graphs -> rebuild on change
         cg_keys = {"num_rand_vec_trace": "num_rand_vec_trace",
@@ -603,6 +617,7 @@ class GPModel:
                         break
                 r.num_it = total_it
                 self._fit_result = r
+        self._coef_override = None    # estimation overwrites coef_ (re_model.cpp)
         self.model_has_been_fitted = True
         return self
 
@@ -838,11 +853,12 @@ class GPModel:
             resid = resid - np.asarray(fixed_effects, dtype=np.float64)
         if offset is not None:
             resid = resid - np.asarray(offset, dtype=np.float64)
-        coef = None
-        if self._fit_result is not None and self._fit_result.coef is not None:
+        coef = self._coef_override
+        if coef is None and self._fit_result is not None \
+                and self._fit_result.coef is not None:
             coef = self._fit_result.coef
-            if self.X is not None:
-                resid = resid - self.X @ coef
+        if coef is not None and self.X is not None:
+            resid = resid - self.X @ coef
 
         pred_data = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
@@ -884,18 +900,19 @@ class GPModel:
         if fixed_effects is not None:
             fe = np.asarray(fixed_effects, dtype=np.float64)
             F[: len(fe)] += fe
-        coef = None
+        coef = self._coef_override
         aux_pars = None
         a_init = None
         if self._fit_result is not None:
-            coef = self._fit_result.coef
+            if coef is None:
+                coef = self._fit_result.coef
             aux_pars = self._fit_result.aux_pars
             a_init = self._fit_result.mode_state
-            if coef is not None and self.X is not None:
-                k = self.X.shape[1]
-                F[:n] += self.X @ coef[:k]
-                if nsets == 2:
-                    F[n:] += self.X @ coef[k:]
+        if coef is not None and self.X is not None:
+            k = self.X.shape[1]
+            F[:n] += self.X @ coef[:k]
+            if nsets == 2:
+                F[n:] += self.X @ coef[k:]
         pred_data = self._build_pred_data(
             group_data_pred, group_rand_coef_data_pred, gp_coords_pred,
             gp_rand_coef_data_pred, cluster_ids_pred)

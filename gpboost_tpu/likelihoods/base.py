@@ -702,20 +702,74 @@ for _cls in _FAMILY_CLASSES:
 SUPPORTED_LIKELIHOODS = tuple(sorted(_REGISTRY)) + (
     "t_fix_df", "tweedie_fixed_p", "gaussian")
 
+# complete alias map of ParseLikelihoodAlias (likelihoods.h:10210-10317)
 _ALIASES = {
-    "binary": "bernoulli_probit",
-    "bernoulli_probit": "bernoulli_probit",
     "binary_probit": "bernoulli_probit",
+    "binary": "bernoulli_logit",
     "binary_logit": "bernoulli_logit",
+    "binomial": "binomial_logit",
+    "quasi_binary_probit": "quasi_bernoulli_probit",
     "quasi_binary": "quasi_bernoulli_logit",
     "quasi_binary_logit": "quasi_bernoulli_logit",
-    "quasi_binary_probit": "quasi_bernoulli_probit",
+    "regression": "gaussian",
+    "nbinom2": "negative_binomial",
+    "negative_binomial_2": "negative_binomial",
+    "negative_binomial2": "negative_binomial",
+    "nbinom1": "negative_binomial_1",
+    "negative_binomial1": "negative_binomial_1",
+    "student_t": "t",
+    "student-t": "t",
+    "t_distribution": "t",
+    "t-distribution": "t",
+    "log-normal": "lognormal",
+    "log_normal": "lognormal",
+    "beta-binomial": "beta_binomial",
+    "betabinomial": "beta_binomial",
+    "zero-inflated-gamma": "hurdle_gamma",
+    "zero_inflated_gamma": "hurdle_gamma",
+    "zero_inflated_lognormal": "hurdle_lognormal",
+    "zero-inflated-lognormal": "hurdle_lognormal",
+    "hurdle_poisson": "zero_inflated_poisson",
+    "zero_inflated_nbinom2": "zero_inflated_negative_binomial",
+    "zero_inflated_negative_binomial_2": "zero_inflated_negative_binomial",
+    "zero_inflated_nbinom": "zero_inflated_negative_binomial",
+    "hurdle_negative_binomial": "zero_inflated_negative_binomial",
+    "hurdle_nbinom2": "zero_inflated_negative_binomial",
+    "hurdle_negative_binomial_2": "zero_inflated_negative_binomial",
+    "zero_inflated_nbinom1": "zero_inflated_negative_binomial_1",
+    "hurdle_negative_binomial_1": "zero_inflated_negative_binomial_1",
+    "hurdle_nbinom1": "zero_inflated_negative_binomial_1",
+    "zero_inflated_gpd": "hurdle_gpd",
+    "zero_inflated_egpd_power": "hurdle_egpd_power",
+    "zero_inflated_egpd_power_mixture": "hurdle_egpd_power_mixture",
+    "zero_inflated_egpd_beta": "hurdle_egpd_beta",
+    "zero_inflated_egpd_power_beta": "hurdle_egpd_power_beta",
+    "zero-inflated-regression-gamma": "hurdle_regression_gamma",
+    "zero_inflated_regression_gamma": "hurdle_regression_gamma",
+    "zero_inflated_regression_lognormal": "hurdle_regression_lognormal",
+    "zero-inflated-regression-lognormal": "hurdle_regression_lognormal",
+    "hurdle_regression_poisson": "zero_inflated_regression_poisson",
+    "zero_inflated_regression_nbinom2":
+        "zero_inflated_regression_negative_binomial",
+    "zero_inflated_regression_negative_binomial_2":
+        "zero_inflated_regression_negative_binomial",
+    "zero_inflated_regression_nbinom":
+        "zero_inflated_regression_negative_binomial",
+    "hurdle_regression_negative_binomial":
+        "zero_inflated_regression_negative_binomial",
+    "hurdle_regression_nbinom2":
+        "zero_inflated_regression_negative_binomial",
+    "hurdle_regression_negative_binomial_2":
+        "zero_inflated_regression_negative_binomial",
+    "zero_inflated_regression_nbinom1":
+        "zero_inflated_regression_negative_binomial_1",
+    "hurdle_regression_negative_binomial_1":
+        "zero_inflated_regression_negative_binomial_1",
+    "hurdle_regression_nbinom1":
+        "zero_inflated_regression_negative_binomial_1",
+    "zero-censored-power-normal": "zero_censored_power_transformed_normal",
     "quantile": "asymmetric_laplace",
     "quantile_regression": "asymmetric_laplace",
-    "student_t": "t",
-    "nbinom2": "negative_binomial",
-    "nbinom1": "negative_binomial_1",
-    "zero_inflated_gpd": "hurdle_gpd",      # undocumented reference alias
 }
 
 
