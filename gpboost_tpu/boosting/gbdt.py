@@ -467,14 +467,11 @@ class Booster:
         if tl is None:
             raise ValueError(f"Unknown tree_learner "
                              f"'{p.get('tree_learner')}'")
-        if p.get("cegb_penalty_feature_lazy") is not None:
-            raise NotImplementedError(
-                "cegb_penalty_feature_lazy (per-row feature-acquisition "
-                "costs) is not supported; use "
-                "cegb_penalty_feature_coupled / cegb_penalty_split")
         cegb = None
         coupled = p.get("cegb_penalty_feature_coupled")
-        if coupled is not None or float(p["cegb_penalty_split"]) > 0.0:
+        lazy = p.get("cegb_penalty_feature_lazy")
+        if coupled is not None or lazy is not None \
+                or float(p["cegb_penalty_split"]) > 0.0:
             tr = float(p["cegb_tradeoff"])
             cvec = np.zeros(train_set.num_features, dtype=np.float64)
             if coupled is not None:
@@ -484,8 +481,17 @@ class Booster:
                         "cegb_penalty_feature_coupled must have one entry "
                         "per feature")
                 cvec = cp
+            lvec = None
+            if lazy is not None:
+                lp = np.asarray(lazy, dtype=np.float64)
+                if len(lp) != train_set.num_features:
+                    raise ValueError(
+                        "cegb_penalty_feature_lazy must have one entry "
+                        "per feature")
+                lvec = tr * lp
             cegb = {"coupled": tr * cvec,
-                    "split": tr * float(p["cegb_penalty_split"])}
+                    "split": tr * float(p["cegb_penalty_split"]),
+                    "lazy": lvec}
         self._cegb_used = None
         self.learner = SerialTreeLearner(
             train_set, num_leaves=int(p["num_leaves"]),

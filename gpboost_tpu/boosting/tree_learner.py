@@ -97,7 +97,7 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
                         cat_mask=None, path_smooth=0.0, parent_out=0.0,
                         cegb_coupled=None, cegb_split=0.0, cegb_used=None,
-                        extra_key=None, feat_hi=None):
+                        extra_key=None, feat_hi=None, cegb_lazy_pen=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
@@ -163,6 +163,13 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         # feature penalty. In-tree usage updates come through cegb_used.
         gain = gain - (cegb_coupled * (1.0 - cegb_used))[:, None] \
             - cegb_split * C
+    if cegb_lazy_pen is not None:
+        # lazy (on-demand) per-row feature-acquisition costs
+        # (cost_effective_gradient_boosting.hpp:126-151
+        # CalculateOndemandCosts): penalty = tradeoff * penalty_lazy[f] *
+        # (#rows in this leaf that have never used feature f) — the per-
+        # feature totals are precomputed by the caller per leaf
+        gain = gain - cegb_lazy_pen[:, None]
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
     if monotone is not None:
@@ -363,7 +370,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 path_smooth=0.0, cegb_coupled=None,
                                 cegb_split=0.0, cegb_used0=None,
                                 extra_key0=None, feat_hi=None,
-                                forced=None):
+                                forced=None, cegb_lazy=None,
+                                lazy_used0=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -421,13 +429,33 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         return jnp.transpose(acc, (0, 2, 1))[:, :3, :]
 
     use_extra = extra_key0 is not None
+    use_lazy = cegb_lazy is not None
 
-    def best_of(hist, parent_out, used, key=None):
+    def best_of(hist, parent_out, used, key=None, lazy_pen=None):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
                                    cat_mask, path_smooth, parent_out,
                                    cegb_coupled, cegb_split, used,
-                                   key if use_extra else None, feat_hi)
+                                   key if use_extra else None, feat_hi,
+                                   lazy_pen)
+
+    def unused_segment(used_p, s0, cnt):
+        """(p,) count of rows in positions [s0, s0+cnt) whose feature f has
+        NOT been acquired yet (lazy CEGB; used_p is 1 where acquired,
+        including all padding rows). Streamed contiguous row blocks like
+        hist_segment — one column-sum matvec per block."""
+        b0 = (s0 // rb).astype(jnp.int32)
+        b1 = ((s0 + cnt + rb - 1) // rb).astype(jnp.int32)
+
+        def body(i, acc):
+            start = i * rb
+            ub = jax.lax.dynamic_slice(used_p, (start, jnp.int32(0)),
+                                       (rb, p)).astype(jnp.float32)
+            pos = start + pos_iota[:rb]
+            valid = ((pos >= s0) & (pos < s0 + cnt)).astype(jnp.float32)
+            return acc + jnp.sum((1.0 - ub) * valid[:, None], axis=0)
+
+        return jax.lax.fori_loop(b0, b1, body, jnp.zeros((p,), jnp.float32))
 
     def raw_out(hist):
         G = jnp.sum(hist[0, 0, :])
@@ -454,7 +482,18 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     hist0 = hist_segment(bins_pos, stats_pos, jnp.int32(0),
                          jnp.int32(n_pad))
     out0 = raw_out(hist0)
-    g0, f0, b0_ = best_of(hist0, out0, used0, kroot)
+    if use_lazy:
+        used_pos0 = lazy_used0
+        unused_root = unused_segment(used_pos0, jnp.int32(0),
+                                     jnp.int32(n_pad))
+        pen0 = cegb_lazy * unused_root
+    else:
+        used_pos0 = jnp.zeros((1, 1), jnp.uint8)     # untouched placeholder
+        unused_root = jnp.zeros((p,), jnp.float32)
+        pen0 = None
+    leaf_unused = jnp.zeros((L, p), jnp.float32).at[0].set(unused_root)
+    leaf_path = jnp.zeros((L, p), jnp.float32)
+    g0, f0, b0_ = best_of(hist0, out0, used0, kroot, pen0)
 
     leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
         out0.astype(hist0.dtype))
@@ -473,7 +512,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     def split_step(s, carry):
         (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
          seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-         leaf_out, rec, rec_gain, rec_cat) = carry
+         leaf_out, rec, rec_gain, rec_cat, used_pos, leaf_unused,
+         leaf_path) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -499,7 +539,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         def do_split(args):
             (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
              seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
-             leaf_out, rec, rec_gain, rec_cat) = args
+             leaf_out, rec, rec_gain, rec_cat, used_pos, leaf_unused,
+             leaf_path) = args
             if use_extra:
                 key, kl_, kr_ = jax.random.split(key, 3)
             else:
@@ -551,8 +592,33 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             out_r = child_out(hist_right, jnp.sum(hist_right[0, 2, :]), pout)
             leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
                                .at[new_slot].set(out_r.astype(leaf_out.dtype))
-            gl_g, fl, bl = best_of(hist_left, out_l, used2, kl_)
-            gr_g, fr, br = best_of(hist_right, out_r, used2, kr_)
+            if use_lazy:
+                # lazy CEGB: splitting leaf l on f acquires f for ALL its
+                # rows (UpdateLeafBestSplits, cegb hpp:111-122) — tracked
+                # per-leaf as the path feature set (equivalent, since a
+                # row's in-tree marks are exactly its leaf's path). The
+                # unacquired-row counts vs PRIOR-tree marks split by
+                # smaller-child scan + subtraction like the histograms.
+                used_pos = used_pos.at[new_pos].set(used_pos)
+                unused_small = unused_segment(used_pos, sS, cS)
+                unused_big = leaf_unused[l] - unused_small
+                unused_left = jnp.where(left_smaller, unused_small,
+                                        unused_big)
+                unused_right = jnp.where(left_smaller, unused_big,
+                                         unused_small)
+                path_child = jnp.maximum(
+                    leaf_path[l],
+                    (jnp.arange(p) == f).astype(jnp.float32))
+                pen_l = cegb_lazy * unused_left * (1.0 - path_child)
+                pen_r = cegb_lazy * unused_right * (1.0 - path_child)
+                leaf_unused = leaf_unused.at[l].set(unused_left) \
+                                         .at[new_slot].set(unused_right)
+                leaf_path = leaf_path.at[l].set(path_child) \
+                                     .at[new_slot].set(path_child)
+            else:
+                pen_l = pen_r = None
+            gl_g, fl, bl = best_of(hist_left, out_l, used2, kl_, pen_l)
+            gr_g, fr, br = best_of(hist_right, out_r, used2, kr_, pen_r)
             depth_ok = d < max_depth
             gl_g = jnp.where(depth_ok, gl_g, -jnp.inf)
             gr_g = jnp.where(depth_ok, gr_g, -jnp.inf)
@@ -572,20 +638,22 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, used2, key,
                     seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
                     leaf_bin, leaf_depth, leaf_out, rec2, rec_gain2,
-                    rec_cat2)
+                    rec_cat2, used_pos, leaf_unused, leaf_path)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (bins_p, stats_p, row_ids, leaf_of_pos, used,
                              key, seg_start, seg_cnt, leaf_hist, leaf_gain,
                              leaf_feat, leaf_bin, leaf_depth, leaf_out,
-                             rec, rec_gain, rec_cat))
+                             rec, rec_gain, rec_cat, used_pos, leaf_unused,
+                             leaf_path))
 
     carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, used0, key0,
              seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
-             leaf_depth, leaf_out, rec, rec_gain, rec_cat)
+             leaf_depth, leaf_out, rec, rec_gain, rec_cat, used_pos0,
+             leaf_unused, leaf_path)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
     (_, _, row_ids, leaf_of_pos, _, _, _, _, leaf_hist, _, _, _, _,
-     leaf_out, rec, rec_gain, rec_cat) = carry
+     leaf_out, rec, rec_gain, rec_cat, _, _, leaf_path) = carry
     # row -> leaf slot, back in ROW order (one scatter)
     node = jnp.zeros(n_pad, jnp.int32).at[row_ids].set(leaf_of_pos)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
@@ -596,12 +664,24 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
     else:
         leaf_values = jnp.where(Cs > 0, leaf_out, 0.0)
-    return rec, leaf_values, node, rec_gain, rec_cat, Cs
+    out = (rec, leaf_values, node, rec_gain, rec_cat, Cs)
+    if use_lazy:
+        out = out + (leaf_path,)
+    return out
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16))
 def _grow_tree_partitioned(*args, **kw):
     return _grow_tree_partitioned_impl(*args, **kw)[:5]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16))
+def _grow_tree_partitioned_lazy(*args, **kw):
+    """Variant returning (..., leaf_path) for lazy CEGB: leaf_path (L, p)
+    is the per-leaf set of features used on the leaf's root path, from which
+    the caller derives which rows acquired which features this tree."""
+    r = _grow_tree_partitioned_impl(*args, **kw)
+    return r[:5] + (r[6],)
 
 
 _POSITIONAL_KERNEL_OK = None
@@ -723,6 +803,9 @@ class SerialTreeLearner:
         if cegb is not None and mesh is not None:
             raise NotImplementedError(
                 "CEGB penalties are not supported with a device mesh")
+        # lazy CEGB: persistent (n_pad, p_pad) uint8 acquisition matrix —
+        # model-wide, like the reference's feature_used_in_data_ bitset
+        self._lazy_used_rows = None
         # extra_trees (config.h): one random threshold per feature per node
         self.extra_trees = bool(extra_trees)
         if self.extra_trees and mesh is not None:
@@ -805,18 +888,48 @@ class SerialTreeLearner:
                 extra_args = (None, None)
             forced_arg = None if self.forced is None \
                 else jnp.asarray(self.forced)
-            rec, leaf_values, node, rec_gain, rec_cat = \
-                _grow_tree_partitioned(
-                    self.bins_pos, jnp.asarray(stats_pos),
-                    self.num_bins, self.num_leaves, self.max_depth,
-                    self.use_pallas, self.row_block, self.feat_chunk,
-                    jnp.float32(self.lambda_l2),
-                    jnp.float32(self.min_data_in_leaf),
-                    jnp.float32(self.min_sum_hessian),
-                    jnp.float32(self.min_gain),
-                    jnp.asarray(fm), jnp.float32(self.lambda_l1),
-                    jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                    self.path_smooth, *cegb_args, *extra_args, forced_arg)
+            lazy = self.cegb.get("lazy") if self.cegb is not None else None
+            grow_args = (
+                self.bins_pos, jnp.asarray(stats_pos),
+                self.num_bins, self.num_leaves, self.max_depth,
+                self.use_pallas, self.row_block, self.feat_chunk,
+                jnp.float32(self.lambda_l2),
+                jnp.float32(self.min_data_in_leaf),
+                jnp.float32(self.min_sum_hessian),
+                jnp.float32(self.min_gain),
+                jnp.asarray(fm), jnp.float32(self.lambda_l1),
+                jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
+                self.path_smooth, *cegb_args, *extra_args, forced_arg)
+            if lazy is None:
+                rec, leaf_values, node, rec_gain, rec_cat = \
+                    _grow_tree_partitioned(*grow_args)
+            else:
+                lpen = np.zeros(self.p_pad, dtype=np.float32)
+                lpen[:len(lazy)] = lazy
+                if self._lazy_used_rows is None:
+                    u0 = np.ones((n_pad, self.p_pad), dtype=np.uint8)
+                    u0[:n, :] = 0         # padding rows count as acquired
+                    self._lazy_used_rows = jnp.asarray(u0)
+                used_eff = self._lazy_used_rows
+                if row_mask is not None:
+                    # out-of-bag rows are invisible to the penalty AND the
+                    # end-of-tree acquisition marks (the reference's
+                    # data_partition holds only bagged rows)
+                    inbag = np.zeros(n_pad, dtype=np.uint8)
+                    inbag[:n] = (np.asarray(row_mask) > 0)
+                    inbag_d = jnp.asarray(inbag)
+                    used_eff = jnp.maximum(used_eff,
+                                           (1 - inbag_d)[:, None])
+                rec, leaf_values, node, rec_gain, rec_cat, leaf_path = \
+                    _grow_tree_partitioned_lazy(
+                        *grow_args, jnp.asarray(lpen), used_eff)
+                marks = jnp.take(
+                    leaf_path,
+                    jnp.clip(node, 0, self.num_leaves - 1), axis=0)
+                if row_mask is not None:
+                    marks = marks * inbag_d[:, None]
+                self._lazy_used_rows = jnp.maximum(
+                    self._lazy_used_rows, marks.astype(jnp.uint8))
         else:
             stats_T = np.zeros((3, n_pad), dtype=np.float32)
             if row_mask is None:

@@ -498,6 +498,44 @@ class TestCEGB:
         assert set(used) == {0}
         assert len(used) > 1     # feature 0 reused after the one-time cost
 
+    def test_lazy_penalty_zero_is_noop(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        params = {"objective": "regression", "num_leaves": 7, "verbose": 0}
+        b0 = train(dict(params), Dataset(X, label=y), num_boost_round=3)
+        b1 = train(dict(params, cegb_penalty_feature_lazy=[0, 0, 0, 0]),
+                   Dataset(X, label=y), num_boost_round=3)
+        np.testing.assert_allclose(b0.predict(X), b1.predict(X), atol=1e-7)
+
+    def test_lazy_penalty_steers_feature_choice(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        params = {"objective": "regression", "num_leaves": 7, "verbose": 0}
+        # a large per-row acquisition cost on feature 0 pushes splits to the
+        # slightly weaker copy (feature 1)
+        b1 = train(dict(params, cegb_penalty_feature_lazy=[1e6, 0, 0, 0]),
+                   Dataset(X, label=y), num_boost_round=5)
+        used1 = {int(f) for t in b1.trees
+                 for i, f in enumerate(t.split_feature[:t.num_nodes])
+                 if not t.is_leaf[i]}
+        assert 0 not in used1 and 1 in used1
+
+    def test_lazy_penalty_amortizes_across_trees(self):
+        from gpboost_tpu import Dataset, train
+        X, y = self._data()
+        # feature 0's per-row cost is worth paying at the root (all rows):
+        # once its rows have acquired it, later trees split it for free while
+        # the other features stay prohibitively expensive
+        b = train({"objective": "regression", "num_leaves": 4, "verbose": 0,
+                   "cegb_tradeoff": 1.0,
+                   "cegb_penalty_feature_lazy": [0.001, 1e6, 1e6, 1e6]},
+                  Dataset(X, label=y), num_boost_round=4)
+        used = [int(f) for t in b.trees
+                for i, f in enumerate(t.split_feature[:t.num_nodes])
+                if not t.is_leaf[i]]
+        assert set(used) == {0}
+        assert len(used) > 1
+
     def test_split_penalty_prunes(self):
         from gpboost_tpu import Dataset, train
         X, y = self._data()
