@@ -597,13 +597,27 @@ class Booster:
         elif self._nsets == 2:
             self.init_score = self._boost_from_average()
             lik = gp_model._likelihood_obj
-            self.init_score2 = float(lik.init_intercept2(self.y, 1.0)) \
+            self.init_score2 = float(lik.init_intercept2(
+                self.y, self._gp_total_re_var())) \
                 if hasattr(lik, "init_intercept2") else 0.0
             self.F = np.concatenate([np.full(self.n, self.init_score),
                                      np.full(self.n, self.init_score2)])
         else:
             self.init_score = self._boost_from_average()
             self.F = np.full(self.n, self.init_score)
+        if gp_model is not None and gp_model.likelihood != "gaussian":
+            # non-Gaussian GPBoost: the init score(s) are intercept-only ML
+            # fits of the Laplace marginal likelihood at the initial
+            # covariance parameters — NOT the closed-form moment intercepts,
+            # which only provide the starting values
+            # (FindInitialValueBoosting, re_model.cpp:634-690)
+            c0 = [self.init_score] + ([self.init_score2]
+                                      if self._nsets == 2 else [])
+            c = self._find_init_scores_gp(c0)
+            self.init_score = c[0]
+            if self._nsets == 2:
+                self.init_score2 = c[1]
+            self.F = np.repeat(np.asarray(c, dtype=np.float64), self.n)
         self._gp_init_pars = None
         self._gp_refit_iter = -1
         self._gp_lr_lap = 0.1
@@ -655,6 +669,63 @@ class Booster:
         self._num_init_iteration = len(self.trees)
 
     # ------------------------------------------------------------------
+    def _gp_total_re_var(self):
+        """Total variance of the mean-set random-effects components at the
+        GP model's initial covariance parameters (GetTotalVarComps(cov, 0),
+        re_model_template.h:1240) — the rand_eff_var argument of the
+        closed-form FindInitialIntercept starting values."""
+        gp = self.gp_model
+        init_cov = getattr(gp.params, "init_cov_pars", None)
+        if init_cov is None:
+            init_cov = gp._default_init_cov_pars(self.y)
+        pars = np.asarray(init_cov, dtype=np.float64)
+        nsets_re = getattr(gp._engine, "num_sets_re", 1)
+        tot, off = 0.0, 0
+        for comp in gp.components:
+            if off >= len(pars) / nsets_re:
+                break
+            tot += float(pars[off])       # first par = marginal variance
+            off += comp.num_cov_par
+        return max(tot, 1e-10)
+
+    # ------------------------------------------------------------------
+    def _find_init_scores_gp(self, c0):
+        """Intercept-only ML fit for the non-Gaussian GPBoost init score
+        (FindInitialValueBoosting, re_model.cpp:634-690): minimize the
+        Laplace marginal NLL over one intercept per fixed-effects set, with
+        the covariance/aux parameters FIXED at their initial values
+        (OptimLinRegrCoefCovPar with learn_covariance_parameters=false,
+        only_intercept_for_GPBoost_algo=true). c0 holds the closed-form
+        FindInitialIntercept starting values (re_model_template.h:1248)."""
+        from scipy.optimize import minimize
+        from ..models.optimize import OptimConfig, _laplace_u0
+        gp = self.gp_model
+        eng = gp._engine
+        init_cov = getattr(gp.params, "init_cov_pars", None)
+        if init_cov is None:
+            init_cov = gp._default_init_cov_pars(self.y)
+        cfg = OptimConfig(**{**gp.params.__dict__,
+                             "init_cov_pars": np.asarray(init_cov,
+                                                         dtype=np.float64)})
+        u = _laplace_u0(eng, self.y, cfg)
+        yd = jnp.asarray(gp._likelihood_obj.check_y(self.y))
+        K, n = self._nsets, self.n
+        state = {"a": eng.zero_mode()}
+
+        def fun(c):
+            F = jnp.asarray(np.repeat(np.asarray(c, dtype=np.float64), n))
+            nll, _, gF, a = eng.laplace_vag_F(u, yd, F, state["a"])
+            state["a"] = a        # warm-start the mode across evaluations
+            if not np.isfinite(nll):
+                return 1e30, np.zeros(K)
+            return float(nll), np.asarray(gF).reshape(K, n).sum(axis=1)
+
+        r = minimize(fun, np.asarray(c0, dtype=np.float64), jac=True,
+                     method="L-BFGS-B", options={"maxiter": 50})
+        x = r.x if np.all(np.isfinite(r.x)) else np.asarray(c0)
+        return [float(v) for v in x]
+
+    # ------------------------------------------------------------------
     def _boost_from_average(self):
         """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283)."""
         if self.gp_model is None and self.objective_name == "quantile":
@@ -672,8 +743,10 @@ class Booster:
             if self.gp_model.likelihood == "gaussian":
                 return float(np.mean(self.y))
             lik = self.gp_model._likelihood_obj
-            tot_var = 1.0
-            return lik.init_intercept(self.y, tot_var)
+            # rand_eff_var = total variance of the MEAN-set random effects
+            # at the initial covariance parameters
+            # (re_model_template.h:1240 GetTotalVarComps(cov_pars, 0))
+            return lik.init_intercept(self.y, self._gp_total_re_var())
         if self._lik is not None:
             return self._lik.init_intercept(self.y, 1.0)
         return float(np.mean(self.y))
@@ -881,11 +954,14 @@ class Booster:
                     r.mode_state = a
                     self._gp_init_pars = pars
                 else:
-                    # first fit: honor the user's configured init_cov_pars
-                    # (the reference's first OptimCovPar does); explicitly
-                    # passing init_cov_pars=None would RESET it to the
-                    # data-driven default
-                    fp = {"maxit": int(self.params["maxit_gp"])}
+                    # full per-iteration OptimCovPar with the GP model's OWN
+                    # optimizer settings (regression_objective.hpp:180-182:
+                    # GetGradients runs OptimCovPar to convergence each
+                    # iteration; maxit_gp only bounds the warm-started
+                    # fast/fused refit paths). Honor the user's configured
+                    # init_cov_pars on the first fit; warm-start later fits
+                    # at the previous optimum.
+                    fp = {}
                     if self._gp_init_pars is not None:
                         fp["init_cov_pars"] = self._gp_init_pars
                     gp.fit(y=self.y, offset=self.F, params=fp)
