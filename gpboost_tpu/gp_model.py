@@ -88,6 +88,8 @@ class GPModel:
         likelihood = _lik_aliases.get(likelihood, likelihood)
         self.likelihood = likelihood
         self.gp_approx = gp_approx
+        self._coef_override = None
+
         # "auto" (TPU-native default): direct (Cholesky) factorizations while
         # they fit, matrix-free CG + stochastic Lanczos log-dets at scale —
         # so large-n non-Gaussian Vecchia models run O(n*m) BY DEFAULT
