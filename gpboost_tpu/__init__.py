@@ -27,7 +27,10 @@ from .tuner import tune_pars_TPE_algorithm_optuna  # noqa: E402
 from .sklearn import (GPBoostModel, GPBoostRegressor,  # noqa: E402
                       GPBoostClassifier, GPBoostRanker)
 from .utils.log import Log, register_logger, set_log_level  # noqa: E402
-from .utils.timer import Timer, global_timer, device_trace  # noqa: E402
+from .utils.timer import (Timer, global_timer, device_trace,  # noqa: E402
+                          annotate, step_annotation,
+                          start_profiler_server,
+                          save_device_memory_profile)
 from . import callback  # noqa: E402
 from .plotting import (plot_importance, plot_metric,  # noqa: E402
                        plot_split_value_histogram, plot_tree,
@@ -56,6 +59,10 @@ __all__ = [
     "Timer",
     "global_timer",
     "device_trace",
+    "annotate",
+    "step_annotation",
+    "start_profiler_server",
+    "save_device_memory_profile",
     "register_logger",
     "set_log_level",
     "__version__",

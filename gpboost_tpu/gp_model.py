@@ -297,7 +297,6 @@ class GPModel:
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None
-            self._coef_override = None
             self.y = None
             self.X = None
             self.model_has_been_fitted = False
@@ -371,7 +370,6 @@ class GPModel:
                 self.num_cov_par = self._engine.num_cov_par
                 self.params = OptimConfig()
                 self._fit_result = None
-                self._coef_override = None
                 self.y = None
                 self.X = None
                 self.model_has_been_fitted = False
@@ -392,7 +390,6 @@ class GPModel:
             self.num_cov_par = self._engine.num_cov_par
             self.params = OptimConfig()
             self._fit_result = None
-            self._coef_override = None
             self.y = None
             self.X = None
             self.model_has_been_fitted = False
@@ -559,6 +556,11 @@ class GPModel:
 
     # ------------------------------------------------------------------
     def fit(self, y, X=None, params=None, offset=None):
+        from .utils.timer import annotate
+        with annotate("GPModel.fit"):
+            return self._fit_inner(y, X=X, params=params, offset=offset)
+
+    def _fit_inner(self, y, X=None, params=None, offset=None):
         self.set_optim_params(params or {})
         self.X = None if X is None else np.asarray(X, dtype=np.float64)
         cfg = self.params

@@ -81,3 +81,41 @@ def device_trace(log_dir):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name, **kwargs):
+    """Named XProf trace annotation: spans show up on the host timeline of a
+    `device_trace` capture and group the device ops they launched. Used by
+    the library around its own hot entry points (boosting rounds, GPModel
+    fits); no-op overhead when no trace is active. The TPU-native analogue
+    of the reference's `FunctionTimer` RAII tags (common.h:1003)."""
+    import jax
+    with jax.profiler.TraceAnnotation(str(name), **kwargs):
+        yield
+
+
+@contextlib.contextmanager
+def step_annotation(name, step_num=None):
+    """XProf step marker (`StepTraceAnnotation`): marks one training step
+    so XProf's step-time analysis can attribute device work per boosting
+    round / optimizer iteration."""
+    import jax
+    with jax.profiler.StepTraceAnnotation(str(name), step_num=step_num):
+        yield
+
+
+def start_profiler_server(port=9012):
+    """Start jax's on-demand profiling server; connect from
+    TensorBoard/XProf ('capture profile') while training runs. Returns the
+    port. The live-observability analogue of the reference's USE_TIMETAG +
+    log-level-Debug builds."""
+    import jax
+    jax.profiler.start_server(int(port))
+    return int(port)
+
+
+def save_device_memory_profile(path):
+    """Write a pprof-format snapshot of live device (HBM) allocations."""
+    import jax
+    jax.profiler.save_device_memory_profile(str(path))
