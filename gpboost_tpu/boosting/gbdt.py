@@ -36,6 +36,20 @@ def _load_forced_splits(path):
         return json.load(f)
 
 
+def _weighted_percentile(v, w, alpha):
+    """Common::Percentile / WeightedPercentileFun (utils/common.h:919-985):
+    percentile of v; the weighted variant accumulates sorted weights to the
+    alpha cut."""
+    v = np.asarray(v, dtype=np.float64)
+    if w is None:
+        return float(np.percentile(v, alpha * 100.0))
+    w = np.asarray(w, dtype=np.float64)
+    o = np.argsort(v)
+    cw = np.cumsum(w[o])
+    i = int(np.searchsorted(cw, alpha * cw[-1]))
+    return float(v[o[min(i, len(v) - 1)]])
+
+
 def _scan_grad_builder(obj_name, obj_args, y, w, aux):
     """Elementwise jax (grad, hess) of the training loss at score F — the
     in-scan analogue of Booster._gradients() for the fused multi-round path
@@ -49,10 +63,64 @@ def _scan_grad_builder(obj_name, obj_args, y, w, aux):
         def fn(F):
             d = F - y
             return jnp.where(d >= 0, 1.0 - alpha, -alpha), jnp.ones_like(F)
+    elif obj_name == "l1":
+        def fn(F):
+            return jnp.sign(F - y), jnp.ones_like(F)
+    elif obj_name == "huber":
+        alpha = float(obj_args[0])
+
+        def fn(F):
+            return jnp.clip(F - y, -alpha, alpha), jnp.ones_like(F)
+    elif obj_name == "fair":
+        c = float(obj_args[0])
+
+        def fn(F):
+            d = F - y
+            return c * d / (jnp.abs(d) + c), c * c / (jnp.abs(d) + c) ** 2
+    elif obj_name == "mape":
+        lw = 1.0 / jnp.maximum(1.0, jnp.abs(y))
+
+        def fn(F):
+            return jnp.sign(F - y) * lw, jnp.ones_like(F)
+    elif obj_name == "tweedie":
+        rho = float(obj_args[0])
+
+        def fn(F):
+            e1 = jnp.exp((1.0 - rho) * F)
+            e2 = jnp.exp((2.0 - rho) * F)
+            return (-y * e1 + e2,
+                    jnp.maximum(-y * (1.0 - rho) * e1 + (2.0 - rho) * e2,
+                                1e-12))
     elif obj_name == "cross_entropy":
         def fn(F):
             z = 1.0 / (1.0 + jnp.exp(-F))
             return z - y, jnp.maximum(z * (1.0 - z), 1e-12)
+    elif obj_name == "binary_lgb":
+        sig, w0, w1 = [float(v) for v in obj_args]
+        lab = jnp.where(y > 0, 1.0, -1.0)
+        lw = jnp.where(y > 0, w1, w0)
+
+        def fn(F):
+            resp = -lab * sig / (1.0 + jnp.exp(lab * sig * F))
+            ar = jnp.abs(resp)
+            return resp * lw, jnp.maximum(ar * (sig - ar) * lw, 1e-12)
+    elif obj_name == "cross_entropy_lambda":
+        if w is None:
+            def fn(F):
+                z = 1.0 / (1.0 + jnp.exp(-F))
+                return z - y, jnp.maximum(z * (1.0 - z), 1e-12)
+        else:
+            # the weight sits INSIDE the loss (xentropy_objective.hpp:200)
+            def xel(F):
+                epf = jnp.exp(F)
+                hhat = jnp.log1p(epf)
+                z = 1.0 - jnp.exp(-w * hhat)
+                g = (1.0 - y / z) * w / (1.0 + 1.0 / epf)
+                c = 1.0 / (1.0 - z)
+                a = w * epf / (1.0 + epf) ** 2
+                b = (c / (c - 1.0) ** 2) * (1.0 + w * epf - c)
+                return g, jnp.maximum(a * (1.0 + y * b), 1e-12)
+            return xel
     else:
         lik = get_likelihood(obj_name)
 
@@ -322,8 +390,15 @@ _OBJ_ALIASES = {
     "binary": "bernoulli_logit", "binary_logloss": "bernoulli_logit",
     "poisson": "poisson", "gamma": "gamma",
     "multiclass": "multiclass", "softmax": "multiclass",
-    "quantile": "quantile", "regression_l1": "quantile",
+    "quantile": "quantile",
+    "regression_l1": "l1", "l1": "l1", "mae": "l1",
+    "mean_absolute_error": "l1",
+    "huber": "huber", "fair": "fair",
+    "mape": "mape", "mean_absolute_percentage_error": "mape",
+    "tweedie": "tweedie",
     "cross_entropy": "cross_entropy", "xentropy": "cross_entropy",
+    "cross_entropy_lambda": "cross_entropy_lambda",
+    "xentlambda": "cross_entropy_lambda",
     "tobit": "tobit", "grabit": "tobit",
     "mean_scale_regression": "mean_scale_regression",
     "lambdarank": "lambdarank", "rank_xendcg": "rank_xendcg",
@@ -333,10 +408,13 @@ _OBJ_ALIASES = {
 
 # objectives handled by dedicated gradient formulas instead of the
 # likelihood registry (src/LightGBM/objective/: multiclass_objective.hpp,
-# regression_objective.hpp RegressionQuantileloss, xentropy_objective.hpp)
+# regression_objective.hpp RegressionQuantileloss/L1/Huber/Fair/MAPE/Tweedie,
+# xentropy_objective.hpp)
 _SPECIAL_OBJECTIVES = ("multiclass", "quantile", "cross_entropy",
                        "tobit", "mean_scale_regression",
-                       "lambdarank", "rank_xendcg")
+                       "lambdarank", "rank_xendcg",
+                       "l1", "huber", "fair", "mape", "tweedie",
+                       "binary_lgb", "cross_entropy_lambda")
 
 def _nesterov_schedule(i, version=1, rate=0.5, offset=0):
     """Momentum rate at boosting iteration i (gbdt.h:399 NesterovSchedule)."""
@@ -367,6 +445,8 @@ _BOOST_PARAM_DEFAULTS = dict(
     # ranking (config.h: sigmoid, lambdarank_norm,
     # lambdarank_truncation_level, label_gain, objective_seed, eval_at)
     sigmoid=1.0, lambdarank_norm=True, lambdarank_truncation_level=30,
+    # binary class re-weighting (binary_objective.hpp:31-33,91-104)
+    is_unbalance=False, scale_pos_weight=1.0,
     label_gain=None, objective_seed=5, eval_at=(1, 2, 3, 4, 5),
     # stochastic sampling (config.h: bagging_fraction, bagging_freq,
     # feature_fraction and their seeds)
@@ -384,6 +464,10 @@ _BOOST_PARAM_DEFAULTS = dict(
     # serial / data(_parallel) / feature(_parallel) / voting(_parallel):
     # which dimension is sharded over the device mesh (config.h tree_learner)
     tree_learner="serial",
+    # voting-parallel (PV-tree): local top-k features voted per device,
+    # global top-2k histograms merged (config.h top_k,
+    # voting_parallel_tree_learner.cpp:465)
+    top_k=20,
     # path smoothing (config.h path_smooth): shrink leaf outputs toward the
     # parent, weighted by ps/(n_leaf+ps)
     path_smooth=0.0,
@@ -415,6 +499,7 @@ _PARAM_ALIASES = {
     "bagging": "bagging_fraction", "subsample_freq": "bagging_freq",
     "sub_feature": "feature_fraction", "colsample_bytree": "feature_fraction",
     "boosting_type": "boosting", "boost": "boosting",
+    "unbalance": "is_unbalance", "unbalanced_sets": "is_unbalance",
 }
 
 
@@ -457,12 +542,12 @@ class Booster:
                 raise ValueError(f"num_parallel_devices={k} but only "
                                  f"{len(devs)} devices are available")
             mesh = Mesh(np.asarray(devs), ("data",))
-        # tree_learner (config.h): serial / data / feature; 'voting' is the
-        # reference's approximate bandwidth optimization of data-parallel —
-        # the mesh collective here is already exact, so it maps to 'data'
+        # tree_learner (config.h): serial / data / feature / voting —
+        # which dimension is sharded over the mesh, and for voting, the
+        # PV-tree bandwidth-bounded histogram merge
         tl = {"serial": "data", "data": "data", "data_parallel": "data",
               "feature": "feature", "feature_parallel": "feature",
-              "voting": "data", "voting_parallel": "data"}.get(
+              "voting": "voting", "voting_parallel": "voting"}.get(
                   str(p.get("tree_learner", "serial")))
         if tl is None:
             raise ValueError(f"Unknown tree_learner "
@@ -506,7 +591,8 @@ class Booster:
             path_smooth=float(p["path_smooth"]), cegb=cegb,
             extra_trees=bool(p["extra_trees"]),
             forced_splits=_load_forced_splits(
-                p.get("forcedsplits_filename")))
+                p.get("forcedsplits_filename")),
+            top_k=int(p["top_k"]))
         if cegb is not None:
             self._cegb_used = np.zeros(self.learner.p_pad, dtype=np.float32)
 
@@ -515,6 +601,13 @@ class Booster:
         else:
             self.objective_name = _OBJ_ALIASES.get(
                 p["objective"], p["objective"])
+        if (gp_model is None and self.objective_name == "bernoulli_logit"
+                and (float(p["sigmoid"]) != 1.0 or bool(p["is_unbalance"])
+                     or float(p["scale_pos_weight"]) != 1.0)):
+            # LightGBM binary loss with sigmoid scaling / class re-weighting
+            # (binary_objective.hpp:27-33); the plain case rides the
+            # bernoulli_logit likelihood registry
+            self.objective_name = "binary_lgb"
         if gp_model is None and self.objective_name in _SPECIAL_OBJECTIVES:
             self._lik = None
             if self.objective_name == "multiclass":
@@ -529,6 +622,31 @@ class Booster:
             elif self.objective_name == "cross_entropy":
                 if not np.all((self.y >= 0) & (self.y <= 1)):
                     raise ValueError("cross_entropy labels must be in [0, 1]")
+            elif self.objective_name == "binary_lgb":
+                if not np.all((self.y == 0) | (self.y == 1)):
+                    raise ValueError("binary labels must be 0 or 1")
+                npos = float(np.sum(self.y > 0))
+                nneg = float(self.n) - npos
+                w0 = w1 = 1.0
+                if bool(p["is_unbalance"]):
+                    if float(p["scale_pos_weight"]) != 1.0:
+                        raise ValueError("Cannot set is_unbalance and "
+                                         "scale_pos_weight at the same time")
+                    if npos > 0 and nneg > 0:
+                        if npos > nneg:
+                            w0 = npos / nneg
+                        else:
+                            w1 = nneg / npos
+                w1 *= float(p["scale_pos_weight"])
+                self._binary_lw = (w0, w1)
+            elif self.objective_name == "cross_entropy_lambda":
+                if not np.all((self.y >= 0) & (self.y <= 1)):
+                    raise ValueError("cross_entropy_lambda labels must be "
+                                     "in [0, 1]")
+                if train_set.weight is not None \
+                        and np.any(np.asarray(train_set.weight) <= 0):
+                    raise ValueError("cross_entropy_lambda requires "
+                                     "positive weights")
             elif self.objective_name in ("lambdarank", "rank_xendcg"):
                 from .ranking import (query_boundaries, check_rank_labels,
                                       DEFAULT_LABEL_GAIN)
@@ -728,12 +846,39 @@ class Booster:
     # ------------------------------------------------------------------
     def _boost_from_average(self):
         """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283)."""
+        w = self.train_set.weight if self.train_set is not None else None
         if self.gp_model is None and self.objective_name == "quantile":
-            return float(np.quantile(self.y,
-                                     float(self.params.get("alpha", 0.9))))
+            return _weighted_percentile(
+                self.y, w, float(self.params.get("alpha", 0.9)))
+        if self.gp_model is None and self.objective_name == "l1":
+            return _weighted_percentile(self.y, w, 0.5)
+        if self.gp_model is None and self.objective_name == "mape":
+            # weighted median with label weights 1/max(1,|y|) (*w)
+            # (regression_objective.hpp:744-751)
+            lw = 1.0 / np.maximum(1.0, np.abs(self.y))
+            if w is not None:
+                lw = lw * w
+            return _weighted_percentile(self.y, lw, 0.5)
+        if self.gp_model is None and self.objective_name in ("huber", "fair"):
+            # inherit RegressionL2loss::BoostFromScore (weighted mean)
+            return float(np.average(self.y, weights=w))
+        if self.gp_model is None and self.objective_name == "tweedie":
+            # RegressionPoissonLoss::BoostFromScore: SafeLog(weighted mean)
+            return float(np.log(max(np.average(self.y, weights=w), 1e-35)))
         if self.gp_model is None and self.objective_name == "cross_entropy":
             pbar = float(np.clip(np.mean(self.y), 1e-12, 1 - 1e-12))
             return float(np.log(pbar / (1.0 - pbar)))
+        if self.gp_model is None and self.objective_name == "binary_lgb":
+            # binary_objective.hpp:140-160 (kEpsilon clip, /sigmoid)
+            pavg = float(np.clip(np.average(self.y > 0, weights=w),
+                                 1e-15, 1 - 1e-15))
+            return float(np.log(pavg / (1.0 - pavg))
+                         / float(self.params["sigmoid"]))
+        if self.gp_model is None \
+                and self.objective_name == "cross_entropy_lambda":
+            # xentropy_objective.hpp:244-265: log(exp(havg) - 1)
+            havg = float(np.average(self.y, weights=w))
+            return float(np.log(max(np.exp(havg) - 1.0, 1e-15)))
         if self.gp_model is None and self.objective_name in (
                 "lambdarank", "rank_xendcg"):
             # ranking objectives do not boost from an average score
@@ -835,11 +980,70 @@ class Booster:
                 delta = self.F - self.y
                 g = np.where(delta >= 0, 1.0 - alpha, -alpha)
                 h = np.ones(self.n)
+            elif self.objective_name == "l1":
+                # RegressionL1loss (regression_objective.hpp:300-330)
+                g = np.sign(self.F - self.y)
+                h = np.ones(self.n)
+            elif self.objective_name == "huber":
+                # RegressionHuberLoss (regression_objective.hpp:414-440)
+                alpha = float(self.params.get("alpha", 0.9))
+                d = self.F - self.y
+                g = np.clip(d, -alpha, alpha)
+                h = np.ones(self.n)
+            elif self.objective_name == "fair":
+                # RegressionFairLoss (regression_objective.hpp:466-482)
+                c = float(self.params.get("fair_c", 1.0))
+                d = self.F - self.y
+                g = c * d / (np.abs(d) + c)
+                h = c * c / (np.abs(d) + c) ** 2
+            elif self.objective_name == "mape":
+                # RegressionMAPELOSS (regression_objective.hpp:724-740):
+                # label_weight = 1/max(1,|y|); final sample weight (below)
+                # multiplies in, matching the reference's weighted branch
+                lw = 1.0 / np.maximum(1.0, np.abs(self.y))
+                g = np.sign(self.F - self.y) * lw
+                h = np.ones(self.n)
+            elif self.objective_name == "tweedie":
+                # RegressionTweedieLoss (regression_objective.hpp:840-856)
+                rho = float(self.params.get("tweedie_variance_power", 1.5))
+                e1 = np.exp((1.0 - rho) * self.F)
+                e2 = np.exp((2.0 - rho) * self.F)
+                g = -self.y * e1 + e2
+                h = np.maximum(-self.y * (1.0 - rho) * e1
+                               + (2.0 - rho) * e2, 1e-12)
             elif self.objective_name == "cross_entropy":
                 # (xentropy_objective.hpp:84-85)
                 z = 1.0 / (1.0 + np.exp(-self.F))
                 g = z - self.y
                 h = np.maximum(z * (1.0 - z), 1e-12)
+            elif self.objective_name == "binary_lgb":
+                # (binary_objective.hpp:106-137)
+                sig = float(self.params["sigmoid"])
+                lab = np.where(self.y > 0, 1.0, -1.0)
+                lw = np.where(self.y > 0, self._binary_lw[1],
+                              self._binary_lw[0])
+                resp = -lab * sig / (1.0 + np.exp(lab * sig * self.F))
+                ar = np.abs(resp)
+                g = resp * lw
+                h = np.maximum(ar * (sig - ar) * lw, 1e-12)
+            elif self.objective_name == "cross_entropy_lambda":
+                # (xentropy_objective.hpp:192-216); the weighted form has
+                # the weight INSIDE the loss, so sample weights must not be
+                # re-applied below
+                if w is None:
+                    z = 1.0 / (1.0 + np.exp(-self.F))
+                    return z - self.y, np.maximum(z * (1.0 - z), 1e-12)
+                epf = np.exp(self.F)
+                hhat = np.log1p(epf)
+                z = 1.0 - np.exp(-w * hhat)
+                enf = 1.0 / epf
+                g = (1.0 - self.y / z) * w / (1.0 + enf)
+                c = 1.0 / (1.0 - z)
+                d = 1.0 + epf
+                a = w * epf / (d * d)
+                d2 = c - 1.0
+                b = (c / (d2 * d2)) * (1.0 + w * epf - c)
+                return g, np.maximum(a * (1.0 + self.y * b), 1e-12)
             else:
                 Fd = jnp.asarray(self.F)
                 yd = jnp.asarray(self.y)
@@ -1045,6 +1249,12 @@ class Booster:
     def update(self, train_set=None, fobj=None):
         """One boosting iteration (gbdt.cpp:412 TrainOneIter; dart.hpp for
         boosting='dart', goss.hpp for boosting='goss')."""
+        from ..utils.timer import step_annotation
+        with step_annotation("boosting_round",
+                             step_num=self.current_iteration_):
+            return self._update_inner(train_set=train_set, fobj=fobj)
+
+    def _update_inner(self, train_set=None, fobj=None):
         if self._nsets > 1:
             # one tree per predictor block and iteration: two-predictor
             # likelihoods or multiclass (gbdt.cpp TrainOneIter over
@@ -1215,7 +1425,10 @@ class Booster:
                 and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0)
                 and (self.objective_name in ("gaussian", "quantile",
-                                             "cross_entropy")
+                                             "cross_entropy", "l1",
+                                             "huber", "fair", "mape",
+                                             "tweedie", "binary_lgb",
+                                             "cross_entropy_lambda")
                      or self._lik is not None))
 
     def can_train_scanned_gpboost(self):
@@ -1488,8 +1701,16 @@ class Booster:
         n, n_pad, L = self.n, le.n_pad, le.num_leaves
         lr = float(self.params["learning_rate"])
         obj = self.objective_name
-        if obj == "quantile":
+        if obj in ("quantile", "huber"):
             obj_args = (float(self.params.get("alpha", 0.9)),)
+        elif obj == "binary_lgb":
+            obj_args = (float(self.params["sigmoid"]),) \
+                + tuple(self._binary_lw)
+        elif obj == "fair":
+            obj_args = (float(self.params.get("fair_c", 1.0)),)
+        elif obj == "tweedie":
+            obj_args = (float(self.params.get("tweedie_variance_power",
+                                              1.5)),)
         else:
             obj_args = ()
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
@@ -1531,9 +1752,17 @@ class Booster:
                 group_data_pred=None, group_rand_coef_data_pred=None,
                 gp_coords_pred=None, gp_rand_coef_data_pred=None,
                 cluster_ids_pred=None, predict_var=False,
-                predict_cov_mat=False, ignore_gp_model=False, **kwargs):
+                predict_cov_mat=False, ignore_gp_model=False,
+                pred_early_stop=False, pred_early_stop_freq=10,
+                pred_early_stop_margin=10.0, **kwargs):
         """Combined fixed-effect + random-effect prediction
         (basic.py:3455/3628-3770).
+
+        pred_early_stop: per-row prediction early stopping for binary and
+        multiclass models (src/LightGBM/prediction_early_stop.cpp): every
+        `pred_early_stop_freq` trees, rows whose decision margin (|raw score|
+        for binary, top1-top2 for multiclass) already exceeds
+        `pred_early_stop_margin` stop accumulating further trees.
 
         pred_contrib=True returns exact TreeSHAP feature attributions of the
         tree ensemble, shape (n, p+1) with the expected value (bias) in the
@@ -1626,8 +1855,23 @@ class Booster:
             nit = num_iteration if num_iteration else len(self.trees) // K
             used = self.trees[K * start_iteration: K * (start_iteration + nit)]
             Fk = np.tile(self._init_scores[:, None], (1, len(X)))
-            for i, tree in enumerate(used):
-                Fk[i % K] += self._tree_predict(tree, X)
+            if pred_early_stop:
+                # multiclass margin = top1 - top2 of the raw scores
+                # (prediction_early_stop.cpp:38 MulticlassScoreFunction)
+                active = np.ones(len(X), dtype=bool)
+                freq = max(1, int(pred_early_stop_freq)) * K
+                for i, tree in enumerate(used):
+                    if i and i % freq == 0:
+                        top2 = np.sort(Fk[:, active], axis=0)[-2:]
+                        active[np.flatnonzero(active)[
+                            (top2[1] - top2[0])
+                            >= float(pred_early_stop_margin)]] = False
+                        if not active.any():
+                            break
+                    Fk[i % K, active] += self._tree_predict(tree, X[active])
+            else:
+                for i, tree in enumerate(used):
+                    Fk[i % K] += self._tree_predict(tree, X)
             if raw_score:
                 return Fk.T                       # (n, K) raw scores
             S = Fk - Fk.max(0, keepdims=True)
@@ -1666,6 +1910,21 @@ class Booster:
                             int(self.params["momentum_offset"]))
                         F_pred, lag = (1.0 + mu) * F_pred - mu * lag, F_pred
                     F_pred = F_pred + self._tree_predict(tree, X)
+            elif pred_early_stop and self.objective_name in (
+                    "bernoulli_logit", "bernoulli_probit",
+                    "cross_entropy", "binary_lgb"):
+                # binary margin = |raw score| incl. the init score
+                # (prediction_early_stop.cpp:60 BinaryScoreFunction)
+                active = np.ones(len(X), dtype=bool)
+                freq = max(1, int(pred_early_stop_freq))
+                for i, tree in enumerate(used):
+                    if i and i % freq == 0:
+                        active[np.flatnonzero(active)[
+                            np.abs(F_pred[active] + self.init_score)
+                            >= float(pred_early_stop_margin)]] = False
+                        if not active.any():
+                            break
+                    F_pred[active] += self._tree_predict(tree, X[active])
             else:
                 for tree in used:
                     F_pred = F_pred + self._tree_predict(tree, X)
@@ -1677,6 +1936,17 @@ class Booster:
         if gp is None or ignore_gp_model:
             if not raw_score and self.objective_name == "cross_entropy":
                 return 1.0 / (1.0 + np.exp(-F_pred))
+            if not raw_score and self.objective_name == "tweedie":
+                # RegressionPoissonLoss::ConvertOutput (inherited)
+                return np.exp(F_pred)
+            if not raw_score and self.objective_name == "binary_lgb":
+                return 1.0 / (1.0 + np.exp(
+                    -float(self.params["sigmoid"]) * F_pred))
+            if not raw_score and self.objective_name == "cross_entropy_lambda":
+                # ConvertOutput is the normalized exponential parameter
+                # lambda = log(1+e^F), NOT a probability
+                # (xentropy_objective.hpp:218-237)
+                return np.log1p(np.exp(F_pred))
             if raw_score or self._lik is None:
                 return F_pred
             return np.asarray(self._lik.cond_mean(jnp.asarray(F_pred), self._aux))

@@ -30,8 +30,14 @@ from .tree import Tree
 from ..ops.histogram import hist_pallas
 
 
-def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block):
-    """(p, 3, B) histogram via blocked one-hot einsum (non-TPU backends)."""
+def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block,
+                 vma=()):
+    """(p, 3, B) histogram via blocked one-hot einsum (non-TPU backends).
+
+    vma: mesh axis names to mark the scan carry as device-varying over —
+    required when called on per-device shards inside shard_map (the voting
+    learner), where the accumulator must carry the same varying-manual-axes
+    type as the data."""
     p, n = bins_T.shape
     nb = n // row_block
     bins_r = bins_T.reshape(p, nb, row_block)
@@ -49,6 +55,11 @@ def _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block):
         return acc, None
 
     init = jnp.zeros((p, 3, num_bins), stats_T.dtype)
+    if vma:
+        try:
+            init = jax.lax.pcast(init, vma, to="varying")
+        except (AttributeError, TypeError):    # older jax spellings
+            init = jax.lax.pvary(init, vma)
     hist, _ = jax.lax.scan(body, init, jnp.arange(nb))
     return hist
 
@@ -360,6 +371,159 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
     else:
         leaf_values = jnp.where(Cs > 0, leaf_out, 0.0)
+    return rec, leaf_values, node, rec_gain, rec_cat
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 15, 16))
+def _grow_tree_voting(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
+                      use_pallas, row_block, feat_chunk, lambda_l2, min_data,
+                      min_hess, min_gain, feat_mask, lambda_l1, mesh, top_k):
+    """Voting-parallel (PV-tree) leaf-wise growth
+    (src/LightGBM/treelearner/voting_parallel_tree_learner.cpp:465).
+
+    The reference bounds inter-worker bandwidth by exchanging only the
+    histograms of a VOTED feature subset instead of reduce-scattering all p
+    of them: each worker finds its local per-feature best gains, votes for
+    its top-k features, the global top-2k vote winners' histograms are
+    all-reduced, and the best split is taken among those. On TPU the same
+    shape maps onto a mesh: the whole growth loop runs inside shard_map with
+    per-device LOCAL leaf histograms; each split psums a (p,)-vector of
+    votes plus only the selected (2k, 3, B) histogram block over ICI —
+    O(2k·B) instead of O(p·B) collective bytes per split.
+
+    Exact when 2*top_k >= p (every feature is selected, so the merged
+    search equals the data-parallel one); an approximation otherwise, like
+    the reference. Categorical features / monotone constraints /
+    path smoothing are not supported in this mode."""
+    p, n = bins_T.shape
+    L = num_leaves
+    S = int(min(2 * top_k, p))
+    K = int(min(top_k, p))
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                     # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def gain_mat(hist, fmask):
+        """Masked (p', B) split-gain matrix of a (p', 3, B) histogram
+        (feature_histogram.hpp GetSplitGains with L1/L2)."""
+        G = jnp.sum(hist[:, 0, :], axis=1, keepdims=True)
+        H = jnp.sum(hist[:, 1, :], axis=1, keepdims=True)
+        C = jnp.sum(hist[:, 2, :], axis=1, keepdims=True)
+        GL = jnp.cumsum(hist[:, 0, :], axis=1)
+        HL = jnp.cumsum(hist[:, 1, :], axis=1)
+        CL = jnp.cumsum(hist[:, 2, :], axis=1)
+        GR, HR = G - GL, H - HL
+        gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
+                + _thresholded(GR, lambda_l1) ** 2 / (HR + lambda_l2)
+                - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
+        valid = ((CL >= min_data) & (C - CL >= min_data)
+                 & (HL >= min_hess) & (H - HL >= min_hess)
+                 & (fmask[:, None] > 0))
+        return jnp.where(valid & (gain > min_gain), gain, -jnp.inf)
+
+    def run(bins_loc, node0_loc, stats_loc):
+        def hist_loc(node, target):
+            if use_pallas:
+                return hist_pallas(bins_loc, node[None, :], stats_loc,
+                                   target, num_bins, feat_chunk, row_block)
+            return _hist_einsum(bins_loc, node, stats_loc, target,
+                                num_bins, row_block, vma=("data",))
+
+        def voted_best(local_hist):
+            # local per-feature best gains -> top-k vote (LocalVoting) ->
+            # global top-2k set (GlobalVoting, ties broken by summed local
+            # gains) -> all-reduce ONLY the selected histograms -> exact
+            # best split among them
+            gfeat = jnp.max(gain_mat(local_hist, feat_mask), axis=1)  # (p,)
+            topv, topi = jax.lax.top_k(gfeat, K)
+            votes = jnp.zeros((p,), jnp.float32).at[topi].add(
+                jnp.isfinite(topv).astype(jnp.float32))
+            votes = jax.lax.psum(votes, "data")
+            gsum = jax.lax.psum(
+                jnp.where(jnp.isfinite(gfeat), gfeat, 0.0), "data")
+            score = (votes.astype(jnp.float64) * 1e14
+                     + jnp.clip(gsum.astype(jnp.float64), 0.0, 1e13))
+            _, sel = jax.lax.top_k(score, S)                  # (S,) ids
+            hsel = jax.lax.psum(jnp.take(local_hist, sel, axis=0), "data")
+            gm = gain_mat(hsel, jnp.take(feat_mask, sel))
+            flat = jnp.argmax(gm)
+            B = gm.shape[1]
+            return (gm.reshape(-1)[flat],
+                    sel[flat // B].astype(jnp.int32),
+                    (flat % B).astype(jnp.int32))
+
+        hist0 = hist_loc(node0_loc, jnp.int32(0))
+        g0, f0, b0 = voted_best(hist0)
+        leaf_hist = jnp.zeros((L, p, 3, num_bins), hist0.dtype) \
+                       .at[0].set(hist0)                      # LOCAL hists
+        leaf_gain = jnp.full((L,), -jnp.inf).at[0].set(g0)
+        leaf_feat = jnp.zeros((L,), jnp.int32).at[0].set(f0)
+        leaf_bin = jnp.zeros((L,), jnp.int32).at[0].set(b0)
+        leaf_depth = jnp.zeros((L,), jnp.int32)
+        rec = jnp.full((L - 1, 4), -1, jnp.int32)
+        rec_gain = jnp.zeros((L - 1,), hist0.dtype)
+
+        def split_step(s, carry):
+            (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+             rec, rec_gain) = carry
+            l = jnp.argmax(leaf_gain).astype(jnp.int32)
+            ok = jnp.isfinite(leaf_gain[l])
+            f = leaf_feat[l]
+            b = leaf_bin[l]
+            new_slot = jnp.int32(s + 1)
+            gain_l = leaf_gain[l]
+
+            def do_split(args):
+                (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+                 leaf_depth, rec, rec_gain) = args
+                feat_col = jnp.take(bins_loc, f, axis=0)      # (n_loc,)
+                node2 = jnp.where((node == l) & (feat_col > b),
+                                  new_slot, node)
+                hist_left = hist_loc(node2, l)
+                hist_right = leaf_hist[l] - hist_left
+                d = leaf_depth[l] + 1
+                gl, fl, bl = voted_best(hist_left)
+                gr, fr, br = voted_best(hist_right)
+                depth_ok = d < max_depth
+                gl = jnp.where(depth_ok, gl, -jnp.inf)
+                gr = jnp.where(depth_ok, gr, -jnp.inf)
+                leaf_hist = leaf_hist.at[l].set(hist_left) \
+                                     .at[new_slot].set(hist_right)
+                leaf_gain = leaf_gain.at[l].set(gl).at[new_slot].set(gr)
+                leaf_feat = leaf_feat.at[l].set(fl).at[new_slot].set(fr)
+                leaf_bin = leaf_bin.at[l].set(bl).at[new_slot].set(br)
+                leaf_depth = leaf_depth.at[l].set(d).at[new_slot].set(d)
+                rec2 = rec.at[s].set(jnp.stack([l, f, b, jnp.int32(1)]))
+                rec_gain2 = rec_gain.at[s].set(
+                    gain_l.astype(rec_gain.dtype))
+                return (node2, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+                        leaf_depth, rec2, rec_gain2)
+
+            return jax.lax.cond(ok, do_split, lambda a: a,
+                                (node, leaf_hist, leaf_gain, leaf_feat,
+                                 leaf_bin, leaf_depth, rec, rec_gain))
+
+        carry = (node0_loc, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
+                 leaf_depth, rec, rec_gain)
+        carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
+        (node, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
+         rec, rec_gain) = carry
+        # per-leaf totals from one feature's bins, merged across devices
+        tot = jax.lax.psum(jnp.sum(leaf_hist[:, 0, :, :], axis=-1), "data")
+        Gs, Hs, Cs = tot[:, 0], tot[:, 1], tot[:, 2]
+        leaf_values = jnp.where(
+            Cs > 0, -_thresholded(Gs, lambda_l1) / (Hs + lambda_l2), 0.0)
+        return rec, leaf_values, node, rec_gain
+
+    rec, leaf_values, node, rec_gain = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(None, "data"), P("data"), P(None, "data")),
+        out_specs=(P(), P(), P("data"), P()))(bins_T, node0, stats_T)
+    n_words = -(-num_bins // 32)
+    rec_cat = jnp.zeros((L - 1, n_words), jnp.uint32)
     return rec, leaf_values, node, rec_gain, rec_cat
 
 
@@ -716,7 +880,7 @@ class SerialTreeLearner:
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
                  parallel_mode="data", path_smooth=0.0, cegb=None,
-                 extra_trees=False, forced_splits=None):
+                 extra_trees=False, forced_splits=None, top_k=20):
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
@@ -726,7 +890,11 @@ class SerialTreeLearner:
         #   dimension of bins/histograms sharded — the model-parallel axis
         #   for wide p (feature_parallel_tree_learner.cpp:83); the argmax
         #   split merge is GSPMD's collective over the sharded gain array.
+        # 'voting': PV-tree — rows sharded like 'data' but only the voted
+        #   top-2k features' histograms are psum-merged per split
+        #   (voting_parallel_tree_learner.cpp:465).
         self.parallel_mode = parallel_mode if mesh is not None else "data"
+        self.top_k = int(top_k)
         n, p = dataset.bins.shape
         import jax as _jax
         self.use_pallas = _jax.default_backend() == "tpu"
@@ -742,7 +910,8 @@ class SerialTreeLearner:
             # kernel in ONE grid step over all (padded) features; wide data
             # uses 128-feature chunks.
             self.feat_chunk = -(-p // 8) * 8 if p <= 512 else 128
-        data_par = mesh is not None and self.parallel_mode == "data"
+        data_par = mesh is not None and self.parallel_mode in ("data",
+                                                               "voting")
         feat_par = mesh is not None and self.parallel_mode == "feature"
         row_quant = self.row_block * (mesh.size if data_par else 1)
         feat_quant = self.feat_chunk * (mesh.size if feat_par else 1)
@@ -795,6 +964,18 @@ class SerialTreeLearner:
         self.min_sum_hessian = float(min_sum_hessian_in_leaf)
         self.min_gain = float(min_gain_to_split)
         self.path_smooth = float(path_smooth)
+        if mesh is not None and self.parallel_mode == "voting":
+            if cat.any():
+                raise NotImplementedError("categorical features are not "
+                                          "supported with "
+                                          "tree_learner='voting'")
+            if mono.any():
+                raise NotImplementedError("monotone constraints are not "
+                                          "supported with "
+                                          "tree_learner='voting'")
+            if self.path_smooth > 0.0:
+                raise NotImplementedError("path_smooth is not supported "
+                                          "with tree_learner='voting'")
         # cost-effective gradient boosting
         # (cost_effective_gradient_boosting.hpp): dict with 'coupled'
         # (p,)-array of tradeoff-scaled per-feature penalties and 'split'
@@ -948,17 +1129,30 @@ class SerialTreeLearner:
                                       self._row_sharding)
             stats_d = _jax.device_put(jnp.asarray(stats_T),
                                       self._col_sharding)
-            rec, leaf_values, node, rec_gain, rec_cat = _grow_tree(
-                self.bins_T, node0_d, stats_d,
-                self.num_bins, self.num_leaves, self.max_depth,
-                self.use_pallas, self.row_block, self.feat_chunk,
-                jnp.float32(self.lambda_l2),
-                jnp.float32(self.min_data_in_leaf),
-                jnp.float32(self.min_sum_hessian),
-                jnp.float32(self.min_gain),
-                jnp.asarray(fm), jnp.float32(self.lambda_l1),
-                jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                self.mesh, self.parallel_mode, self.path_smooth)
+            if self.parallel_mode == "voting":
+                rec, leaf_values, node, rec_gain, rec_cat = \
+                    _grow_tree_voting(
+                        self.bins_T, node0_d, stats_d,
+                        self.num_bins, self.num_leaves, self.max_depth,
+                        self.use_pallas, self.row_block, self.feat_chunk,
+                        jnp.float32(self.lambda_l2),
+                        jnp.float32(self.min_data_in_leaf),
+                        jnp.float32(self.min_sum_hessian),
+                        jnp.float32(self.min_gain),
+                        jnp.asarray(fm), jnp.float32(self.lambda_l1),
+                        self.mesh, self.top_k)
+            else:
+                rec, leaf_values, node, rec_gain, rec_cat = _grow_tree(
+                    self.bins_T, node0_d, stats_d,
+                    self.num_bins, self.num_leaves, self.max_depth,
+                    self.use_pallas, self.row_block, self.feat_chunk,
+                    jnp.float32(self.lambda_l2),
+                    jnp.float32(self.min_data_in_leaf),
+                    jnp.float32(self.min_sum_hessian),
+                    jnp.float32(self.min_gain),
+                    jnp.asarray(fm), jnp.float32(self.lambda_l1),
+                    jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
+                    self.mesh, self.parallel_mode, self.path_smooth)
         slot_of_row = np.asarray(node)[:n]
         cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
         tree, leaf_value_of_slot = self.build_tree(rec, leaf_values, rec_gain,

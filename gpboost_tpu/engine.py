@@ -22,6 +22,11 @@ _METRIC_ALIASES = {
     "softmax": "multi_logloss", "multi_error": "multi_error",
     "quantile": "quantile", "cross_entropy": "cross_entropy",
     "xentropy": "cross_entropy",
+    "mape": "mape", "mean_absolute_percentage_error": "mape",
+    "huber": "huber", "fair": "fair",
+    "tweedie": "tweedie",
+    "poisson": "poisson", "gamma": "gamma",
+    "gamma_deviance": "gamma_deviance",
     "binary_error": "binary_error",
     "neg_log_likelihood": "neg_log_likelihood",
     "approx_neg_marginal_log_likelihood": "approx_neg_marginal_log_likelihood",
@@ -103,6 +108,48 @@ def _metric_fn(name):
             d = y - p
             return float(np.mean(np.maximum(alpha * d, (alpha - 1) * d)))
         return pinball
+    if name == "mape":
+        # regression_metric.hpp:297 MAPEMetric
+        return lambda y, p: float(np.mean(np.abs(y - p)
+                                          / np.maximum(1.0, np.abs(y))))
+    if name == "huber":
+        # regression_metric.hpp:240 HuberLossMetric (config alpha default)
+        def huber(y, p, alpha=0.9):
+            d = np.abs(p - y)
+            return float(np.mean(np.where(d <= alpha, 0.5 * d * d,
+                                          alpha * (d - 0.5 * alpha))))
+        return huber
+    if name == "fair":
+        # regression_metric.hpp:262 FairLossMetric
+        def fair(y, p, c=1.0):
+            x = np.abs(p - y)
+            return float(np.mean(c * x - c * c * np.log1p(x / c)))
+        return fair
+    if name == "poisson":
+        # regression_metric.hpp:279 PoissonMetric (p on the response scale)
+        def pois(y, p):
+            p = np.maximum(p, 1e-10)
+            return float(np.mean(p - y * np.log(p)))
+        return pois
+    if name == "gamma":
+        # regression_metric.hpp:306 GammaMetric (unit shape)
+        def gamma_nll(y, p):
+            p = np.maximum(p, 1e-35)
+            return float(np.mean(y / p + np.log(p)))
+        return gamma_nll
+    if name == "gamma_deviance":
+        # regression_metric.hpp:329 GammaDevianceMetric (AverageLoss ×2)
+        def gamma_dev(y, p):
+            t = y / (p + 1e-9)
+            return float(2.0 * np.sum(t - np.log(np.maximum(t, 1e-35)) - 1))
+        return gamma_dev
+    if name == "tweedie":
+        # regression_metric.hpp:350 TweedieMetric
+        def tweedie(y, p, rho=1.5):
+            p = np.maximum(p, 1e-10)
+            return float(np.mean(-y * p ** (1.0 - rho) / (1.0 - rho)
+                                 + p ** (2.0 - rho) / (2.0 - rho)))
+        return tweedie
     if name == "cross_entropy":
         return lambda y, p: float(-np.mean(
             y * np.log(np.clip(p, 1e-15, 1))

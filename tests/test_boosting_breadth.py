@@ -633,3 +633,289 @@ class TestForcedSplits:
         pred = np.asarray(bst.predict(X[:300]))
         r2 = 1 - np.var(y[:300] - pred) / np.var(y[:300])
         assert r2 > 0.7
+
+
+class TestPredEarlyStop:
+    """Prediction early stopping (src/LightGBM/prediction_early_stop.cpp)."""
+
+    def test_binary_early_stop_matches_when_margin_huge(self):
+        rng = np.random.RandomState(11)
+        X = rng.randn(400, 5)
+        y = (X[:, 0] + 0.3 * rng.randn(400) > 0).astype(float)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "binary", "num_leaves": 7,
+                         "verbose": 0}, ds, num_boost_round=30)
+        base = bst.predict(X)
+        es = bst.predict(X, pred_early_stop=True,
+                         pred_early_stop_margin=1e10)
+        np.testing.assert_allclose(es, base, rtol=0, atol=0)
+
+    def test_binary_early_stop_keeps_decisions(self):
+        rng = np.random.RandomState(12)
+        X = rng.randn(600, 5)
+        y = (X[:, 0] + 0.1 * rng.randn(600) > 0).astype(float)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "binary", "num_leaves": 15,
+                         "learning_rate": 0.3, "verbose": 0},
+                        ds, num_boost_round=60)
+        base = bst.predict(X)
+        es = bst.predict(X, pred_early_stop=True, pred_early_stop_freq=5,
+                         pred_early_stop_margin=4.0)
+        # rows that stopped early have |raw| >= 4 -> prob saturated; the
+        # predicted CLASS must agree everywhere
+        np.testing.assert_array_equal(es > 0.5, base > 0.5)
+        # and saturated rows stay saturated
+        assert np.all(np.abs(es - base) < 0.02)
+
+    def test_multiclass_early_stop_keeps_decisions(self):
+        rng = np.random.RandomState(13)
+        n = 600
+        X = rng.randn(n, 4)
+        y = np.argmax(X[:, :3] + 0.1 * rng.randn(n, 3), axis=1).astype(float)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "multiclass", "num_class": 3,
+                         "num_leaves": 15, "learning_rate": 0.3,
+                         "verbose": 0}, ds, num_boost_round=40)
+        base = bst.predict(X)
+        es = bst.predict(X, pred_early_stop=True, pred_early_stop_freq=5,
+                         pred_early_stop_margin=3.0)
+        np.testing.assert_array_equal(np.argmax(es, 1), np.argmax(base, 1))
+
+
+class TestRegressionObjectiveFamily:
+    """The remaining LightGBM regression objectives: l1 (MAE), huber, fair,
+    mape, tweedie (src/LightGBM/objective/regression_objective.hpp:300-868)
+    + their metrics (src/LightGBM/metric/regression_metric.hpp)."""
+
+    def _xy(self, seed=21, n=800):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, 5)
+        y = 2.0 * X[:, 0] + X[:, 1] + 0.3 * rng.randn(n)
+        return X, y
+
+    def test_l1_boost_from_median_and_fit(self):
+        X, y = self._xy()
+        y = y + 10.0          # shift so mean != median matters
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "regression_l1", "num_leaves": 15,
+                         "learning_rate": 0.2, "verbose": 0},
+                        ds, num_boost_round=60)
+        assert abs(bst.init_score - float(np.median(y))) < 1e-8
+        mae = float(np.mean(np.abs(y - bst.predict(X))))
+        assert mae < 0.4 * float(np.mean(np.abs(y - np.median(y))))
+
+    @pytest.mark.parametrize("obj", ["huber", "fair"])
+    def test_huber_fair_fit(self, obj):
+        X, y = self._xy(seed=22)
+        # a few gross outliers: robust losses must still recover the signal
+        y[::97] += 50.0
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": obj, "num_leaves": 15,
+                         "learning_rate": 0.2, "verbose": 0},
+                        ds, num_boost_round=80)
+        clean = np.ones(len(y), dtype=bool)
+        clean[::97] = False
+        resid = y[clean] - bst.predict(X)[clean]
+        assert float(np.median(np.abs(resid))) < 0.5
+
+    def test_mape_fit_and_metric(self):
+        rng = np.random.RandomState(23)
+        X = rng.randn(600, 4)
+        y = np.exp(0.5 * X[:, 0]) * 10.0
+        ds = gpb.Dataset(X, label=y)
+        ev = {}
+        bst = gpb.train({"objective": "mape", "num_leaves": 15,
+                         "learning_rate": 0.2, "verbose": 0,
+                         "metric": "mape"}, ds, num_boost_round=80,
+                        valid_sets=[gpb.Dataset(X, label=y)],
+                        evals_result=ev)
+        mape = float(np.mean(np.abs(y - bst.predict(X))
+                             / np.maximum(1.0, np.abs(y))))
+        mape0 = float(np.mean(np.abs(y - bst.init_score)
+                              / np.maximum(1.0, np.abs(y))))
+        assert mape < 0.55 * mape0
+        hist = ev["valid_0"]["mape"]
+        assert hist[-1] < hist[0]
+
+    def test_tweedie_fit_response_scale(self):
+        rng = np.random.RandomState(24)
+        n = 1200
+        X = rng.randn(n, 4)
+        mu = np.exp(0.8 * X[:, 0])
+        # zero-inflated positive outcome, Tweedie-ish
+        y = np.where(rng.uniform(size=n) < 0.4, 0.0,
+                     rng.gamma(2.0, mu / 2.0))
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "tweedie",
+                         "tweedie_variance_power": 1.5, "num_leaves": 15,
+                         "learning_rate": 0.1, "verbose": 0},
+                        ds, num_boost_round=60)
+        pred = bst.predict(X)
+        assert np.all(pred > 0)               # exp ConvertOutput
+        assert abs(bst.init_score - np.log(np.mean(y))) < 1e-8
+        # predictions track the conditional mean (monotone in X0)
+        order = np.argsort(X[:, 0])
+        lo = pred[order[: n // 4]].mean()
+        hi = pred[order[-n // 4:]].mean()
+        assert hi > 2.0 * lo
+        raw = bst.predict(X, raw_score=True)
+        np.testing.assert_allclose(np.exp(raw), pred, rtol=1e-12)
+
+    @pytest.mark.parametrize("obj", ["huber", "fair", "mape", "tweedie",
+                                     "l1"])
+    def test_fused_scan_matches_host_loop(self, obj):
+        """can_train_scanned covers the new objectives: fused-scan rounds
+        must equal the per-round host loop."""
+        X, y = self._xy(seed=25, n=640)
+        if obj == "tweedie":
+            y = np.abs(y)
+        params = {"objective": obj, "num_leaves": 7, "learning_rate": 0.2,
+                  "verbose": 0}
+        ds = gpb.Dataset(X, label=y)
+        bst_scan = gpb.train(params, ds, num_boost_round=10)   # fused scan
+        assert bst_scan.can_train_scanned()
+        from gpboost_tpu.boosting.gbdt import Booster
+        bst_host = Booster(params=params, train_set=gpb.Dataset(X, label=y))
+        for _ in range(10):                                    # host loop
+            bst_host.update()
+        np.testing.assert_allclose(bst_scan.predict(X, raw_score=True),
+                                   bst_host.predict(X, raw_score=True),
+                                   rtol=1e-6, atol=1e-8)
+
+
+class TestBinaryObjectiveOptions:
+    """LightGBM binary-objective options: sigmoid scaling, is_unbalance /
+    scale_pos_weight class re-weighting (binary_objective.hpp:27-33,
+    :91-160) and the weighted cross_entropy_lambda objective
+    (xentropy_objective.hpp:153-265)."""
+
+    def _xy(self, seed=31, n=900, pos_frac=0.15):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, 5)
+        eta = X[:, 0] + 0.5 * X[:, 1] + np.log(pos_frac / (1 - pos_frac))
+        y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+        return X, y
+
+    def test_plain_binary_unchanged(self):
+        X, y = self._xy()
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "binary", "num_leaves": 7,
+                         "verbose": 0}, ds, num_boost_round=5)
+        assert bst.objective_name == "bernoulli_logit"
+
+    def test_scale_pos_weight_raises_positive_probabilities(self):
+        X, y = self._xy()
+        preds = {}
+        for spw in (1.0, 5.0):
+            ds = gpb.Dataset(X, label=y)
+            bst = gpb.train({"objective": "binary", "num_leaves": 7,
+                             "scale_pos_weight": spw, "verbose": 0},
+                            ds, num_boost_round=30)
+            if spw != 1.0:
+                assert bst.objective_name == "binary_lgb"
+            preds[spw] = bst.predict(X)
+        # up-weighting positives must raise predicted probabilities overall
+        assert preds[5.0].mean() > preds[1.0].mean() + 0.05
+
+    def test_is_unbalance_conflicts_with_scale_pos_weight(self):
+        X, y = self._xy()
+        ds = gpb.Dataset(X, label=y)
+        with pytest.raises(ValueError):
+            gpb.train({"objective": "binary", "is_unbalance": True,
+                       "scale_pos_weight": 3.0, "verbose": 0},
+                      ds, num_boost_round=2)
+
+    def test_is_unbalance_equals_explicit_ratio(self):
+        X, y = self._xy(seed=32)
+        npos = float(y.sum())
+        nneg = float(len(y) - npos)
+        p1 = {"objective": "binary", "num_leaves": 7, "verbose": 0,
+              "is_unbalance": True}
+        p2 = {"objective": "binary", "num_leaves": 7, "verbose": 0,
+              "scale_pos_weight": nneg / npos}
+        preds = []
+        for p in (p1, p2):
+            bst = gpb.train(p, gpb.Dataset(X, label=y), num_boost_round=10)
+            preds.append(bst.predict(X))
+        np.testing.assert_allclose(preds[0], preds[1], rtol=1e-10)
+
+    def test_sigmoid_scaling(self):
+        X, y = self._xy(seed=33)
+        ds = gpb.Dataset(X, label=y)
+        sig = 2.5
+        bst = gpb.train({"objective": "binary", "sigmoid": sig,
+                         "num_leaves": 7, "verbose": 0},
+                        ds, num_boost_round=20)
+        raw = bst.predict(X, raw_score=True)
+        prob = bst.predict(X)
+        np.testing.assert_allclose(prob, 1 / (1 + np.exp(-sig * raw)),
+                                   rtol=1e-12)
+        # boost-from-average divides by sigmoid
+        pavg = y.mean()
+        assert abs(bst.init_score
+                   - np.log(pavg / (1 - pavg)) / sig) < 1e-10
+
+    def test_xentlambda_unweighted_matches_xentropy(self):
+        X, y = self._xy(seed=34)
+        preds = []
+        for obj in ("cross_entropy", "xentlambda"):
+            bst = gpb.train({"objective": obj, "num_leaves": 7,
+                             "verbose": 0}, gpb.Dataset(X, label=y),
+                            num_boost_round=10)
+            preds.append(bst.predict(X, raw_score=True))
+        # same loss once weights are unity; trees differ slightly because
+        # the init-score formulas differ (logit vs log(exp(havg)-1)), which
+        # perturbs every later split
+        r0 = preds[0] - preds[0].mean()
+        r1 = preds[1] - preds[1].mean()
+        assert np.corrcoef(r0, r1)[0, 1] > 0.98
+
+    def test_xentlambda_weighted_output_is_lambda(self):
+        rng = np.random.RandomState(35)
+        X, y = self._xy(seed=35)
+        w = rng.uniform(0.5, 2.0, size=len(y))
+        ds = gpb.Dataset(X, label=y, weight=w)
+        bst = gpb.train({"objective": "xentlambda", "num_leaves": 7,
+                         "verbose": 0}, ds, num_boost_round=40)
+        lam = bst.predict(X)
+        assert np.all(lam > 0)          # log1p(exp(F)) > 0
+        raw = bst.predict(X, raw_score=True)
+        np.testing.assert_allclose(lam, np.log1p(np.exp(raw)), rtol=1e-12)
+        # prob(z) = 1-(1-z)^w must track the labels
+        z = 1 / (1 + np.exp(-raw))
+        prob = 1 - (1 - z) ** w
+        auc_num = np.mean(prob[y == 1][:, None] > prob[y == 0][None, :])
+        assert auc_num > 0.75
+
+    def test_binary_lgb_fused_scan_matches_host_loop(self):
+        X, y = self._xy(seed=36)
+        params = {"objective": "binary", "scale_pos_weight": 3.0,
+                  "num_leaves": 7, "verbose": 0}
+        bst_scan = gpb.train(params, gpb.Dataset(X, label=y),
+                             num_boost_round=10)
+        assert bst_scan.can_train_scanned()
+        from gpboost_tpu.boosting.gbdt import Booster
+        bst_host = Booster(params=params,
+                           train_set=gpb.Dataset(X, label=y))
+        for _ in range(10):
+            bst_host.update()
+        np.testing.assert_allclose(bst_scan.predict(X, raw_score=True),
+                                   bst_host.predict(X, raw_score=True),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_pred_early_stop_engages_for_binary(self):
+        """The early-stop margin loop must actually trigger (the alias is
+        bernoulli_logit, not 'binary')."""
+        X, y = self._xy(seed=37)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "binary", "num_leaves": 15,
+                         "learning_rate": 0.3, "verbose": 0},
+                        ds, num_boost_round=60)
+        base = bst.predict(X)
+        es = bst.predict(X, pred_early_stop=True, pred_early_stop_freq=2,
+                         pred_early_stop_margin=3.0)
+        assert not np.allclose(es, base)     # some rows stopped early
+        # early stopping is approximate (a stopped row could still have
+        # flipped later); at margin 3 (prob 0.95) flips must be rare
+        agree = np.mean((es > 0.5) == (base > 0.5))
+        assert agree > 0.99

@@ -139,13 +139,60 @@ class TestFeatureParallel:
                 assert bst.learner.parallel_mode == "feature"
         np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-7)
 
-    def test_voting_aliases_to_data(self):
+class TestVotingParallel:
+    """PV-tree voting-parallel learner
+    (voting_parallel_tree_learner.cpp:465 analogue)."""
+
+    def test_voting_exact_when_all_features_selected(self):
+        """With 2*top_k >= p every feature wins the vote, so voting must
+        reproduce the serial learner's trees exactly."""
         rng = np.random.RandomState(7)
-        X = rng.randn(300, 4)
-        y = X[:, 0] + 0.1 * rng.randn(300)
+        n, p = 960, 6
+        X = rng.randn(n, p)
+        y = X[:, 0] - 2.0 * X[:, 1] + 0.5 * X[:, 3] + 0.3 * rng.randn(n)
+        from gpboost_tpu import Dataset, train
+        preds = []
+        for ndev in (1, 8):
+            ds = Dataset(X, label=y)
+            params = {"objective": "regression", "num_leaves": 15,
+                      "verbose": 0}
+            if ndev > 1:
+                params["num_parallel_devices"] = ndev
+                params["tree_learner"] = "voting"
+                params["top_k"] = p          # 2k >= p: exact
+            bst = train(params, ds, num_boost_round=5)
+            preds.append(bst.predict(X))
+            if ndev > 1:
+                assert bst.learner.mesh is not None
+                assert bst.learner.parallel_mode == "voting"
+        np.testing.assert_allclose(preds[0], preds[1], rtol=1e-5, atol=1e-7)
+
+    def test_voting_approximate_small_top_k(self):
+        """With a small top_k the vote bounds the merged feature set; the
+        model is an approximation but must still learn the signal."""
+        rng = np.random.RandomState(8)
+        n, p = 1200, 30
+        X = rng.randn(n, p)
+        y = 2.0 * X[:, 0] + X[:, 7] + 0.1 * rng.randn(n)
         from gpboost_tpu import Dataset, train
         ds = Dataset(X, label=y)
-        bst = train({"objective": "regression", "num_leaves": 7, "verbose": 0,
-                     "num_parallel_devices": 8, "tree_learner": "voting"},
-                    ds, num_boost_round=2)
-        assert bst.learner.parallel_mode == "data"
+        bst = train({"objective": "regression", "num_leaves": 15,
+                     "verbose": 0, "num_parallel_devices": 8,
+                     "tree_learner": "voting", "top_k": 3},
+                    ds, num_boost_round=20)
+        pred = bst.predict(X)
+        resid = y - pred
+        assert float(np.var(resid)) < 0.25 * float(np.var(y))
+
+    def test_voting_rejects_categoricals(self):
+        rng = np.random.RandomState(9)
+        X = rng.randn(300, 4)
+        X[:, 2] = rng.randint(0, 5, 300)
+        y = X[:, 0] + 0.1 * rng.randn(300)
+        from gpboost_tpu import Dataset, train
+        import pytest as _pytest
+        ds = Dataset(X, label=y, categorical_feature=[2])
+        with _pytest.raises(NotImplementedError):
+            train({"objective": "regression", "num_leaves": 7, "verbose": 0,
+                   "num_parallel_devices": 8, "tree_learner": "voting"},
+                  ds, num_boost_round=2)
