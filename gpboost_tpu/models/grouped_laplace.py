@@ -45,6 +45,10 @@ class GroupedRELaplaceEngine:
     """Laplace-approximated NLL / gradients / prediction on the RE scale."""
 
     is_gaussian = False
+    # the on-device safeguarded L-BFGS (_optimize_laplace_device) is
+    # validated against the host path for this engine and auto-enabled at
+    # large n; other Laplace engines need use_device_optimizer=True
+    device_opt_auto = True
 
     def __init__(self, components, num_data, likelihood, cluster_ids=None,
                  dtype=jnp.float64, weights=None):

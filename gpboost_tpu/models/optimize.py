@@ -475,6 +475,16 @@ def optimize_laplace(engine, y, config: OptimConfig, X=None,
         return _optimize_laplace_gd(engine, y, config, X, offset)
     if opt in ("lbfgs", "lbfgs_linesearch_nocedal_wright", "nelder_mead", "adam",
                "bfgs_optim_lib"):
+        use_device = config.use_device_optimizer
+        if use_device is None:
+            # auto-enable only for engines whose NLL surface is validated
+            # with the on-device safeguarded L-BFGS (device_opt_auto flag);
+            # use_device_optimizer=True forces it for any Laplace engine
+            use_device = (engine.n >= 20000
+                          and getattr(engine, "device_opt_auto", False))
+        if (use_device and opt.startswith("lbfgs")
+                and hasattr(engine, "_nll_raw")):
+            return _optimize_laplace_device(engine, y, config, X, offset)
         return _optimize_laplace_external(engine, y, config, X, offset)
     if opt in ("fisher_scoring", "newton"):
         raise ValueError(
@@ -798,6 +808,131 @@ def _optimize_laplace_external(engine, y, config: OptimConfig, X=None, offset=No
     return _laplace_result(engine, u, nll, int(nit), True, beta_out, a)
 
 
+def _optimize_laplace_device(engine, y, config: OptimConfig, X=None,
+                             offset=None):
+    """The whole non-Gaussian (Laplace) L-BFGS fit as ONE device dispatch:
+    the engine's custom-VJP marginal NLL (with its inner Newton/CG mode
+    finding) evaluated inside the state-threaded on-device L-BFGS
+    (ops/lbfgs.lbfgs_run_state). The Laplace mode is warm-started across
+    every objective evaluation exactly like the host loop's ``state["a"]``
+    carry, and a non-finite trial keeps the previous finite mode
+    (ResetLaplaceApproxModeToPreviousValue, re_model_template.h:2593;
+    mode warm starts likelihoods.h:3746-3752). Replaces host-driven scipy
+    at large n, where per-evaluation device round-trips dominate, and
+    stops at the configured relative-objective tolerance (LBFGSpp `delta`
+    = delta_rel_conv, optim_utils.h:653-674) instead of running to maxit."""
+    import jax
+    from ..ops.lbfgs import lbfgs_run_state
+
+    n = engine.n
+    nsets = getattr(engine, "num_sets_fe", 1)
+    est = _laplace_est_mask(engine, config)
+    dt = getattr(engine, "dtype", jnp.float64)
+    yd = jnp.asarray(np.asarray(y, dtype=np.float64), dt)
+    has_covariates = X is not None
+    if offset is None:
+        offs = np.zeros(n * nsets)
+    else:
+        offs = np.asarray(offset, dtype=np.float64)
+        if nsets == 2 and len(offs) == n:
+            offs = np.concatenate([offs, np.zeros(n)])
+    u0 = _laplace_u0(engine, y, config)
+    handler = None
+    beta0 = None
+    k = 0
+    if has_covariates:
+        handler = CovariateHandler(X, scale=True)
+        k = handler.X.shape[1]
+        tot_var = float(np.sum(np.asarray(config.init_cov_pars)[
+            [off for off in engine.par_offsets]]))
+        beta0 = handler.init_beta(engine.likelihood, y, tot_var,
+                                  None if offset is None else offs[:n])
+        if nsets == 2:
+            beta0_2 = np.zeros(k)
+            lik = engine.likelihood
+            if handler.intercept_col is not None \
+                    and hasattr(lik, "init_intercept2"):
+                beta0_2[handler.intercept_col] = lik.init_intercept2(
+                    y, tot_var, None if offset is None else offs) \
+                    / handler.X_orig[0, handler.intercept_col]
+            beta0 = np.concatenate([beta0, beta0_2])
+        Xd = jnp.asarray(handler.X, dt)
+
+    est_idx = np.where(est)[0]
+    ne = len(est_idx)
+    nll_raw = engine._nll_raw
+
+    def make_run():
+        est_ij = jnp.asarray(est_idx)
+
+        def run(x0, b0, yd_, offs_, u0f, Xd_, it, ft):
+            def obj(x, b):
+                u = u0f.at[est_ij].set(x[:ne])
+                if has_covariates:
+                    beta = x[ne:]
+                    if nsets == 2:
+                        F = offs_ + jnp.concatenate(
+                            [Xd_ @ beta[:k], Xd_ @ beta[k:]])
+                    else:
+                        F = offs_ + Xd_ @ beta
+                else:
+                    F = offs_
+                nll, aux = nll_raw(u, F, yd_, b)
+                return nll, aux[0]
+
+            def vag(x, st):
+                (f, b_new), g = jax.value_and_grad(
+                    obj, has_aux=True)(x, st)
+                return f, g, b_new
+
+            return lbfgs_run_state(vag, x0, b0, it, ftol=ft)
+
+        return jax.jit(run)
+
+    key = ("laplace_lbfgs_device", has_covariates, tuple(est_idx),
+           k, nsets, str(dt))
+    cache = getattr(engine, "_device_opt_cache", None)
+    if cache is None:
+        cache = engine._device_opt_cache = {}
+    if key not in cache:
+        cache[key] = make_run()
+    run = cache[key]
+
+    x0 = u0[est_idx]
+    if has_covariates:
+        x0 = np.concatenate([x0, beta0])
+    max_iter = config.maxit if config.maxit else min(config.max_iter, 1000)
+    ftol = config.resolved_delta_rel_conv()
+    x, _f, b_state, nit, conv = run(
+        jnp.asarray(x0, dt), engine.zero_mode(), yd,
+        jnp.asarray(offs, dt), jnp.asarray(u0, dt),
+        Xd if has_covariates else jnp.zeros((0,), dt),
+        jnp.asarray(max_iter, jnp.int32), jnp.asarray(ftol, dt))
+
+    x = np.asarray(x, dtype=np.float64)
+    u = u0.copy()
+    u[est_idx] = x[:ne]
+    beta = x[ne:] if has_covariates else None
+    F = offs.copy()
+    if has_covariates:
+        if nsets == 2:
+            F = offs + np.concatenate([handler.X @ beta[:k],
+                                       handler.X @ beta[k:]])
+        else:
+            F = offs + handler.X @ beta
+    nll, a = engine.laplace_nll(u, yd, jnp.asarray(F, dt), b_state)
+    if has_covariates:
+        if nsets == 2:
+            beta_out = np.concatenate([handler.back_transform(beta[:k]),
+                                       handler.back_transform(beta[k:])])
+        else:
+            beta_out = handler.back_transform(beta)
+    else:
+        beta_out = None
+    return _laplace_result(engine, u, float(nll), int(nit), bool(conv),
+                           beta_out, a)
+
+
 # ----------------------------------------------------------------------
 def _optimize_external_origscale(engine, y, config: OptimConfig, X, est) -> OptimResult:
     """External optimization on log-original-scale pars with true fixing."""
@@ -904,13 +1039,17 @@ def _optimize_external_device(engine, y, config: OptimConfig, X, est):
     if key not in cache:
         vag = vag_builder()
         cache[key] = jax.jit(
-            lambda x0, it: lbfgs_run(vag, x0, it),
+            lambda x0, it, ft: lbfgs_run(vag, x0, it, ftol=ft),
             static_argnums=())
     run = cache[key]
 
     max_iter = config.maxit if config.maxit else min(config.max_iter, 1000)
+    # converge at the configured relative-objective tolerance (LBFGSpp's
+    # `delta` = delta_rel_conv, optim_utils.h:653-674) instead of running
+    # to maxit
+    ftol = config.resolved_delta_rel_conv()
     x0 = jnp.asarray(theta0[free_idx], dt)
-    x, nll_prof, k, _conv = run(x0, max_iter)
+    x, nll_prof, k, _conv = run(x0, max_iter, ftol)
     theta = theta0.copy()
     theta[free_idx] = np.asarray(x, dtype=np.float64)
 
