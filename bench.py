@@ -9,8 +9,18 @@ float32). Wall-clock excludes jit compile (a warm-up fit runs first).
 
 The matrix adds the second north-star (1000-round GPBoost spatial train =
 per-round tree + warm-started GP refit), boosting-only throughput at
-n=200k/p=50 for 31 and 255 leaves, and an iterative Vecchia-Laplace binary
-fit at n=20k.
+n=200k/p=50 for 31 and 255 leaves, a LaGaBoost binary Vecchia train, a
+RE-scale grouped GLMM fit, and an iterative Vecchia-Laplace binary fit.
+
+TIME BUDGET: the driver runs this script under an external timeout; a
+timed-out bench emits NOTHING and scores worse than a partial one. So the
+script is budget-aware: after the headline it runs the remaining workloads
+cheapest-first, skipping any whose estimated cost exceeds the remaining
+budget (BENCH_BUDGET_S, default 360 s; BENCH_FULL=1 removes the cap for
+manual full-matrix runs — the committed BENCH_MATRIX.json comes from one).
+A SIGALRM backstop guarantees the headline JSON line is printed even if the
+device tunnel stalls mid-workload, and the matrix file is rewritten after
+every workload so partial progress persists.
 
 vs_baseline ratios divide the REFERENCE library's measured wall-clock by
 ours. The reference numbers come from BASELINE_MEASURED.json, produced by the
@@ -26,16 +36,20 @@ that bound per workload as `ref_64core_bound_s`.
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+START = time.time()
 
 # BENCH_SMOKE=1 shrinks every workload ~100x to validate the script logic
 # (e.g. on CPU); timings are then meaningless and vs_baseline is suppressed.
 SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
+FULL = os.environ.get("BENCH_FULL", "") not in ("", "0")
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "360"))
 
 
 def _scale(n):
@@ -43,7 +57,33 @@ def _scale(n):
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def remaining():
+    return float("inf") if (FULL or SMOKE) else BUDGET - (time.time() - START)
+
+
+# the headline record, filled by workload 1. It is printed to stdout ONCE —
+# immediately after workload 1 finishes (so a later external kill cannot lose
+# it); the SIGALRM backstop prints it only if workload 1 itself stalled.
+_HEADLINE = {"metric": "vecchia_gp_fit_n100000_m20_wallclock",
+             "value": None, "unit": "seconds", "vs_baseline": None}
+_HEADLINE_PRINTED = False
+
+
+def _print_headline_once():
+    global _HEADLINE_PRINTED
+    if not _HEADLINE_PRINTED:
+        print(json.dumps(_HEADLINE), flush=True)
+        _HEADLINE_PRINTED = True
+
+
+def _emit_headline_and_exit(signum=None, frame=None):
+    if signum is not None:
+        log("SIGALRM backstop fired — emitting headline and exiting")
+    _print_headline_once()
+    os._exit(0)
 
 
 # ---- identical data generators to bench_reference.py (same seeds) ----
@@ -117,6 +157,12 @@ def load_reference():
 
 
 def main():
+    # hard backstop: whatever happens (tunnel stall, slow compile), the
+    # headline JSON line gets printed before the driver's external timeout
+    if not (FULL or SMOKE):
+        signal.signal(signal.SIGALRM, _emit_headline_and_exit)
+        signal.alarm(int(BUDGET + 60))
+
     # persistent compilation cache: the fused multi-round scans are
     # compile-heavy; repeated bench runs (driver rounds, warm-ups after
     # restarts) reuse the executables
@@ -128,12 +174,18 @@ def main():
     import gpboost_tpu as gpb
 
     ref = load_reference()
-    matrix = {"device": None, "workloads": {}}
+    matrix = {"device": None, "budget_s": None if (FULL or SMOKE) else BUDGET,
+              "workloads": {}}
     try:
-        import jax
         matrix["device"] = str(jax.devices()[0])
     except Exception:
         pass
+
+    def flush_matrix():
+        if SMOKE:       # smoke timings are meaningless — don't persist them
+            return
+        with open(os.path.join(HERE, "BENCH_MATRIX.json"), "w") as f:
+            json.dump(matrix, f, indent=1)
 
     def record(key, seconds, flops=None, **extra):
         w = {"seconds": round(seconds, 3), **extra}
@@ -151,11 +203,12 @@ def main():
             w["est_tflops_per_s"] = round(flops / seconds / 1e12, 4)
             w["est_mxu_util_fp32"] = round(flops / seconds / 98e12, 5)
         matrix["workloads"][key] = w
+        flush_matrix()
         log(f"[bench] {key}: {w}")
         return w
 
-    # ---- 1. headline: Vecchia GP fit n=100k -------------------------------
-    log("workload 1/6: vecchia fit n=100k")
+    # ---- 1. headline: Vecchia GP fit n=100k (ALWAYS runs) -----------------
+    log("workload 1: vecchia fit n=100k")
     coords, y = sim_vecchia()
     MAXIT = 30
     model = gpb.GPModel(gp_coords=coords, cov_function="exponential",
@@ -178,126 +231,146 @@ def main():
                        "ratio understates the per-iteration advantage. "
                        "Gather/latency-bound: m=20 Cholesky blocks barely "
                        "touch the MXU (see est_mxu_util_fp32)")
+    _HEADLINE["value"] = round(fit_time, 3)
+    _HEADLINE["vs_baseline"] = head.get("vs_baseline_1core", None)
+    _print_headline_once()     # to stdout NOW — a later kill cannot lose it
+    del model
 
-    # ---- 2. north-star #2: 1000-round GPBoost spatial train ---------------
-    log("workload 2/6: gpboost 1000 rounds n=10k")
-    coords, X, yg = sim_gpboost()
-    ROUNDS = 20 if SMOKE else 1000
-
-    def make_model():
-        gp = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                         gp_approx="vecchia", num_neighbors=20,
-                         dtype="float32")
-        ds = gpb.Dataset(X, label=yg)
-        return gp, ds
-
-    # warm-up with the SAME GPModel instance and the fused-scan block size
-    # (25): the compiled round-block caches on the engine, so the timed run
-    # is compile-free. Booster/GP fit state resets per train() call — the
-    # timed run still includes the initial full covariance fit.
-    gp2, ds_w = make_model()
-    gpb.train({"objective": "regression", "learning_rate": 0.1,
-               "num_leaves": 31, "verbose": 0}, ds_w,
-              num_boost_round=25 if not SMOKE else ROUNDS,
-              gp_model=gp2)                                     # compile
-    ds2 = gpb.Dataset(X, label=yg)
-    t0 = time.time()
-    gpb.train({"objective": "regression", "learning_rate": 0.1,
-               "num_leaves": 31, "verbose": 0}, ds2,
-              num_boost_round=ROUNDS, gp_model=gp2)
-    record("gpboost_1000round_spatial_n10k", time.time() - t0,
-           rounds=ROUNDS, n=10_000, num_leaves=31,
-           note="fused scan: one device dispatch per 25-round block "
-                "(gradient + 31-leaf tree + warm-started GD cov refit); "
-                "includes the initial full covariance fit")
-
-    # ---- 3. boosting-only throughput: n=200k p=50 -------------------------
-    Xb, yb = sim_boost()
-    for leaves in (31, 255):
-        log(f"workload 3/6: boosting n=200k p=50 leaves={leaves}")
-        dsb = gpb.Dataset(Xb, label=yb)
-        gpb.train({"objective": "regression", "num_leaves": leaves,
-                   "learning_rate": 0.1, "verbose": 0}, dsb,
-                  num_boost_round=20)   # compile the 20-round fused scan
-        dsb2 = gpb.Dataset(Xb, label=yb)
+    # ---- remaining workloads: cheapest first, each gated on the budget ----
+    def w_glmm():
+        # RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k
+        gg, yg2 = sim_glmm()
+        mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
+        mg.fit(y=yg2, params={"maxit": 1})                      # compile
+        mg2 = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
         t0 = time.time()
-        gpb.train({"objective": "regression", "num_leaves": leaves,
-                   "learning_rate": 0.1, "verbose": 0}, dsb2,
-                  num_boost_round=20)
-        el = time.time() - t0
-        record(f"boosting_n200k_p50_leaves{leaves}_20rounds", el,
-               rounds=20, rounds_per_s=round(20 / el, 2),
-               note="fused scan (all 20 rounds in one dispatch) over "
-                    "leaf-partitioned histogram growth: cost scales with "
-                    "sum-of-smaller-child sizes, not leaves*n")
+        mg2.fit(y=yg2, params={"maxit": 50})
+        record("grouped_glmm_bernoulli_n100k_q1k_fit", time.time() - t0,
+               maxit=50,
+               note="RE-scale (q-dim) grouped Laplace engine — BASELINE "
+                    "config #5 class; O(n) memory")
 
-    # ---- 4. LaGaBoost: binary Vecchia GPBoost, n=50k, 10 rounds -----------
-    log("workload 4/6: lagaboost binary vecchia n=50k")
-    coords, Xl, yl = sim_lagab()
-    gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                      gp_approx="vecchia", num_neighbors=20,
-                      likelihood="bernoulli_probit",
-                      matrix_inversion_method="iterative")
-    gpb.train({"objective": "binary", "learning_rate": 0.1,
-               "num_leaves": 31, "verbose": 0}, gpb.Dataset(Xl, label=yl),
-              num_boost_round=10, gp_model=gpl)                 # compile
-    # reset the GP fit state so the timed run repeats the full initial
-    # covariance fit (the engine keeps the compiled fused-scan executable)
-    gpl._fit_result = None
-    gpl.model_has_been_fitted = False
-    dsl = gpb.Dataset(Xl, label=yl)
-    t0 = time.time()
-    gpb.train({"objective": "binary", "learning_rate": 0.1,
-               "num_leaves": 31, "verbose": 0}, dsl,
-              num_boost_round=10, gp_model=gpl)
-    record("lagaboost_binary_vecchia_n50k_10rounds", time.time() - t0,
-           rounds=10, n=50_000,
-           note="fused LaGaBoost scan: per round = Laplace dNLL/dF "
-                "gradient + tree + warm-started on-device GD cov refit; "
-                "includes the initial full covariance fit")
+    def w_vl():
+        # iterative Vecchia-Laplace binary fit n=20k
+        coords, yv = sim_vl()
+        kw = dict(gp_coords=coords, cov_function="exponential",
+                  gp_approx="vecchia", num_neighbors=20,
+                  likelihood="bernoulli_probit",
+                  matrix_inversion_method="iterative")
+        mvl = gpb.GPModel(**kw)
+        mvl.fit(y=yv, params={"maxit": 1,
+                              "init_cov_pars": [1.0, 0.1]})     # compile
+        mvl2 = gpb.GPModel(**kw)
+        t0 = time.time()
+        mvl2.fit(y=yv, params={"maxit": 20, "init_cov_pars": [1.0, 0.1]})
+        record("vecchia_laplace_fit_n20k_binary", time.time() - t0,
+               maxit=20,
+               note="matrix-free O(n*m) mode finding + CG/SLQ log-dets "
+                    "(vadu preconditioner)")
 
-    # ---- 5. RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k --------
-    log("workload 5/6: grouped GLMM bernoulli n=100k q=1k")
-    gg, yg2 = sim_glmm()
-    mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
-    mg.fit(y=yg2, params={"maxit": 1})                          # compile
-    mg2 = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
-    t0 = time.time()
-    mg2.fit(y=yg2, params={"maxit": 50})
-    record("grouped_glmm_bernoulli_n100k_q1k_fit", time.time() - t0,
-           maxit=50,
-           note="RE-scale (q-dim) grouped Laplace engine — BASELINE "
-                "config #5 class; O(n) memory")
+    def w_boost():
+        # boosting-only throughput: n=200k p=50, 31 and 255 leaves
+        Xb, yb = sim_boost()
+        for leaves in (31, 255):
+            if remaining() < (60 if leaves == 31 else 90):
+                log(f"skipping boosting leaves={leaves} (budget)")
+                matrix["workloads"][
+                    f"boosting_n200k_p50_leaves{leaves}_20rounds"] = {
+                        "skipped": "budget"}
+                flush_matrix()
+                continue
+            dsb = gpb.Dataset(Xb, label=yb)
+            gpb.train({"objective": "regression", "num_leaves": leaves,
+                       "learning_rate": 0.1, "verbose": 0}, dsb,
+                      num_boost_round=20)   # compile the 20-round scan
+            dsb2 = gpb.Dataset(Xb, label=yb)
+            t0 = time.time()
+            gpb.train({"objective": "regression", "num_leaves": leaves,
+                       "learning_rate": 0.1, "verbose": 0}, dsb2,
+                      num_boost_round=20)
+            el = time.time() - t0
+            record(f"boosting_n200k_p50_leaves{leaves}_20rounds", el,
+                   rounds=20, rounds_per_s=round(20 / el, 2),
+                   note="fused scan (all 20 rounds in one dispatch) over "
+                        "leaf-partitioned histogram growth: cost scales "
+                        "with sum-of-smaller-child sizes, not leaves*n")
 
-    # ---- 6. iterative Vecchia-Laplace binary fit n=20k --------------------
-    log("workload 6/6: vecchia-laplace binary n=20k")
-    coords, yv = sim_vl()
-    mvl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                      gp_approx="vecchia", num_neighbors=20,
-                      likelihood="bernoulli_probit",
-                      matrix_inversion_method="iterative")
-    mvl.fit(y=yv, params={"maxit": 1, "init_cov_pars": [1.0, 0.1]})  # compile
-    mvl2 = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                       gp_approx="vecchia", num_neighbors=20,
-                       likelihood="bernoulli_probit",
-                       matrix_inversion_method="iterative")
-    t0 = time.time()
-    mvl2.fit(y=yv, params={"maxit": 20, "init_cov_pars": [1.0, 0.1]})
-    record("vecchia_laplace_fit_n20k_binary", time.time() - t0, maxit=20,
-           note="matrix-free O(n*m) mode finding + CG/SLQ log-dets "
-                "(vadu preconditioner)")
+    def w_lagab():
+        # LaGaBoost: binary Vecchia GPBoost, n=50k, 10 rounds
+        coords, Xl, yl = sim_lagab()
+        gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                          gp_approx="vecchia", num_neighbors=20,
+                          likelihood="bernoulli_probit",
+                          matrix_inversion_method="iterative")
+        gpb.train({"objective": "binary", "learning_rate": 0.1,
+                   "num_leaves": 31, "verbose": 0},
+                  gpb.Dataset(Xl, label=yl),
+                  num_boost_round=10, gp_model=gpl)             # compile
+        # reset the GP fit state so the timed run repeats the full initial
+        # covariance fit (the engine keeps the compiled scan executable)
+        gpl._fit_result = None
+        gpl.model_has_been_fitted = False
+        dsl = gpb.Dataset(Xl, label=yl)
+        t0 = time.time()
+        gpb.train({"objective": "binary", "learning_rate": 0.1,
+                   "num_leaves": 31, "verbose": 0}, dsl,
+                  num_boost_round=10, gp_model=gpl)
+        record("lagaboost_binary_vecchia_n50k_10rounds", time.time() - t0,
+               rounds=10, n=50_000,
+               note="fused LaGaBoost scan: per round = Laplace dNLL/dF "
+                    "gradient + tree + warm-started on-device GD cov "
+                    "refit; includes the initial full covariance fit")
 
-    if not SMOKE:      # smoke timings are meaningless — don't persist them
-        with open(os.path.join(HERE, "BENCH_MATRIX.json"), "w") as f:
-            json.dump(matrix, f, indent=1)
-        log("wrote BENCH_MATRIX.json")
+    def w_gpboost1000():
+        # north-star #2: 1000-round GPBoost spatial train
+        coords, X, yg = sim_gpboost()
+        ROUNDS = 20 if SMOKE else 1000
+        gp2 = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                          gp_approx="vecchia", num_neighbors=20,
+                          dtype="float32")
+        ds_w = gpb.Dataset(X, label=yg)
+        # warm-up with the SAME GPModel instance and the fused-scan block
+        # size (25): the compiled round-block caches on the engine, so the
+        # timed run is compile-free. Booster/GP fit state resets per
+        # train() call — the timed run still includes the initial fit.
+        gpb.train({"objective": "regression", "learning_rate": 0.1,
+                   "num_leaves": 31, "verbose": 0}, ds_w,
+                  num_boost_round=25 if not SMOKE else ROUNDS,
+                  gp_model=gp2)                                 # compile
+        ds2 = gpb.Dataset(X, label=yg)
+        t0 = time.time()
+        gpb.train({"objective": "regression", "learning_rate": 0.1,
+                   "num_leaves": 31, "verbose": 0}, ds2,
+                  num_boost_round=ROUNDS, gp_model=gp2)
+        record("gpboost_1000round_spatial_n10k", time.time() - t0,
+               rounds=ROUNDS, n=10_000, num_leaves=31,
+               note="fused scan: one device dispatch per 25-round block "
+                    "(gradient + 31-leaf tree + warm-started GD cov "
+                    "refit); includes the initial full covariance fit")
 
-    print(json.dumps({
-        "metric": "vecchia_gp_fit_n100000_m20_wallclock",
-        "value": round(fit_time, 3),
-        "unit": "seconds",
-        "vs_baseline": head.get("vs_baseline_1core", None),
-    }))
+    # (name, fn, estimated cost in seconds on a warm compile cache)
+    queue = [
+        ("grouped_glmm", w_glmm, 45),
+        ("vecchia_laplace", w_vl, 60),
+        ("boosting", w_boost, 150),
+        ("lagaboost", w_lagab, 120),
+        ("gpboost_1000round", w_gpboost1000, 400),
+    ]
+    for name, fn, est in queue:
+        if remaining() < est:
+            log(f"skipping {name} (est {est}s > {remaining():.0f}s left)")
+            matrix["workloads"].setdefault(name, {"skipped": "budget"})
+            flush_matrix()
+            continue
+        log(f"workload: {name}")
+        try:
+            fn()
+        except Exception as e:                          # never lose headline
+            log(f"workload {name} FAILED: {type(e).__name__}: {e}")
+            matrix["workloads"][name] = {"error": f"{type(e).__name__}: {e}"}
+            flush_matrix()
+
+    _emit_headline_and_exit()
 
 
 if __name__ == "__main__":

@@ -180,8 +180,11 @@ class TestScanLaGaBoost:
         bs, gs = run(False)
         assert bf.can_train_scanned_lagaboost()
         assert len(bf.trees) == len(bs.trees) == 5
+        # rtol 1e-4: the two paths are the same algorithm but different XLA
+        # programs; 5 rounds of warm-started GD cov refits compound float
+        # reassociation differences to ~5e-5 on some hosts
         np.testing.assert_allclose(np.ravel(gf.get_cov_pars()),
-                                   np.ravel(gs.get_cov_pars()), rtol=1e-5)
+                                   np.ravel(gs.get_cov_pars()), rtol=1e-4)
         pf = bf.predict(X[:50], gp_coords_pred=coords[:50],
                         pred_latent=True)
         ps = bs.predict(X[:50], gp_coords_pred=coords[:50],
