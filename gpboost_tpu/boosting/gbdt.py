@@ -447,6 +447,11 @@ _BOOST_PARAM_DEFAULTS = dict(
     sigmoid=1.0, lambdarank_norm=True, lambdarank_truncation_level=30,
     # binary class re-weighting (binary_objective.hpp:31-33,91-104)
     is_unbalance=False, scale_pos_weight=1.0,
+    # start boosting from the average score / objective init score
+    # (config.h boost_from_average); False starts from 0
+    boost_from_average=True,
+    # leaf-value decay used by Booster.refit (config.h refit_decay_rate)
+    refit_decay_rate=0.9,
     label_gain=None, objective_seed=5, eval_at=(1, 2, 3, 4, 5),
     # stochastic sampling (config.h: bagging_fraction, bagging_freq,
     # feature_fraction and their seeds)
@@ -845,7 +850,14 @@ class Booster:
 
     # ------------------------------------------------------------------
     def _boost_from_average(self):
-        """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283)."""
+        """BoostFromScore / FindInitScoreGP (regression_objective.hpp:239-283).
+
+        boost_from_average=False starts from score 0 (config.h
+        boost_from_average; only honored without a gp_model, like the
+        reference's objective-level switch)."""
+        if self.gp_model is None \
+                and not self.params.get("boost_from_average", True):
+            return 0.0
         w = self.train_set.weight if self.train_set is not None else None
         if self.gp_model is None and self.objective_name == "quantile":
             return _weighted_percentile(
@@ -1330,6 +1342,30 @@ class Booster:
                                + float(self.params["lambda_l2"]))
 
         gp = self.gp_model
+        if (gp is None and not self.params.get("linear_tree")
+                and self.objective_name in ("l1", "quantile", "mape")):
+            # RenewTreeOutput (serial_tree_learner.cpp:685 + the per-
+            # objective percentile formulas regression_objective.hpp:351/
+            # :647/:755): replace each leaf output with the (weighted)
+            # residual percentile over the leaf's bagged rows; shrinkage
+            # applies afterwards, like the reference (gbdt.cpp:467-494)
+            resid = self.y - self.F
+            w = self.train_set.weight
+            alpha = float(self.params.get("alpha", 0.9)) \
+                if self.objective_name == "quantile" else 0.5
+            if self.objective_name == "mape":
+                lw = 1.0 / np.maximum(1.0, np.abs(self.y))
+                w = lw if w is None else lw * w
+            sel = np.arange(self.n) if row_mask is None \
+                else np.flatnonzero(row_mask)
+            for s_ in np.unique(slot_of_row[sel]):
+                rows = sel[slot_of_row[sel] == s_]
+                v_ = _weighted_percentile(
+                    resid[rows], None if w is None else w[rows], alpha)
+                leaf_value_of_slot[int(s_)] = v_
+                node = tree.slot_to_node.get(int(s_))
+                if node is not None:
+                    tree.leaf_value[node] = v_
         if gp is not None and gp.likelihood == "gaussian" and (
                 self.params["leaves_newton_update"]
                 or self.params["line_search_step_length"]):
@@ -1424,12 +1460,14 @@ class Booster:
                 and not self.learner.extra_trees
                 and self.learner.forced is None
                 and not np.any(self.learner.monotone != 0)
-                and (self.objective_name in ("gaussian", "quantile",
-                                             "cross_entropy", "l1",
-                                             "huber", "fair", "mape",
-                                             "tweedie", "binary_lgb",
+                and (self.objective_name in ("gaussian", "cross_entropy",
+                                             "huber", "fair", "tweedie",
+                                             "binary_lgb",
                                              "cross_entropy_lambda")
                      or self._lik is not None))
+        # quantile / l1 / mape are excluded: they renew leaf outputs to
+        # residual percentiles after every tree (RenewTreeOutput), a
+        # sorting pass the fused scan does not reproduce
 
     def can_train_scanned_gpboost(self):
         """True when the Gaussian GPBoost algorithm can run through the
@@ -1783,6 +1821,16 @@ class Booster:
                 f"data has {X.shape[1]} feature(s) but the model's trees "
                 f"split on feature index {needed - 1}; pass a 2-D array "
                 f"with at least {needed} columns")
+        if kwargs.pop("pred_leaf", False):
+            # predicted leaf index per tree (basic.py predict pred_leaf;
+            # shape (n, num_trees_used), multiclass trees interleaved like
+            # the reference)
+            K = max(1, self._nsets)
+            nit = num_iteration if num_iteration else len(self.trees) // K
+            used = self.trees[K * start_iteration:
+                              K * (start_iteration + nit)]
+            return np.stack([t.leaf_index_raw(X) for t in used],
+                            axis=1).astype(np.int32)
         if pred_contrib:
             from ..native import tree_shap
             ntrees = num_iteration if num_iteration else len(self.trees)
@@ -2073,7 +2121,7 @@ class Booster:
             return tree.predict_raw(self.train_set.data)
         return leaf_value_of_slot[slot_of_row]
 
-    def refit(self, data, label, decay_rate=0.9):
+    def refit(self, data, label, decay_rate=None):
         """Refit the leaf values of the existing tree structures on new data
         (basic.py:3804 Booster.refit; gbdt.cpp:314 RefitTree;
         serial_tree_learner.cpp:212 FitByExistingTree):
@@ -2090,6 +2138,8 @@ class Booster:
             raise NotImplementedError("refit is not supported for "
                                       "multi-output objectives")
         import copy
+        if decay_rate is None:
+            decay_rate = float(self.params.get("refit_decay_rate", 0.9))
         X = np.asarray(data, dtype=np.float64)
         if X.ndim == 1:
             X = X[:, None]
@@ -2150,7 +2200,13 @@ class Booster:
                        if isinstance(v, (int, float, str, bool))},
             "trees": [t.to_dict() for t in trees],
             "has_gp_model": 1 if self.gp_model is not None else 0,
+            "num_sets": self._nsets,
+            "init_score2": self.init_score2,
         }
+        if getattr(self, "_init_scores", None) is not None:
+            d["init_scores"] = np.asarray(self._init_scores).tolist()
+        if getattr(self, "_binary_lw", None) is not None:
+            d["binary_label_weights"] = list(self._binary_lw)
         if self._pandas_categorical:
             d["pandas_categorical"] = {str(k): v for k, v
                                        in self._pandas_categorical.items()}
@@ -2216,12 +2272,24 @@ class Booster:
             ds.mappers = mappers
             ds._constructed = True
             self.train_set = ds
-        self.current_iteration_ = len(self.trees)
+        self._nsets = int(d.get("num_sets", 1))
+        self.init_score2 = d.get("init_score2", 0.0)
+        if d.get("init_scores") is not None:
+            self._init_scores = np.asarray(d["init_scores"])
+        if d.get("binary_label_weights") is not None:
+            self._binary_lw = tuple(d["binary_label_weights"])
+        self.current_iteration_ = (len(self.trees)
+                                   // max(1, self._nsets))
         self.gp_model = None
-        self._lik = None if self.objective_name == "gaussian" \
-            else get_likelihood(self.objective_name)
-        self._aux = None if self._lik is None \
-            else jnp.asarray(np.asarray(self._lik.default_aux))
+        # special objectives have dedicated gradient/prediction formulas
+        # and no likelihood-registry entry
+        if (self.objective_name == "gaussian"
+                or self.objective_name in _SPECIAL_OBJECTIVES):
+            self._lik = None
+            self._aux = None
+        else:
+            self._lik = get_likelihood(self.objective_name)
+            self._aux = jnp.asarray(np.asarray(self._lik.default_aux))
         if d.get("has_gp_model"):
             from ..gp_model import GPModel
             self.gp_model = GPModel(model_dict=d["gp_model"])

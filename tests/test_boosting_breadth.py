@@ -761,8 +761,7 @@ class TestRegressionObjectiveFamily:
         raw = bst.predict(X, raw_score=True)
         np.testing.assert_allclose(np.exp(raw), pred, rtol=1e-12)
 
-    @pytest.mark.parametrize("obj", ["huber", "fair", "mape", "tweedie",
-                                     "l1"])
+    @pytest.mark.parametrize("obj", ["huber", "fair", "tweedie"])
     def test_fused_scan_matches_host_loop(self, obj):
         """can_train_scanned covers the new objectives: fused-scan rounds
         must equal the per-round host loop."""
@@ -781,6 +780,37 @@ class TestRegressionObjectiveFamily:
         np.testing.assert_allclose(bst_scan.predict(X, raw_score=True),
                                    bst_host.predict(X, raw_score=True),
                                    rtol=1e-6, atol=1e-8)
+
+    def test_l1_renews_leaves_to_residual_median(self):
+        """RenewTreeOutput (regression_objective.hpp:351): after one tree,
+        each leaf's (unshrunk) output is the median of its residuals."""
+        X, y = self._xy(seed=26, n=500)
+        ds = gpb.Dataset(X, label=y)
+        lr = 0.3
+        bst = gpb.train({"objective": "l1", "num_leaves": 7,
+                         "learning_rate": lr, "verbose": 0},
+                        ds, num_boost_round=1)
+        assert not bst.can_train_scanned()
+        tree = bst.trees[0]
+        resid = y - bst.init_score
+        node = tree.leaf_index_raw(np.asarray(X))
+        for leaf in np.unique(node):
+            med = np.percentile(resid[node == leaf], 50.0)
+            np.testing.assert_allclose(tree.leaf_value[leaf], lr * med,
+                                       rtol=1e-10)
+
+    def test_quantile_renews_leaves_to_alpha_percentile(self):
+        X, y = self._xy(seed=27, n=500)
+        ds = gpb.Dataset(X, label=y)
+        bst = gpb.train({"objective": "quantile", "alpha": 0.8,
+                         "num_leaves": 7, "learning_rate": 1.0,
+                         "verbose": 0}, ds, num_boost_round=1)
+        tree = bst.trees[0]
+        resid = y - bst.init_score
+        node = tree.leaf_index_raw(np.asarray(X))
+        for leaf in np.unique(node):
+            q = np.percentile(resid[node == leaf], 80.0)
+            np.testing.assert_allclose(tree.leaf_value[leaf], q, rtol=1e-10)
 
 
 class TestBinaryObjectiveOptions:
@@ -919,3 +949,63 @@ class TestBinaryObjectiveOptions:
         # flipped later); at margin 3 (prob 0.95) flips must be rare
         agree = np.mean((es > 0.5) == (base > 0.5))
         assert agree > 0.99
+
+
+class TestPredictionAndInitOptions:
+    """pred_leaf, boost_from_average, refit_decay_rate
+    (basic.py predict pred_leaf; config.h boost_from_average,
+    refit_decay_rate)."""
+
+    def test_pred_leaf_shapes_and_consistency(self):
+        rng = np.random.RandomState(51)
+        X = rng.randn(300, 4)
+        y = X[:, 0] + 0.1 * rng.randn(300)
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "verbose": 0}, gpb.Dataset(X, label=y),
+                        num_boost_round=5)
+        leaves = bst.predict(X, pred_leaf=True)
+        assert leaves.shape == (300, 5)
+        assert leaves.dtype == np.int32
+        # rows landing in the same leaf of tree 0 share its contribution
+        t0 = bst.trees[0]
+        for leaf in np.unique(leaves[:, 0]):
+            assert t0.is_leaf[leaf]
+
+    def test_pred_leaf_multiclass_interleaved(self):
+        rng = np.random.RandomState(52)
+        X = rng.randn(300, 4)
+        y = (X[:, 0] > 0).astype(float) + (X[:, 1] > 0)
+        bst = gpb.train({"objective": "multiclass", "num_class": 3,
+                         "num_leaves": 7, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=4)
+        leaves = bst.predict(X, pred_leaf=True)
+        assert leaves.shape == (300, 12)       # 4 iterations x 3 classes
+
+    def test_boost_from_average_false(self):
+        rng = np.random.RandomState(53)
+        X = rng.randn(300, 3)
+        y = X[:, 0] + 5.0
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "boost_from_average": False, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=2)
+        assert bst.init_score == 0.0
+        bst2 = gpb.train({"objective": "regression", "num_leaves": 7,
+                          "verbose": 0}, gpb.Dataset(X, label=y),
+                         num_boost_round=2)
+        assert abs(bst2.init_score - 5.0) < 0.5
+
+    def test_refit_decay_rate_param(self):
+        rng = np.random.RandomState(54)
+        X = rng.randn(400, 3)
+        y = X[:, 0] + 0.1 * rng.randn(400)
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "refit_decay_rate": 0.0, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=5)
+        X2 = rng.randn(400, 3)
+        y2 = -X2[:, 0] + 0.1 * rng.randn(400)
+        rf_param = bst.refit(X2, y2)             # uses refit_decay_rate=0.0
+        rf_explicit = bst.refit(X2, y2, decay_rate=0.0)
+        np.testing.assert_allclose(rf_param.predict(X2),
+                                   rf_explicit.predict(X2))
+        rf_09 = bst.refit(X2, y2, decay_rate=0.9)
+        assert not np.allclose(rf_param.predict(X2), rf_09.predict(X2))

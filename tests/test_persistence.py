@@ -219,3 +219,73 @@ class TestPosteriorSampling:
         v = np.asarray(m.get_cov_pars())[1]
         np.testing.assert_allclose(p["prior_samples"].var(1),
                                    np.full(5, v), rtol=0.2)
+
+
+class TestSpecialObjectiveRoundTrip:
+    """Save/load for objectives with dedicated (non-likelihood-registry)
+    formulas: multiclass, quantile, tweedie, binary_lgb, mean-scale.
+    Loading these used to crash in get_likelihood()."""
+
+    def _round_trip(self, bst, X):
+        import tempfile
+        import os
+        fn = tempfile.mktemp(suffix=".json")
+        bst.save_model(fn)
+        b2 = gpb.Booster(model_file=fn)
+        os.unlink(fn)
+        return b2.predict(X)
+
+    def test_multiclass(self):
+        rng = np.random.RandomState(41)
+        n = 600
+        X = rng.randn(n, 4)
+        y = np.argmax(X[:, :3] + 0.1 * rng.randn(n, 3), axis=1).astype(float)
+        bst = gpb.train({"objective": "multiclass", "num_class": 3,
+                         "num_leaves": 7, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=8)
+        p = bst.predict(X)
+        np.testing.assert_allclose(self._round_trip(bst, X), p)
+
+    def test_quantile(self):
+        rng = np.random.RandomState(42)
+        X = rng.randn(400, 3)
+        y = X[:, 0] + 0.3 * rng.randn(400)
+        bst = gpb.train({"objective": "quantile", "alpha": 0.8,
+                         "num_leaves": 7, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=8)
+        np.testing.assert_allclose(self._round_trip(bst, X),
+                                   bst.predict(X))
+
+    def test_tweedie_response_scale_survives(self):
+        rng = np.random.RandomState(43)
+        X = rng.randn(400, 3)
+        y = np.abs(X[:, 0]) + 0.1
+        bst = gpb.train({"objective": "tweedie", "num_leaves": 7,
+                         "verbose": 0}, gpb.Dataset(X, label=y),
+                        num_boost_round=8)
+        p = bst.predict(X)
+        assert np.all(p > 0)
+        np.testing.assert_allclose(self._round_trip(bst, X), p)
+
+    def test_binary_lgb_sigmoid_survives(self):
+        rng = np.random.RandomState(44)
+        X = rng.randn(400, 3)
+        y = (X[:, 0] > 0).astype(float)
+        bst = gpb.train({"objective": "binary", "sigmoid": 2.0,
+                         "num_leaves": 7, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=8)
+        assert bst.objective_name == "binary_lgb"
+        np.testing.assert_allclose(self._round_trip(bst, X),
+                                   bst.predict(X))
+
+    def test_mean_scale(self):
+        rng = np.random.RandomState(45)
+        X = rng.randn(500, 3)
+        y = X[:, 0] + np.exp(0.3 * X[:, 1]) * rng.randn(500)
+        bst = gpb.train({"objective": "mean_scale_regression",
+                         "num_leaves": 7, "verbose": 0},
+                        gpb.Dataset(X, label=y), num_boost_round=8)
+        p = bst.predict(X)
+        p2 = self._round_trip(bst, X)
+        np.testing.assert_allclose(p2["pred_mean"], p["pred_mean"])
+        np.testing.assert_allclose(p2["pred_var"], p["pred_var"])
