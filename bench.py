@@ -241,16 +241,22 @@ def main():
 
     # ---- remaining workloads: cheapest first, each gated on the budget ----
     def w_glmm():
-        # RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k
+        # RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k. The
+        # engine's jitted closures are per-instance, so the timed fit
+        # reuses the SAME model with its fit state reset (the compiled
+        # on-device L-BFGS run stays cached on the engine).
         gg, yg2 = sim_glmm()
         mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
-        mg.fit(y=yg2, params={"maxit": 1})                      # compile
-        mg2 = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
+        mg.fit(y=yg2, params={"maxit": 50})                     # compile
+        mg._fit_result = None
+        mg.model_has_been_fitted = False
         t0 = time.time()
-        mg2.fit(y=yg2, params={"maxit": 50})
-        record("grouped_glmm_bernoulli_n100k_q1k_fit", time.time() - t0,
-               maxit=50,
-               note="RE-scale (q-dim) grouped Laplace engine — BASELINE "
+        mg.fit(y=yg2, params={"maxit": 50})
+        el = time.time() - t0
+        record("grouped_glmm_bernoulli_n100k_q1k_fit", el,
+               maxit=50, num_it=int(mg._fit_result.num_it),
+               note="RE-scale (q-dim) grouped Laplace engine, whole fit = "
+                    "one on-device safeguarded L-BFGS dispatch — BASELINE "
                     "config #5 class; O(n) memory")
 
     def w_vl():
@@ -261,11 +267,12 @@ def main():
                   likelihood="bernoulli_probit",
                   matrix_inversion_method="iterative")
         mvl = gpb.GPModel(**kw)
-        mvl.fit(y=yv, params={"maxit": 1,
+        mvl.fit(y=yv, params={"maxit": 20,
                               "init_cov_pars": [1.0, 0.1]})     # compile
-        mvl2 = gpb.GPModel(**kw)
+        mvl._fit_result = None
+        mvl.model_has_been_fitted = False
         t0 = time.time()
-        mvl2.fit(y=yv, params={"maxit": 20, "init_cov_pars": [1.0, 0.1]})
+        mvl.fit(y=yv, params={"maxit": 20, "init_cov_pars": [1.0, 0.1]})
         record("vecchia_laplace_fit_n20k_binary", time.time() - t0,
                maxit=20,
                note="matrix-free O(n*m) mode finding + CG/SLQ log-dets "

@@ -160,7 +160,8 @@ def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
     per training run drop from O(rounds) to O(rounds / chunk)."""
     from .tree_learner import _grow_tree_partitioned_impl
     (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth) = grow_cfg
+     path_smooth, cat_params_t) = grow_cfg
+    cat_params = jnp.asarray(cat_params_t, jnp.float32)
     n = y.shape[0]
     n_pad = bins_pos.shape[0]
     L = num_leaves
@@ -171,7 +172,8 @@ def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
         rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
             bins_pos, _stats_pos_of(g, h, n_pad), num_bins, L, max_depth,
             use_pallas, row_block, feat_chunk, l2, min_data, min_hess,
-            min_gain, fm, l1, monotone, cat_mask, path_smooth)
+            min_gain, fm, l1, monotone, cat_mask, path_smooth,
+            cat_params=cat_params)
         lv64 = lv.astype(F.dtype)
         slot = jnp.clip(node[:n], 0, L - 1)
         contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -192,7 +194,8 @@ def _train_rounds_scanned_multi(obj_name, obj_args, K, grow_cfg, chunk,
     models / regression_objective.hpp:1010 MeanScaleLoss)."""
     from .tree_learner import _grow_tree_partitioned_impl
     (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth) = grow_cfg
+     path_smooth, cat_params_t) = grow_cfg
+    cat_params = jnp.asarray(cat_params_t, jnp.float32)
     n = y.shape[0]
     n_pad = bins_pos.shape[0]
     L = num_leaves
@@ -233,7 +236,8 @@ def _train_rounds_scanned_multi(obj_name, obj_args, K, grow_cfg, chunk,
             rec, lv, node, rgain, rcat, cs = _grow_tree_partitioned_impl(
                 bins_pos, _stats_pos_of(g[k], h[k], n_pad), num_bins, L,
                 max_depth, use_pallas, row_block, feat_chunk, l2, min_data,
-                min_hess, min_gain, fm, l1, monotone, cat_mask, path_smooth)
+                min_hess, min_gain, fm, l1, monotone, cat_mask, path_smooth,
+                cat_params=cat_params)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -294,7 +298,8 @@ def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
     vag_F = eng._vag_F
     perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
     (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth) = grow_cfg
+     path_smooth, cat_params_t) = grow_cfg
+    cat_params = jnp.asarray(cat_params_t, jnp.float32)
 
     def prep(v):
         return v if perm is None else v[perm]
@@ -319,7 +324,7 @@ def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
                 bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
                 num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
                 l2, min_data, min_hess, min_gain, fm, l1, monotone,
-                cat_mask, path_smooth)
+                cat_mask, path_smooth, cat_params=cat_params)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -349,7 +354,8 @@ def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
     gd_fit = make_jitted_gd(eng.nll_parts_raw, eng.n)
     perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
     (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth) = grow_cfg
+     path_smooth, cat_params_t) = grow_cfg
+    cat_params = jnp.asarray(cat_params_t, jnp.float32)
 
     def prep(v):
         return v if perm is None else v[perm]
@@ -368,7 +374,7 @@ def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
                 bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
                 num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
                 l2, min_data, min_hess, min_gain, fm, l1, monotone,
-                cat_mask, path_smooth)
+                cat_mask, path_smooth, cat_params=cat_params)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -452,6 +458,11 @@ _BOOST_PARAM_DEFAULTS = dict(
     boost_from_average=True,
     # leaf-value decay used by Booster.refit (config.h refit_decay_rate)
     refit_decay_rate=0.9,
+    # categorical-split regularization (config.h; feature_histogram.hpp
+    # :376-443): participation/count smoothing, extra child ridge, max
+    # prefix size, min rows per side
+    cat_smooth=10.0, cat_l2=10.0, max_cat_threshold=32,
+    min_data_per_group=100,
     label_gain=None, objective_seed=5, eval_at=(1, 2, 3, 4, 5),
     # stochastic sampling (config.h: bagging_fraction, bagging_freq,
     # feature_fraction and their seeds)
@@ -594,6 +605,9 @@ class Booster:
             min_gain_to_split=float(p["min_gain_to_split"]),
             mesh=mesh, parallel_mode=tl,
             path_smooth=float(p["path_smooth"]), cegb=cegb,
+            cat_params=(float(p["cat_smooth"]), float(p["cat_l2"]),
+                        float(p["max_cat_threshold"]),
+                        float(p["min_data_per_group"])),
             extra_trees=bool(p["extra_trees"]),
             forced_splits=_load_forced_splits(
                 p.get("forcedsplits_filename")),
@@ -1521,7 +1535,8 @@ class Booster:
         K = self._nsets
         lr = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
-                    le.row_block, le.feat_chunk, le.path_smooth)
+                    le.row_block, le.feat_chunk, le.path_smooth,
+                    le.cat_params)
         fm = np.zeros(le.p_pad, dtype=np.float32)
         fm[:le.p] = 1.0
         w = self.train_set.weight
@@ -1594,7 +1609,8 @@ class Booster:
         n, n_pad, L = self.n, le.n_pad, le.num_leaves
         lr_tree = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
-                    le.row_block, le.feat_chunk, le.path_smooth)
+                    le.row_block, le.feat_chunk, le.path_smooth,
+                    le.cat_params)
         maxit_gp = int(self.params["maxit_gp"])
         est_aux = bool(getattr(gp.params, "estimate_aux_pars", True)) \
             and eng.num_aux > 0
@@ -1677,7 +1693,8 @@ class Booster:
         n, n_pad, L = self.n, le.n_pad, le.num_leaves
         lr_tree = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
-                    le.row_block, le.feat_chunk, le.path_smooth)
+                    le.row_block, le.feat_chunk, le.path_smooth,
+                    le.cat_params)
         maxit_gp = int(self.params["maxit_gp"])
         reuse = bool(self.params["reuse_learning_rates_gp_model"])
         fm = np.zeros(le.p_pad, dtype=np.float32)
@@ -1752,7 +1769,8 @@ class Booster:
         else:
             obj_args = ()
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
-                    le.row_block, le.feat_chunk, le.path_smooth)
+                    le.row_block, le.feat_chunk, le.path_smooth,
+                    le.cat_params)
         fm = np.zeros(le.p_pad, dtype=np.float32)
         fm[:le.p] = 1.0
         w = self.train_set.weight

@@ -71,13 +71,22 @@ def _thresholded(G, l1):
 
 
 def _cat_order(hist_f, cat_smooth=10.0):
-    """Bin ordering for categorical split search: sort bins by G/(H+smooth)
-    (feature_histogram.hpp categorical one-vs-rest/sorted-prefix search);
-    empty bins sort last."""
+    """Bin ordering for the categorical sorted-prefix split search: sort
+    bins by G/(H+cat_smooth) (feature_histogram.hpp:384 ctr_fun). Bins with
+    fewer than cat_smooth data points do not participate (the reference's
+    filter at feature_histogram.hpp:375-378 reuses cat_smooth as the count
+    threshold) — they sort last, i.e. land on the right/default side."""
     g, h, c = hist_f[..., 0, :], hist_f[..., 1, :], hist_f[..., 2, :]
     ratio = g / (h + cat_smooth)
-    ratio = jnp.where(c > 0, ratio, jnp.inf)
+    ratio = jnp.where(c >= jnp.maximum(cat_smooth, 1.0), ratio, jnp.inf)
     return jnp.argsort(ratio, axis=-1)
+
+
+def _cat_used(hist_f, cat_smooth):
+    """(...,) number of participating bins (count >= cat_smooth)."""
+    c = hist_f[..., 2, :]
+    return jnp.sum((c >= jnp.maximum(cat_smooth, 1.0)).astype(jnp.float32),
+                   axis=-1)
 
 
 def _smoothed_output(G, H, C, lambda_l2, lambda_l1, path_smooth, parent_out):
@@ -108,7 +117,8 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         feat_mask=None, lambda_l1=0.0, monotone=None,
                         cat_mask=None, path_smooth=0.0, parent_out=0.0,
                         cegb_coupled=None, cegb_split=0.0, cegb_used=None,
-                        extra_key=None, feat_hi=None, cegb_lazy_pen=None):
+                        extra_key=None, feat_hi=None, cegb_lazy_pen=None,
+                        cat_params=None):
     """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
@@ -125,10 +135,23 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
     GL = jnp.cumsum(hist[:, 0, :], axis=1)
     HL = jnp.cumsum(hist[:, 1, :], axis=1)
     CL = jnp.cumsum(hist[:, 2, :], axis=1)
+    l2_child = lambda_l2
+    cat_valid = None
     if cat_mask is not None:
         # categorical features: prefix scan in G/H-sorted bin order; bin
-        # index b then encodes "the first b+1 sorted bins go left"
-        order = _cat_order(hist)                          # (p, B)
+        # index b then encodes "the first b+1 sorted bins go left".
+        # cat_params = [cat_smooth, cat_l2, max_cat_threshold,
+        # min_data_per_group] (config.h; feature_histogram.hpp:376-443):
+        # only bins with >= cat_smooth data participate, children get the
+        # extra cat_l2 ridge, the prefix is capped at max_cat_threshold on
+        # its SHORTER side (the reference's two-direction scan — gain is
+        # left/right symmetric, so one forward scan with a two-sided cap
+        # covers both), and both sides need min_data_per_group rows.
+        csm = cat_params[0] if cat_params is not None else 10.0
+        cl2 = cat_params[1] if cat_params is not None else 10.0
+        mct = cat_params[2] if cat_params is not None else 32.0
+        mdpg = cat_params[3] if cat_params is not None else 100.0
+        order = _cat_order(hist, csm)                     # (p, B)
         gs = jnp.take_along_axis(hist[:, 0, :], order, axis=1)
         hs = jnp.take_along_axis(hist[:, 1, :], order, axis=1)
         cs = jnp.take_along_axis(hist[:, 2, :], order, axis=1)
@@ -136,25 +159,33 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         GL = jnp.where(cm, jnp.cumsum(gs, axis=1), GL)
         HL = jnp.where(cm, jnp.cumsum(hs, axis=1), HL)
         CL = jnp.where(cm, jnp.cumsum(cs, axis=1), CL)
+        l2_child = jnp.where(cm, lambda_l2 + cl2, lambda_l2)
+        used = _cat_used(hist, csm)[:, None]              # (p, 1)
+        pos1 = jnp.arange(hist.shape[2], dtype=jnp.float32)[None, :] + 1.0
+        max_num_cat = jnp.minimum(mct, jnp.floor((used + 1.0) / 2.0))
+        cat_valid = ((pos1 < used)
+                     & (jnp.minimum(pos1, used - pos1) <= max_num_cat)
+                     & (CL >= mdpg) & (C - CL >= mdpg))
     GR = G - GL
     HR = H - HL
     if path_smooth <= 0.0:          # static Python float
-        gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + lambda_l2)
-                + _thresholded(GR, lambda_l1) ** 2 / (HR + lambda_l2)
+        gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + l2_child)
+                + _thresholded(GR, lambda_l1) ** 2 / (HR + l2_child)
                 - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
     else:
         CR = C - CL
-        wl = _smoothed_output(GL, HL, CL, lambda_l2, lambda_l1,
+        wl = _smoothed_output(GL, HL, CL, l2_child, lambda_l1,
                               path_smooth, parent_out)
-        wr = _smoothed_output(GR, HR, CR, lambda_l2, lambda_l1,
+        wr = _smoothed_output(GR, HR, CR, l2_child, lambda_l1,
                               path_smooth, parent_out)
         wp = parent_out
 
-        def leaf_gain(Gs, Hs, w):
-            return -(2.0 * Gs * w + (Hs + lambda_l2) * w * w)
+        def leaf_gain(Gs, Hs, w, l2s):
+            return -(2.0 * Gs * w + (Hs + l2s) * w * w)
 
-        gain = (leaf_gain(GL, HL, wl) + leaf_gain(GR, HR, wr)
-                - leaf_gain(G, H, wp))
+        gain = (leaf_gain(GL, HL, wl, l2_child)
+                + leaf_gain(GR, HR, wr, l2_child)
+                - leaf_gain(G, H, wp, lambda_l2))
     if extra_key is not None:
         # extra_trees (config.h extra_trees; feature_histogram.hpp USE_RAND):
         # ONE uniformly random threshold per feature per node is considered
@@ -183,9 +214,11 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         gain = gain - cegb_lazy_pen[:, None]
     valid = ((CL >= min_data) & (C - CL >= min_data)
              & (HL >= min_hess) & (H - HL >= min_hess))
+    if cat_valid is not None:
+        valid = valid & jnp.where(cm, cat_valid, True)
     if monotone is not None:
-        wl = -_thresholded(GL, lambda_l1) / (HL + lambda_l2)
-        wr = -_thresholded(GR, lambda_l1) / (HR + lambda_l2)
+        wl = -_thresholded(GL, lambda_l1) / (HL + l2_child)
+        wr = -_thresholded(GR, lambda_l1) / (HR + l2_child)
         m = monotone[:, None]
         valid = valid & jnp.where(
             m == 0, True, jnp.where(m > 0, wl <= wr, wl >= wr))
@@ -202,7 +235,7 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
                lambda_l2, min_data, min_hess, min_gain, feat_mask,
                lambda_l1, monotone, cat_mask, mesh=None, par_mode="data",
-               path_smooth=0.0):
+               path_smooth=0.0, cat_params=None):
     """Grow one leaf-wise tree; returns (split records, leaf values, rows).
 
     feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
@@ -258,10 +291,13 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                                num_bins, feat_chunk, row_block)
         return _hist_einsum(bins_T, node, stats_T, target, num_bins, row_block)
 
+    csm_app = cat_params[0] if cat_params is not None else 10.0
+
     def best_of(hist, parent_out):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
-                                   cat_mask, path_smooth, parent_out)
+                                   cat_mask, path_smooth, parent_out,
+                                   cat_params=cat_params)
 
     def raw_out(hist):
         G = jnp.sum(hist[0, 0, :])
@@ -311,7 +347,7 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             is_cat = cat_mask[f] > 0
             # categorical: rank of each bin in this leaf's G/H ordering;
             # the recorded bin index b means "ranks <= b go left"
-            order_f = _cat_order(leaf_hist[l, f])            # (B,)
+            order_f = _cat_order(leaf_hist[l, f], csm_app)  # (B,)
             rank = jnp.argsort(order_f)                      # bin -> rank
             go_right_cat = rank[feat_col] > b
             go_right = jnp.where(is_cat, go_right_cat, feat_col > b)
@@ -535,7 +571,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 cegb_split=0.0, cegb_used0=None,
                                 extra_key0=None, feat_hi=None,
                                 forced=None, cegb_lazy=None,
-                                lazy_used0=None):
+                                lazy_used0=None, cat_params=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -594,6 +630,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
 
     use_extra = extra_key0 is not None
     use_lazy = cegb_lazy is not None
+    csm_app = cat_params[0] if cat_params is not None else 10.0
 
     def best_of(hist, parent_out, used, key=None, lazy_pen=None):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
@@ -601,7 +638,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                    cat_mask, path_smooth, parent_out,
                                    cegb_coupled, cegb_split, used,
                                    key if use_extra else None, feat_hi,
-                                   lazy_pen)
+                                   lazy_pen, cat_params=cat_params)
 
     def unused_segment(used_p, s0, cnt):
         """(p,) count of rows in positions [s0, s0+cnt) whose feature f has
@@ -713,7 +750,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             c = seg_cnt[l]
             fcol = jnp.take(bins_p, f, axis=1).astype(jnp.int32)  # (n_pad,)
             is_cat = cat_mask[f] > 0
-            order_f = _cat_order(leaf_hist[l, f])            # (B,)
+            order_f = _cat_order(leaf_hist[l, f], csm_app)  # (B,)
             rank = jnp.argsort(order_f)                      # bin -> rank
             go_right = jnp.where(is_cat, rank[fcol] > b, fcol > b)
             left_bins = (rank <= b) & is_cat
@@ -880,7 +917,11 @@ class SerialTreeLearner:
                  min_gain_to_split=0.0, row_block=None, feat_chunk=8,
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
                  parallel_mode="data", path_smooth=0.0, cegb=None,
-                 extra_trees=False, forced_splits=None, top_k=20):
+                 extra_trees=False, forced_splits=None, top_k=20,
+                 cat_params=(10.0, 10.0, 32.0, 100.0)):
+        # cat_params = (cat_smooth, cat_l2, max_cat_threshold,
+        # min_data_per_group) — config.h categorical-split regularization
+        self.cat_params = tuple(float(v) for v in cat_params)
         dataset.construct()
         self.ds = dataset
         self.mappers = getattr(dataset, "learner_mappers", dataset.mappers)
@@ -1081,9 +1122,10 @@ class SerialTreeLearner:
                 jnp.asarray(fm), jnp.float32(self.lambda_l1),
                 jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
                 self.path_smooth, *cegb_args, *extra_args, forced_arg)
+            cat_p = jnp.asarray(self.cat_params, jnp.float32)
             if lazy is None:
                 rec, leaf_values, node, rec_gain, rec_cat = \
-                    _grow_tree_partitioned(*grow_args)
+                    _grow_tree_partitioned(*grow_args, cat_params=cat_p)
             else:
                 lpen = np.zeros(self.p_pad, dtype=np.float32)
                 lpen[:len(lazy)] = lazy
@@ -1103,7 +1145,8 @@ class SerialTreeLearner:
                                            (1 - inbag_d)[:, None])
                 rec, leaf_values, node, rec_gain, rec_cat, leaf_path = \
                     _grow_tree_partitioned_lazy(
-                        *grow_args, jnp.asarray(lpen), used_eff)
+                        *grow_args, jnp.asarray(lpen), used_eff,
+                        cat_params=cat_p)
                 marks = jnp.take(
                     leaf_path,
                     jnp.clip(node, 0, self.num_leaves - 1), axis=0)
@@ -1152,7 +1195,8 @@ class SerialTreeLearner:
                     jnp.float32(self.min_gain),
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
                     jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
-                    self.mesh, self.parallel_mode, self.path_smooth)
+                    self.mesh, self.parallel_mode, self.path_smooth,
+                    cat_params=jnp.asarray(self.cat_params, jnp.float32))
         slot_of_row = np.asarray(node)[:n]
         cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
         tree, leaf_value_of_slot = self.build_tree(rec, leaf_values, rec_gain,

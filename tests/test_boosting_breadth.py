@@ -1009,3 +1009,98 @@ class TestPredictionAndInitOptions:
                                    rf_explicit.predict(X2))
         rf_09 = bst.refit(X2, y2, decay_rate=0.9)
         assert not np.allclose(rf_param.predict(X2), rf_09.predict(X2))
+
+
+class TestCategoricalRegularization:
+    """Categorical-split regularization (config.h cat_smooth, cat_l2,
+    max_cat_threshold, min_data_per_group; feature_histogram.hpp:376-443)."""
+
+    def _cat_xy(self, seed=61, n=1500, ncat=10):
+        rng = np.random.RandomState(seed)
+        cat = rng.randint(0, ncat, n).astype(float)
+        effect = np.linspace(-2, 2, ncat)
+        X = np.column_stack([cat, rng.rand(n)])
+        y = effect[cat.astype(int)] + 0.2 * rng.randn(n)
+        return X, y, rng
+
+    def test_min_data_per_group_blocks_cat_splits(self):
+        X, y, _ = self._cat_xy()
+        ds = gpb.Dataset(X, label=y, categorical_feature=[0])
+        bst = gpb.train({"objective": "regression", "num_leaves": 7,
+                         "min_data_per_group": 10**9, "verbose": 0},
+                        ds, num_boost_round=3)
+        # no categorical split can satisfy the group minimum
+        for t in bst.trees:
+            for i in range(t.num_nodes):
+                if not t.is_leaf[i]:
+                    assert int(t.split_feature[i]) != 0
+
+    def test_max_cat_threshold_limits_split_set(self):
+        """Every categorical split must put at most max_cat_threshold
+        categories on its SHORTER side, counted among the categories
+        actually present (and participating) in that node."""
+        X, y, _ = self._cat_xy(ncat=10)
+        ds = gpb.Dataset(X, label=y, categorical_feature=[0])
+        bst = gpb.train({"objective": "regression", "num_leaves": 4,
+                         "max_cat_threshold": 1, "min_data_per_group": 1,
+                         "cat_smooth": 1.0, "verbose": 0},
+                        ds, num_boost_round=2)
+        found = False
+        for t in bst.trees:
+            # route training rows down the tree, checking each cat split
+            node_rows = {0: np.arange(len(X))}
+            for i in range(t.num_nodes):
+                if t.is_leaf[i] or i not in node_rows:
+                    continue
+                rows = node_rows[i]
+                f = int(t.split_feature[i])
+                cl = t.cat_left_values.get(i)
+                if cl is not None:
+                    vals = X[rows, f]
+                    go_left = np.isin(vals, np.asarray(cl))
+                    n_left_cats = len(np.unique(vals[go_left]))
+                    n_right_cats = len(np.unique(vals[~go_left]))
+                    assert min(n_left_cats, n_right_cats) <= 1
+                    found = True
+                else:
+                    go_left = X[rows, f] <= t.threshold_real[i]
+                node_rows[int(t.left[i])] = rows[go_left]
+                node_rows[int(t.right[i])] = rows[~go_left]
+        assert found
+
+    def test_cat_smooth_filters_rare_categories(self):
+        """Categories with fewer than cat_smooth rows cannot enter the left
+        split set (they sort after all participants)."""
+        rng = np.random.RandomState(62)
+        n = 1200
+        cat = rng.randint(0, 5, n).astype(float)
+        rare = rng.choice(n, size=5, replace=False)
+        cat[rare] = 5.0                       # category 5: only 5 rows
+        effect = np.array([-2.0, -1, 0, 1, 2, 50.0])
+        X = np.column_stack([cat, rng.rand(n)])
+        y = effect[cat.astype(int)] + 0.2 * rng.randn(n)
+        ds = gpb.Dataset(X, label=y, categorical_feature=[0])
+        bst = gpb.train({"objective": "regression", "num_leaves": 4,
+                         "cat_smooth": 10.0, "min_data_per_group": 1,
+                         "verbose": 0}, ds, num_boost_round=1)
+        t = bst.trees[0]
+        for i in range(t.num_nodes):
+            if not t.is_leaf[i] and int(t.split_feature[i]) == 0:
+                cats_left = t.cat_left_values.get(i)
+                if cats_left is not None:
+                    # the rare (huge-effect) category must not be isolated
+                    # on the left despite its extreme mean
+                    assert 5 not in [int(c) for c in cats_left] \
+                        or len(cats_left) > 1
+
+    def test_cat_l2_reduces_cat_gains(self):
+        X, y, _ = self._cat_xy(seed=63)
+        gains = {}
+        for cl2 in (0.0, 1e6):
+            ds = gpb.Dataset(X, label=y, categorical_feature=[0])
+            bst = gpb.train({"objective": "regression", "num_leaves": 4,
+                             "cat_l2": cl2, "min_data_per_group": 1,
+                             "verbose": 0}, ds, num_boost_round=1)
+            imp = bst.feature_importance(importance_type="gain")
+            gains[cl2] = imp[0]
+        assert gains[1e6] < gains[0.0]
