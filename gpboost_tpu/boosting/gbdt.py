@@ -36,6 +36,17 @@ def _load_forced_splits(path):
         return json.load(f)
 
 
+def _parse_interaction_constraints(ic):
+    """config.h interaction_constraints: accepts the LightGBM string form
+    "[0,1,2],[2,3]" or a list of index lists; returns a list of lists."""
+    if ic is None or ic == "":
+        return None
+    if isinstance(ic, str):
+        import json
+        return json.loads(f"[{ic}]")
+    return [list(s) for s in ic]
+
+
 def _weighted_percentile(v, w, alpha):
     """Common::Percentile / WeightedPercentileFun (utils/common.h:919-985):
     percentile of v; the weighted variant accumulates sorted weights to the
@@ -498,6 +509,9 @@ _BOOST_PARAM_DEFAULTS = dict(
     # forcedsplits_filename (config.h): JSON file with nested
     # {feature, threshold, left, right} splits applied before gain splits
     forcedsplits_filename="",
+    # interaction_constraints (config.h): e.g. "[0,1,2],[2,3]" or
+    # [[0,1,2],[2,3]] — each branch may only combine features from one set
+    interaction_constraints=None,
 )
 
 _PARAM_ALIASES = {
@@ -611,7 +625,9 @@ class Booster:
             extra_trees=bool(p["extra_trees"]),
             forced_splits=_load_forced_splits(
                 p.get("forcedsplits_filename")),
-            top_k=int(p["top_k"]))
+            top_k=int(p["top_k"]),
+            interaction_constraints=_parse_interaction_constraints(
+                p.get("interaction_constraints")))
         if cegb is not None:
             self._cegb_used = np.zeros(self.learner.p_pad, dtype=np.float32)
 
@@ -1473,6 +1489,7 @@ class Booster:
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
                 and self.learner.forced is None
+                and self.learner.inter_groups is None
                 and not np.any(self.learner.monotone != 0)
                 and (self.objective_name in ("gaussian", "cross_entropy",
                                              "huber", "fair", "tweedie",
@@ -1504,6 +1521,7 @@ class Booster:
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
                 and self.learner.forced is None
+                and self.learner.inter_groups is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and hasattr(gp._engine, "nll_parts_raw")
@@ -1526,6 +1544,7 @@ class Booster:
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
                 and self.learner.forced is None
+                and self.learner.inter_groups is None
                 and not np.any(self.learner.monotone != 0))
 
     def update_many_multi(self, num_rounds, chunk=25):
@@ -1587,6 +1606,7 @@ class Booster:
                 and self.learner.cegb is None
                 and not self.learner.extra_trees
                 and self.learner.forced is None
+                and self.learner.inter_groups is None
                 and not np.any(self.learner.monotone != 0)
                 and gp.X is None
                 and getattr(eng, "num_sets_fe", 1) == 1

@@ -571,7 +571,8 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 cegb_split=0.0, cegb_used0=None,
                                 extra_key0=None, feat_hi=None,
                                 forced=None, cegb_lazy=None,
-                                lazy_used0=None, cat_params=None):
+                                lazy_used0=None, cat_params=None,
+                                inter_groups=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -631,10 +632,23 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     use_extra = extra_key0 is not None
     use_lazy = cegb_lazy is not None
     csm_app = cat_params[0] if cat_params is not None else 10.0
+    # interaction constraints (config.h interaction_constraints;
+    # col_sampler.hpp SetUsedFeatureByNode): inter_groups (K, p) is the
+    # 0/1 feature membership of each constraint set. A leaf's allowed
+    # features are the union of the constraint sets that contain EVERY
+    # feature already used on its root path — tracked as a per-leaf
+    # active-group mask, intersected with {k: f in S_k} at each split.
+    use_ic = inter_groups is not None
+    Kg = inter_groups.shape[0] if use_ic else 1
 
-    def best_of(hist, parent_out, used, key=None, lazy_pen=None):
+    def allow_of(grp_row):
+        return jnp.where((grp_row @ inter_groups) > 0, 1.0, 0.0) * feat_mask
+
+    def best_of(hist, parent_out, used, key=None, lazy_pen=None, fm=None):
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
-                                   min_gain, feat_mask, lambda_l1, monotone,
+                                   min_gain,
+                                   feat_mask if fm is None else fm,
+                                   lambda_l1, monotone,
                                    cat_mask, path_smooth, parent_out,
                                    cegb_coupled, cegb_split, used,
                                    key if use_extra else None, feat_hi,
@@ -694,7 +708,9 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         pen0 = None
     leaf_unused = jnp.zeros((L, p), jnp.float32).at[0].set(unused_root)
     leaf_path = jnp.zeros((L, p), jnp.float32)
-    g0, f0, b0_ = best_of(hist0, out0, used0, kroot, pen0)
+    leaf_grp = jnp.ones((L, Kg), jnp.float32)
+    g0, f0, b0_ = best_of(hist0, out0, used0, kroot, pen0,
+                          allow_of(leaf_grp[0]) if use_ic else None)
 
     leaf_out = jnp.zeros((L,), hist0.dtype).at[0].set(
         out0.astype(hist0.dtype))
@@ -714,7 +730,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
         (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
          seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
          leaf_out, rec, rec_gain, rec_cat, used_pos, leaf_unused,
-         leaf_path) = carry
+         leaf_path, leaf_grp) = carry
         l = jnp.argmax(leaf_gain).astype(jnp.int32)
         ok = jnp.isfinite(leaf_gain[l])
         f = leaf_feat[l]
@@ -741,7 +757,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             (bins_p, stats_p, row_ids, leaf_of_pos, used, key, seg_start,
              seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin, leaf_depth,
              leaf_out, rec, rec_gain, rec_cat, used_pos, leaf_unused,
-             leaf_path) = args
+             leaf_path, leaf_grp) = args
             if use_extra:
                 key, kl_, kr_ = jax.random.split(key, 3)
             else:
@@ -789,6 +805,15 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             d = leaf_depth[l] + 1
             pout = leaf_out[l]
             used2 = used.at[f].set(1.0)
+            if use_ic:
+                # child active sets = parent's active sets that contain f;
+                # allowed features = union of the child's active sets
+                grp_child = leaf_grp[l] * inter_groups[:, f]
+                leaf_grp = leaf_grp.at[l].set(grp_child) \
+                                   .at[new_slot].set(grp_child)
+                fm_child = allow_of(grp_child)
+            else:
+                fm_child = None
             out_l = child_out(hist_left, jnp.sum(hist_left[0, 2, :]), pout)
             out_r = child_out(hist_right, jnp.sum(hist_right[0, 2, :]), pout)
             leaf_out = leaf_out.at[l].set(out_l.astype(leaf_out.dtype)) \
@@ -818,8 +843,10 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                      .at[new_slot].set(path_child)
             else:
                 pen_l = pen_r = None
-            gl_g, fl, bl = best_of(hist_left, out_l, used2, kl_, pen_l)
-            gr_g, fr, br = best_of(hist_right, out_r, used2, kr_, pen_r)
+            gl_g, fl, bl = best_of(hist_left, out_l, used2, kl_, pen_l,
+                                   fm_child)
+            gr_g, fr, br = best_of(hist_right, out_r, used2, kr_, pen_r,
+                                   fm_child)
             depth_ok = d < max_depth
             gl_g = jnp.where(depth_ok, gl_g, -jnp.inf)
             gr_g = jnp.where(depth_ok, gr_g, -jnp.inf)
@@ -839,22 +866,22 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             return (bins_p2, stats_p2, row_ids2, leaf_of_pos2, used2, key,
                     seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat,
                     leaf_bin, leaf_depth, leaf_out, rec2, rec_gain2,
-                    rec_cat2, used_pos, leaf_unused, leaf_path)
+                    rec_cat2, used_pos, leaf_unused, leaf_path, leaf_grp)
 
         return jax.lax.cond(ok, do_split, lambda a: a,
                             (bins_p, stats_p, row_ids, leaf_of_pos, used,
                              key, seg_start, seg_cnt, leaf_hist, leaf_gain,
                              leaf_feat, leaf_bin, leaf_depth, leaf_out,
                              rec, rec_gain, rec_cat, used_pos, leaf_unused,
-                             leaf_path))
+                             leaf_path, leaf_grp))
 
     carry = (bins_pos, stats_pos, row_ids0, leaf_of_pos0, used0, key0,
              seg_start, seg_cnt, leaf_hist, leaf_gain, leaf_feat, leaf_bin,
              leaf_depth, leaf_out, rec, rec_gain, rec_cat, used_pos0,
-             leaf_unused, leaf_path)
+             leaf_unused, leaf_path, leaf_grp)
     carry = jax.lax.fori_loop(0, L - 1, split_step, carry)
     (_, _, row_ids, leaf_of_pos, _, _, _, _, leaf_hist, _, _, _, _,
-     leaf_out, rec, rec_gain, rec_cat, _, _, leaf_path) = carry
+     leaf_out, rec, rec_gain, rec_cat, _, _, leaf_path, _) = carry
     # row -> leaf slot, back in ROW order (one scatter)
     node = jnp.zeros(n_pad, jnp.int32).at[row_ids].set(leaf_of_pos)
     Gs = jnp.sum(leaf_hist[:, 0, 0, :], axis=1)
@@ -918,7 +945,8 @@ class SerialTreeLearner:
                  mesh=None, lambda_l1=0.0, monotone_constraints=None,
                  parallel_mode="data", path_smooth=0.0, cegb=None,
                  extra_trees=False, forced_splits=None, top_k=20,
-                 cat_params=(10.0, 10.0, 32.0, 100.0)):
+                 cat_params=(10.0, 10.0, 32.0, 100.0),
+                 interaction_constraints=None):
         # cat_params = (cat_smooth, cat_l2, max_cat_threshold,
         # min_data_per_group) — config.h categorical-split regularization
         self.cat_params = tuple(float(v) for v in cat_params)
@@ -1040,6 +1068,26 @@ class SerialTreeLearner:
         # forcedsplits_filename (serial_tree_learner.cpp:453 ForceSplits):
         # nested {feature, threshold, left, right} applied before gain
         # splits; slots pre-assigned in parent-before-child (BFS) order
+        # interaction_constraints (config.h; col_sampler.hpp
+        # SetUsedFeatureByNode): list of feature-index lists; splits in one
+        # branch may only combine features from a single constraint set.
+        # Features outside every set are never used (LightGBM semantics).
+        self.inter_groups = None
+        if interaction_constraints:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "interaction_constraints are not supported with a "
+                    "device mesh")
+            ig = np.zeros((len(interaction_constraints), self.p_pad),
+                          dtype=np.float32)
+            for k_, feats in enumerate(interaction_constraints):
+                for fj in feats:
+                    if not 0 <= int(fj) < self.p:
+                        raise ValueError(
+                            f"interaction_constraints feature index {fj} "
+                            f"out of range [0, {self.p})")
+                    ig[k_, int(fj)] = 1.0
+            self.inter_groups = ig
         self.forced = None
         if forced_splits is not None:
             if mesh is not None:
@@ -1123,9 +1171,12 @@ class SerialTreeLearner:
                 jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
                 self.path_smooth, *cegb_args, *extra_args, forced_arg)
             cat_p = jnp.asarray(self.cat_params, jnp.float32)
+            ig_arg = None if self.inter_groups is None \
+                else jnp.asarray(self.inter_groups)
             if lazy is None:
                 rec, leaf_values, node, rec_gain, rec_cat = \
-                    _grow_tree_partitioned(*grow_args, cat_params=cat_p)
+                    _grow_tree_partitioned(*grow_args, cat_params=cat_p,
+                                           inter_groups=ig_arg)
             else:
                 lpen = np.zeros(self.p_pad, dtype=np.float32)
                 lpen[:len(lazy)] = lazy
@@ -1146,7 +1197,7 @@ class SerialTreeLearner:
                 rec, leaf_values, node, rec_gain, rec_cat, leaf_path = \
                     _grow_tree_partitioned_lazy(
                         *grow_args, jnp.asarray(lpen), used_eff,
-                        cat_params=cat_p)
+                        cat_params=cat_p, inter_groups=ig_arg)
                 marks = jnp.take(
                     leaf_path,
                     jnp.clip(node, 0, self.num_leaves - 1), axis=0)

@@ -635,6 +635,83 @@ class TestForcedSplits:
         assert r2 > 0.7
 
 
+class TestInteractionConstraints:
+    """config.h interaction_constraints (col_sampler.hpp
+    SetUsedFeatureByNode): every branch may only combine features from a
+    single constraint set; features outside all sets are never used."""
+
+    @staticmethod
+    def _branch_feature_sets(tree):
+        """Feature sets of all root->leaf paths."""
+        sets = []
+
+        def walk(node, path):
+            if tree.is_leaf[node]:
+                sets.append(frozenset(path))
+                return
+            f = int(tree.split_feature[node])
+            walk(int(tree.left[node]), path | {f})
+            walk(int(tree.right[node]), path | {f})
+
+        walk(0, frozenset())
+        return sets
+
+    def test_branches_stay_within_one_set(self):
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(41)
+        n = 2000
+        X = rng.rand(n, 5)
+        # y depends on interactions across all features so unconstrained
+        # trees would freely mix them
+        y = (2 * X[:, 0] * X[:, 3] + X[:, 1] + X[:, 2] * X[:, 4]
+             + 0.1 * rng.randn(n))
+        groups = [[0, 1], [2, 3], [4]]
+        bst = train({"objective": "regression", "num_leaves": 15,
+                     "verbose": 0, "interaction_constraints": groups},
+                    Dataset(X, label=y), num_boost_round=10)
+        gsets = [frozenset(g) for g in groups]
+        n_splits = 0
+        for t in bst.trees:
+            for s in self._branch_feature_sets(t):
+                n_splits += len(s)
+                assert any(s <= g for g in gsets), \
+                    f"branch features {sorted(s)} span constraint sets"
+        assert n_splits > 0
+
+    def test_string_form_and_excluded_feature(self):
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(42)
+        n = 1500
+        X = rng.rand(n, 4)
+        # feature 3 is the strongest signal but is in no constraint set
+        y = 5 * X[:, 3] + X[:, 0] + 0.1 * rng.randn(n)
+        bst = train({"objective": "regression", "num_leaves": 7,
+                     "verbose": 0,
+                     "interaction_constraints": "[0,1],[1,2]"},
+                    Dataset(X, label=y), num_boost_round=5)
+        used = {int(f) for t in bst.trees
+                for i, f in enumerate(t.split_feature[:t.num_nodes])
+                if not t.is_leaf[i]}
+        assert 3 not in used
+        assert used <= {0, 1, 2}
+
+    def test_single_set_matches_feature_subset(self):
+        """One constraint set == training on only those columns."""
+        from gpboost_tpu import Dataset, train
+        rng = np.random.RandomState(43)
+        n = 1200
+        X = rng.rand(n, 4)
+        y = 2 * X[:, 0] + X[:, 1] + 0.2 * rng.randn(n)
+        params = {"objective": "regression", "num_leaves": 15,
+                  "verbose": 0, "min_data_in_leaf": 20}
+        b1 = train(dict(params, interaction_constraints=[[0, 1]]),
+                   Dataset(X, label=y), num_boost_round=6)
+        b2 = train(params, Dataset(X[:, :2], label=y), num_boost_round=6)
+        p1 = np.asarray(b1.predict(X[:200]))
+        p2 = np.asarray(b2.predict(X[:200, :2]))
+        np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
+
+
 class TestPredEarlyStop:
     """Prediction early stopping (src/LightGBM/prediction_early_stop.cpp)."""
 
