@@ -89,6 +89,8 @@ class GPModel:
         self.likelihood = likelihood
         self.gp_approx = gp_approx
         self._coef_override = None
+        self._cov_pars_override = None
+        self._aux_override = None
 
         # "auto" (TPU-native default): direct (Cholesky) factorizations while
         # they fit, matrix-free CG + stochastic Lanczos log-dets at scale —
@@ -340,6 +342,38 @@ class GPModel:
                 # engine (golden-equivalent to the reference's Vecchia at
                 # num_neighbors = n-1, ordering 'none').
                 gp_approx = "none"
+        _has_grouped = any(c.kind == "grouped" for c in self.components)
+        _has_gp = any(c.kind == "gp" for c in self.components)
+        if gp_approx == "vecchia" and _has_grouped and _has_gp:
+            # grouped REs + Vecchia GP: the reference runs the JOINT latent
+            # [gp, grouped effects] through the Laplace machinery
+            # (grouped_RE_and_vecchia_GP_, re_model_template.h:7042-7045) —
+            # exact for a Gaussian likelihood, whose error variance becomes
+            # the likelihood aux parameter like vecchia_latent
+            if self.cluster_ids is not None:
+                raise NotImplementedError(
+                    "cluster_ids are not supported with gp_approx='vecchia' "
+                    "plus grouped random effects")
+            if likelihood == "gaussian":
+                likelihood = "gaussian_latent"
+                self.likelihood = "gaussian_latent"
+                self._par_names = [nm for nm in self._par_names
+                                   if nm != "Error_term"]
+            self._likelihood_obj = get_likelihood(
+                likelihood, likelihood_additional_param)
+            from .models.vecchia_grouped import VecchiaGroupedLaplaceEngine
+            self._engine = VecchiaGroupedLaplaceEngine(
+                self.components, self.num_data, self._likelihood_obj,
+                num_neighbors=num_neighbors if num_neighbors else 20,
+                vecchia_ordering=vecchia_ordering, seed=seed,
+                dtype=self._dtype, weights=self.weights)
+            self.num_cov_par = self._engine.num_cov_par
+            self.params = OptimConfig()
+            self._fit_result = None
+            self.y = None
+            self.X = None
+            self.model_has_been_fitted = False
+            return
         if gp_approx in ("vecchia", "fitc"):
             if likelihood != "gaussian":
                 self._likelihood_obj = get_likelihood(
@@ -467,6 +501,15 @@ class GPModel:
                 setattr(self.params, k, v)
             elif k == "init_cov_pars":
                 self.params.init_cov_pars = None if v is None else np.asarray(v, dtype=np.float64)
+        if params.get("init_cov_pars") is not None:
+            # re_model.cpp:302-316 SetOptimConfig: init_cov_pars overwrite
+            # the model's current covariance parameters immediately, so a
+            # predict() without explicit cov_pars uses them until re-fit
+            self._cov_pars_override = np.asarray(params["init_cov_pars"],
+                                                 dtype=np.float64)
+        if params.get("init_aux_pars") is not None:
+            self._aux_override = np.asarray(params["init_aux_pars"],
+                                            dtype=np.float64)
         if params.get("init_coef") is not None:
             # re_model.cpp:320-324: init_coef overwrites the stored
             # coefficients immediately -> predict() with explicit cov_pars
@@ -600,7 +643,7 @@ class GPModel:
                 # range-scaled coordinate space, warm-starting each chunk
                 # (UpdateNearestNeighbors, Vecchia_utils.h:354;
                 # re_model_template.h:5105)
-                budget = cfg.max_iter
+                budget = cfg.maxit if cfg.maxit else cfg.max_iter
                 chunk = max(10, budget // 10)
                 total_it = 0
                 r = None
@@ -621,7 +664,10 @@ class GPModel:
                         break
                 r.num_it = total_it
                 self._fit_result = r
-        self._coef_override = None    # estimation overwrites coef_ (re_model.cpp)
+        # estimation overwrites the stored cov_pars/coef/aux (re_model.cpp)
+        self._coef_override = None
+        self._cov_pars_override = None
+        self._aux_override = None
         self.model_has_been_fitted = True
         return self
 
@@ -639,6 +685,8 @@ class GPModel:
         cov_pars = self._check_cov_pars(cov_pars)
         if self.likelihood != "gaussian":
             y = self._likelihood_obj.check_y(y)
+            if aux_pars is None:
+                aux_pars = self._aux_override
             if aux_pars is None and self._fit_result is not None:
                 aux_pars = self._fit_result.aux_pars
             return self._engine.neg_log_likelihood(
@@ -837,7 +885,9 @@ class GPModel:
                 out["cov"] = None
             return out
         if cov_pars is None:
-            cov_pars = self._require_fit().cov_pars
+            cov_pars = self._cov_pars_override \
+                if self._cov_pars_override is not None \
+                else self._require_fit().cov_pars
         cov_pars = self._check_cov_pars(cov_pars)
         if y is None:
             if self.y is None:
@@ -905,12 +955,13 @@ class GPModel:
             fe = np.asarray(fixed_effects, dtype=np.float64)
             F[: len(fe)] += fe
         coef = self._coef_override
-        aux_pars = None
+        aux_pars = self._aux_override
         a_init = None
         if self._fit_result is not None:
             if coef is None:
                 coef = self._fit_result.coef
-            aux_pars = self._fit_result.aux_pars
+            if aux_pars is None:
+                aux_pars = self._fit_result.aux_pars
             a_init = self._fit_result.mode_state
         if coef is not None and self.X is not None:
             k = self.X.shape[1]
@@ -973,7 +1024,8 @@ class GPModel:
                     igrc += 1
                 codes_pred = comp.codes_for_prediction(col, cluster_ids_pred)
                 n_pred = len(codes_pred)
-                if self._use_woodbury:
+                if self._use_woodbury or getattr(self._engine,
+                                                 "wants_codes_pred", False):
                     pd["codes_pred"] = codes_pred
                     pd["z_pred"] = z_pred
                 else:

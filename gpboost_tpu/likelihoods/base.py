@@ -441,8 +441,19 @@ class StudentT(Likelihood):
                 - 0.5 * jnp.log(nu * math.pi) - jnp.log(sigma)
                 - (nu + 1.0) / 2.0 * jnp.log1p(z * z / nu))
 
+    @staticmethod
+    def _mad_scale(y):
+        # robust scale init: 1.4826 * MAD, IQR fallback when the MAD is zero
+        # (likelihoods.h:1948-1985 FindInitialAuxPars for 't')
+        y = np.asarray(y, dtype=np.float64)
+        mad = 1.4826 * np.median(np.abs(y - np.median(y)))
+        if mad <= 1e-12:
+            q75, q25 = np.percentile(y, [75, 25])
+            mad = (q75 - q25) / 1.349
+        return float(mad) if mad > 1e-12 else float(np.std(y)) + 1e-12
+
     def init_aux(self, y):
-        return np.asarray([float(np.std(y)), 2.0])
+        return np.asarray([self._mad_scale(y), 2.0])
 
     def fisher_W(self, y, loc, aux):
         # FI of the t location: (nu+1)/((nu+3) sigma^2) — positive everywhere,
@@ -471,7 +482,7 @@ class TFixDf(StudentT):
         return StudentT.log_lik(self, y, f, jnp.asarray([aux[0], self.df]))
 
     def init_aux(self, y):
-        return np.asarray([float(np.std(y))])
+        return np.asarray([self._mad_scale(y)])
 
     def fisher_W(self, y, loc, aux):
         nu = self.df

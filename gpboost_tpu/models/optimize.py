@@ -257,12 +257,13 @@ def _optimize_internal(engine, y, config: OptimConfig, X=None) -> OptimResult:
     lr_cov = config.resolved_lr_cov()
     theta_after_grad = np.exp(u[1:]).copy()       # natural transformed scale
     theta_after_grad_lag1 = np.exp(u[1:]).copy()
-    num_it = config.max_iter
+    max_iter = config.maxit if config.maxit else config.max_iter
+    num_it = max_iter
     converged = False
     nll_new = nll
     trajectory = [] if config.trace else None
 
-    for it in range(config.max_iter):
+    for it in range(max_iter):
         nll_lag1 = nll
         u_lag1 = u.copy()
 
