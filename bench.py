@@ -161,10 +161,17 @@ def main():
     # headline JSON line gets printed before the driver's external timeout.
     # The alarm sits well past the budget so a slow-tunnel workload 1 can
     # still land a real headline value (later workloads are budget-gated
-    # and simply get skipped).
+    # and simply get skipped). SIGALRM alone is not enough — Python runs
+    # signal handlers between bytecodes, and a main thread blocked inside a
+    # jax runtime call (stalled device tunnel) never reaches one — so a
+    # daemon Timer thread does the same emit from outside the GIL-holder.
     if not (FULL or SMOKE):
         signal.signal(signal.SIGALRM, _emit_headline_and_exit)
         signal.alarm(int(BUDGET + 150))
+        import threading
+        t = threading.Timer(BUDGET + 165, _emit_headline_and_exit, args=(0,))
+        t.daemon = True
+        t.start()
 
     # persistent compilation cache: the fused multi-round scans are
     # compile-heavy; repeated bench runs (driver rounds, warm-ups after

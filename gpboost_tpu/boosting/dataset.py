@@ -183,9 +183,24 @@ class BinMapper:
     count-proportional budgets); NaN -> the last bin."""
 
     is_categorical = False
+    use_missing = True          # class defaults for bare (__new__) mappers
+    zero_as_missing = False
 
-    def __init__(self, values, max_bin=255, min_data_in_bin=3):
+    def __init__(self, values, max_bin=255, min_data_in_bin=3,
+                 use_missing=True, zero_as_missing=False):
+        # MissingType semantics (bin.h:27, io/bin.cpp FindBin):
+        #   use_missing=False  -> NaN is treated as zero (MissingType::None)
+        #   zero_as_missing    -> zeros AND NaN share the missing bin
+        #                         (MissingType::Zero); zeros then follow the
+        #                         learned default direction at every split
+        #   default            -> NaN gets the last bin (MissingType::NaN)
+        self.use_missing = bool(use_missing)
+        self.zero_as_missing = bool(zero_as_missing) and self.use_missing
         v = np.asarray(values, dtype=np.float64)
+        if not self.use_missing:
+            v = np.nan_to_num(v, nan=0.0)
+        elif self.zero_as_missing:
+            v = np.where(v == 0.0, np.nan, v)
         finite = v[np.isfinite(v)]
         uniq, counts = np.unique(finite, return_counts=True)
         self.has_nan = bool(np.any(~np.isfinite(v)))
@@ -197,6 +212,10 @@ class BinMapper:
 
     def transform(self, values):
         v = np.asarray(values, dtype=np.float64)
+        if not self.use_missing:
+            v = np.nan_to_num(v, nan=0.0)
+        elif self.zero_as_missing:
+            v = np.where(v == 0.0, np.nan, v)
         from ..native import bin_column
         return bin_column(v, self.upper_bounds,
                           nan_bin=self.nan_bin if self.has_nan else -1)
@@ -363,6 +382,10 @@ class Dataset:
         self.enable_bundle = bool((params or {}).get("enable_bundle", False))
         self.max_conflict_rate = float(
             (params or {}).get("max_conflict_rate", 0.0))
+        # missing-value handling (config.h use_missing / zero_as_missing)
+        self.use_missing = bool((params or {}).get("use_missing", True))
+        self.zero_as_missing = bool(
+            (params or {}).get("zero_as_missing", False))
         self.bundles = []
         self.kept_features = None
 
@@ -379,7 +402,9 @@ class Dataset:
                 CategoricalBinMapper(self.data[:, j], self.max_bin)
                 if j in self.categorical_feature
                 else BinMapper(self.data[:, j], self.max_bin,
-                               self.min_data_in_bin)
+                               self.min_data_in_bin,
+                               use_missing=self.use_missing,
+                               zero_as_missing=self.zero_as_missing)
                 for j in range(self.num_features)]
             if self.enable_bundle:
                 self._find_bundles()

@@ -171,7 +171,7 @@ def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
     per training run drop from O(rounds) to O(rounds / chunk)."""
     from .tree_learner import _grow_tree_partitioned_impl
     (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth, cat_params_t) = grow_cfg
+     path_smooth, cat_params_t, nan_bin_t) = grow_cfg
     cat_params = jnp.asarray(cat_params_t, jnp.float32)
     n = y.shape[0]
     n_pad = bins_pos.shape[0]
@@ -184,7 +184,7 @@ def _train_rounds_scanned(obj_name, obj_args, grow_cfg, chunk,
             bins_pos, _stats_pos_of(g, h, n_pad), num_bins, L, max_depth,
             use_pallas, row_block, feat_chunk, l2, min_data, min_hess,
             min_gain, fm, l1, monotone, cat_mask, path_smooth,
-            cat_params=cat_params)
+            cat_params=cat_params, nan_bin=nan_bin_t)
         lv64 = lv.astype(F.dtype)
         slot = jnp.clip(node[:n], 0, L - 1)
         contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -205,7 +205,7 @@ def _train_rounds_scanned_multi(obj_name, obj_args, K, grow_cfg, chunk,
     models / regression_objective.hpp:1010 MeanScaleLoss)."""
     from .tree_learner import _grow_tree_partitioned_impl
     (num_bins, num_leaves, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth, cat_params_t) = grow_cfg
+     path_smooth, cat_params_t, nan_bin_t) = grow_cfg
     cat_params = jnp.asarray(cat_params_t, jnp.float32)
     n = y.shape[0]
     n_pad = bins_pos.shape[0]
@@ -248,7 +248,7 @@ def _train_rounds_scanned_multi(obj_name, obj_args, K, grow_cfg, chunk,
                 bins_pos, _stats_pos_of(g[k], h[k], n_pad), num_bins, L,
                 max_depth, use_pallas, row_block, feat_chunk, l2, min_data,
                 min_hess, min_gain, fm, l1, monotone, cat_mask, path_smooth,
-                cat_params=cat_params)
+                cat_params=cat_params, nan_bin=nan_bin_t)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -309,7 +309,7 @@ def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
     vag_F = eng._vag_F
     perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
     (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth, cat_params_t) = grow_cfg
+     path_smooth, cat_params_t, nan_bin_t) = grow_cfg
     cat_params = jnp.asarray(cat_params_t, jnp.float32)
 
     def prep(v):
@@ -335,7 +335,7 @@ def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
                 bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
                 num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
                 l2, min_data, min_hess, min_gain, fm, l1, monotone,
-                cat_mask, path_smooth, cat_params=cat_params)
+                cat_mask, path_smooth, cat_params=cat_params, nan_bin=nan_bin_t)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -365,7 +365,7 @@ def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
     gd_fit = make_jitted_gd(eng.nll_parts_raw, eng.n)
     perm = jnp.asarray(eng.perm) if hasattr(eng, "perm") else None
     (num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
-     path_smooth, cat_params_t) = grow_cfg
+     path_smooth, cat_params_t, nan_bin_t) = grow_cfg
     cat_params = jnp.asarray(cat_params_t, jnp.float32)
 
     def prep(v):
@@ -385,7 +385,7 @@ def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
                 bins_pos, _stats_pos_of(g, jnp.ones_like(g), n_pad),
                 num_bins, L, max_depth, use_pallas, row_block, feat_chunk,
                 l2, min_data, min_hess, min_gain, fm, l1, monotone,
-                cat_mask, path_smooth, cat_params=cat_params)
+                cat_mask, path_smooth, cat_params=cat_params, nan_bin=nan_bin_t)
             lv64 = lv.astype(F.dtype)
             slot = jnp.clip(node[:n], 0, L - 1)
             contrib = jnp.where(node[:n] < L, lv64[slot], 0.0)
@@ -512,6 +512,11 @@ _BOOST_PARAM_DEFAULTS = dict(
     # interaction_constraints (config.h): e.g. "[0,1,2],[2,3]" or
     # [[0,1,2],[2,3]] — each branch may only combine features from one set
     interaction_constraints=None,
+    # missing-value handling (config.h use_missing / zero_as_missing):
+    # NaN (and zeros, with zero_as_missing) get a dedicated bin and follow
+    # a per-split learned default direction; use_missing=false treats NaN
+    # as zero
+    use_missing=True, zero_as_missing=False,
 )
 
 _PARAM_ALIASES = {
@@ -556,6 +561,12 @@ class Booster:
         self._pandas_categorical = getattr(train_set, "pandas_categorical",
                                            None)
         self.gp_model = gp_model
+        if not train_set._constructed and (
+                "use_missing" in raw or "zero_as_missing" in raw):
+            # missing-value handling arrives via train params when the
+            # Dataset was built without its own params (config.h use_missing)
+            train_set.use_missing = bool(p["use_missing"])
+            train_set.zero_as_missing = bool(p["zero_as_missing"])
         train_set.construct()
         self.n = train_set.num_data
         self.y = train_set.get_label()
@@ -1555,7 +1566,7 @@ class Booster:
         lr = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
                     le.row_block, le.feat_chunk, le.path_smooth,
-                    le.cat_params)
+                    le.cat_params, le.nan_bin_t)
         fm = np.zeros(le.p_pad, dtype=np.float32)
         fm[:le.p] = 1.0
         w = self.train_set.weight
@@ -1630,7 +1641,7 @@ class Booster:
         lr_tree = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
                     le.row_block, le.feat_chunk, le.path_smooth,
-                    le.cat_params)
+                    le.cat_params, le.nan_bin_t)
         maxit_gp = int(self.params["maxit_gp"])
         est_aux = bool(getattr(gp.params, "estimate_aux_pars", True)) \
             and eng.num_aux > 0
@@ -1714,7 +1725,7 @@ class Booster:
         lr_tree = float(self.params["learning_rate"])
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
                     le.row_block, le.feat_chunk, le.path_smooth,
-                    le.cat_params)
+                    le.cat_params, le.nan_bin_t)
         maxit_gp = int(self.params["maxit_gp"])
         reuse = bool(self.params["reuse_learning_rates_gp_model"])
         fm = np.zeros(le.p_pad, dtype=np.float32)
@@ -1790,7 +1801,7 @@ class Booster:
             obj_args = ()
         grow_cfg = (le.num_bins, L, le.max_depth, le.use_pallas,
                     le.row_block, le.feat_chunk, le.path_smooth,
-                    le.cat_params)
+                    le.cat_params, le.nan_bin_t)
         fm = np.zeros(le.p_pad, dtype=np.float32)
         fm[:le.p] = 1.0
         w = self.train_set.weight
@@ -1853,6 +1864,13 @@ class Booster:
         X = np.asarray(data, dtype=np.float64)
         if X.ndim == 1:
             X = X[:, None]
+        # missing-type conversions must match training-time binning
+        # (io/bin.cpp FindBin): use_missing=false treats NaN as zero;
+        # zero_as_missing routes zeros like NaN (learned default direction)
+        if not self.params.get("use_missing", True):
+            X = np.nan_to_num(X, nan=0.0)
+        elif self.params.get("zero_as_missing", False):
+            X = np.where(X == 0.0, np.nan, X)
         needed = self._min_num_features()
         if X.shape[1] < needed:
             raise ValueError(

@@ -18,6 +18,11 @@ class Tree:
         self.is_leaf = np.ones(max_nodes, dtype=bool)
         self.cover = np.zeros(max_nodes)    # training rows through each node
         self.split_gain = np.zeros(max_nodes)
+        # missing-value routing (tree.h decision_type_ kDefaultLeftMask):
+        # rows whose split feature is missing (NaN raw value / missing bin)
+        # go left when default_left, right otherwise
+        self.default_left = np.zeros(max_nodes, dtype=bool)
+        self.missing_bin = np.full(max_nodes, -1, dtype=np.int32)
         self.num_nodes = 1
         self.num_leaves = 1
         self.max_depth_used = 0
@@ -31,12 +36,14 @@ class Tree:
         self.leaf_linear = {}
 
     def split(self, node, feature, bin_threshold, real_threshold,
-              left_value, right_value):
+              left_value, right_value, default_left=False, missing_bin=-1):
         li, ri = self.num_nodes, self.num_nodes + 1
         self.num_nodes += 2
         self.split_feature[node] = feature
         self.threshold_bin[node] = bin_threshold
         self.threshold_real[node] = real_threshold
+        self.default_left[node] = bool(default_left)
+        self.missing_bin[node] = int(missing_bin)
         self.left[node] = li
         self.right[node] = ri
         self.is_leaf[node] = False
@@ -68,6 +75,9 @@ class Tree:
             f = self.split_feature[nd]
             b = bins[active_idx, f]
             go_left = b <= self.threshold_bin[nd]
+            mb = self.missing_bin[nd]
+            go_left = np.where((mb >= 0) & (b == mb),
+                               self.default_left[nd], go_left)
             if self.cat_left_bins:
                 for i in np.unique(nd):
                     mask_bins = self.cat_left_bins.get(int(i))
@@ -92,7 +102,8 @@ class Tree:
             f = self.split_feature[nd]
             x = X[active_idx, f]
             go_left = x <= self.threshold_real[nd]
-            go_left = np.where(np.isfinite(x), go_left, False)
+            go_left = np.where(np.isfinite(x), go_left,
+                               self.default_left[nd])
             if self.cat_left_values:
                 for i in np.unique(nd):
                     vals = self.cat_left_values.get(int(i))
@@ -105,8 +116,8 @@ class Tree:
         return node
 
     def predict_raw(self, X):
-        """Predict from raw features (new data); NaN goes right unless the
-        split's NaN-bin routing says otherwise (simplified: NaN -> right)."""
+        """Predict from raw features (new data); NaN follows each split's
+        learned default direction (default_left)."""
         X = np.asarray(X, dtype=np.float64)
         node = self.leaf_index_raw(X)
         out = self.leaf_value[node].copy()
@@ -131,6 +142,8 @@ class Tree:
             "is_leaf": self.is_leaf[:n].tolist(),
             "cover": self.cover[:n].tolist(),
             "split_gain": self.split_gain[:n].tolist(),
+            "default_left": self.default_left[:n].astype(int).tolist(),
+            "missing_bin": self.missing_bin[:n].tolist(),
             "shrinkage": self.shrinkage_applied,
             "cat_left_values": {str(k): np.asarray(v).tolist()
                                 for k, v in self.cat_left_values.items()},
@@ -158,6 +171,10 @@ class Tree:
             t.cover[:n] = d["cover"]
         if "split_gain" in d:
             t.split_gain[:n] = d["split_gain"]
+        if "default_left" in d:
+            t.default_left[:n] = np.asarray(d["default_left"], dtype=bool)
+        if "missing_bin" in d:
+            t.missing_bin[:n] = d["missing_bin"]
         t.shrinkage_applied = float(d.get("shrinkage", 1.0))
         for k, v in (d.get("cat_left_values") or {}).items():
             t.cat_left_values[int(k)] = np.asarray(v, dtype=np.float64)

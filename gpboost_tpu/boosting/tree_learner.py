@@ -118,8 +118,8 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
                         cat_mask=None, path_smooth=0.0, parent_out=0.0,
                         cegb_coupled=None, cegb_split=0.0, cegb_used=None,
                         extra_key=None, feat_hi=None, cegb_lazy_pen=None,
-                        cat_params=None):
-    """(best_gain, best_feat, best_bin) over all (feature, bin) pairs;
+                        cat_params=None, nan_bin=None):
+    """(best_gain, best_feat, best_bin_code) over all (feature, bin) pairs;
     hist (p, 3, B). gain = TL1(GL)^2/(HL+l2) + TL1(GR)^2/(HR+l2)
     - TL1(G)^2/(H+l2) (feature_histogram.hpp GetSplitGains with L1/L2).
     With path_smooth > 0 the gain is evaluated at the SMOOTHED child
@@ -128,13 +128,21 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
 
     monotone (p,) in {-1,0,+1}: monotone-constraint directions
     (monotone_constraints.hpp) — a split on a +1 feature is valid only when
-    left_output <= right_output (and mirrored for -1)."""
+    left_output <= right_output (and mirrored for -1).
+
+    nan_bin: static per-feature tuple of missing-bin indices (-1 = none).
+    When given, numeric features with a missing bin are searched in BOTH
+    missing directions — the reference's two FindBestThresholdSequentially
+    scans (feature_histogram.hpp:167-190, REVERSE missing-left vs forward
+    missing-right) — and the returned bin code packs the direction:
+    code = bin + B * default_left."""
     G = jnp.sum(hist[:, 0, :], axis=1, keepdims=True)
     H = jnp.sum(hist[:, 1, :], axis=1, keepdims=True)
     C = jnp.sum(hist[:, 2, :], axis=1, keepdims=True)
-    GL = jnp.cumsum(hist[:, 0, :], axis=1)
-    HL = jnp.cumsum(hist[:, 1, :], axis=1)
-    CL = jnp.cumsum(hist[:, 2, :], axis=1)
+    GL0 = jnp.cumsum(hist[:, 0, :], axis=1)
+    HL0 = jnp.cumsum(hist[:, 1, :], axis=1)
+    CL0 = jnp.cumsum(hist[:, 2, :], axis=1)
+    GL, HL, CL = GL0, HL0, CL0
     l2_child = lambda_l2
     cat_valid = None
     if cat_mask is not None:
@@ -166,26 +174,64 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         cat_valid = ((pos1 < used)
                      & (jnp.minimum(pos1, used - pos1) <= max_num_cat)
                      & (CL >= mdpg) & (C - CL >= mdpg))
-    GR = G - GL
-    HR = H - HL
-    if path_smooth <= 0.0:          # static Python float
-        gain = (_thresholded(GL, lambda_l1) ** 2 / (HL + l2_child)
-                + _thresholded(GR, lambda_l1) ** 2 / (HR + l2_child)
-                - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
-    else:
-        CR = C - CL
-        wl = _smoothed_output(GL, HL, CL, l2_child, lambda_l1,
-                              path_smooth, parent_out)
-        wr = _smoothed_output(GR, HR, CR, l2_child, lambda_l1,
-                              path_smooth, parent_out)
-        wp = parent_out
+    def gain_valid(GLx, HLx, CLx, l2c):
+        GR = G - GLx
+        HR = H - HLx
+        if path_smooth <= 0.0:      # static Python float
+            gain = (_thresholded(GLx, lambda_l1) ** 2 / (HLx + l2c)
+                    + _thresholded(GR, lambda_l1) ** 2 / (HR + l2c)
+                    - _thresholded(G, lambda_l1) ** 2 / (H + lambda_l2))
+        else:
+            CR = C - CLx
+            wl = _smoothed_output(GLx, HLx, CLx, l2c, lambda_l1,
+                                  path_smooth, parent_out)
+            wr = _smoothed_output(GR, HR, CR, l2c, lambda_l1,
+                                  path_smooth, parent_out)
+            wp = parent_out
 
-        def leaf_gain(Gs, Hs, w, l2s):
-            return -(2.0 * Gs * w + (Hs + l2s) * w * w)
+            def leaf_gain(Gs, Hs, w, l2s):
+                return -(2.0 * Gs * w + (Hs + l2s) * w * w)
 
-        gain = (leaf_gain(GL, HL, wl, l2_child)
-                + leaf_gain(GR, HR, wr, l2_child)
-                - leaf_gain(G, H, wp, lambda_l2))
+            gain = (leaf_gain(GLx, HLx, wl, l2c)
+                    + leaf_gain(GR, HR, wr, l2c)
+                    - leaf_gain(G, H, wp, lambda_l2))
+        valid = ((CLx >= min_data) & (C - CLx >= min_data)
+                 & (HLx >= min_hess) & (H - HLx >= min_hess))
+        if monotone is not None:
+            wlm = -_thresholded(GLx, lambda_l1) / (HLx + l2c)
+            wrm = -_thresholded(GR, lambda_l1) / (HR + l2c)
+            m = monotone[:, None]
+            valid = valid & jnp.where(
+                m == 0, True, jnp.where(m > 0, wlm <= wrm, wlm >= wrm))
+        return gain, valid
+
+    gain, valid = gain_valid(GL, HL, CL, l2_child)
+    if cat_valid is not None:
+        valid = valid & jnp.where(cm, cat_valid, True)
+    dirs = [(gain, valid)]
+    if nan_bin is not None:
+        # missing-left direction (the reference's REVERSE scan, default_left
+        # = true): the missing bin's stats move to the left side of every
+        # threshold below it; only numeric features with a missing bin
+        # participate
+        nb = jnp.asarray(np.asarray(nan_bin, dtype=np.int32))
+        has = (nb >= 0)[:, None]
+        nbc = jnp.maximum(nb, 0)[:, None]
+        g_nan = jnp.take_along_axis(hist[:, 0, :], nbc, axis=1)
+        h_nan = jnp.take_along_axis(hist[:, 1, :], nbc, axis=1)
+        c_nan = jnp.take_along_axis(hist[:, 2, :], nbc, axis=1)
+        zero = jnp.zeros((), hist.dtype)
+        GL_l = GL0 + jnp.where(has, g_nan, zero)
+        HL_l = HL0 + jnp.where(has, h_nan, zero)
+        CL_l = CL0 + jnp.where(has, c_nan, zero)
+        gain_l, valid_l = gain_valid(GL_l, HL_l, CL_l, lambda_l2)
+        pos = jnp.arange(hist.shape[2], dtype=jnp.int32)[None, :]
+        valid_l = valid_l & has & (pos < nb[:, None])
+        if cat_mask is not None:
+            valid_l = valid_l & ~(cat_mask[:, None] > 0)
+        dirs.append((gain_l, valid_l))
+    gain = jnp.stack([g for g, _ in dirs])          # (D, p, B)
+    valid = jnp.stack([v for _, v in dirs])
     if extra_key is not None:
         # extra_trees (config.h extra_trees; feature_histogram.hpp USE_RAND):
         # ONE uniformly random threshold per feature per node is considered
@@ -196,46 +242,40 @@ def _best_split_of_hist(hist, lambda_l2, min_data, min_hess, min_gain,
         t = jnp.minimum((uu * (feat_hi.astype(jnp.float32) + 1.0)
                          ).astype(jnp.int32), feat_hi)
         sel = jnp.arange(hist.shape[2])[None, :] == t[:, None]
-        gain = jnp.where(sel, gain, -jnp.inf)
+        gain = jnp.where(sel[None], gain, -jnp.inf)
     if cegb_coupled is not None:
         # cost-effective gradient boosting
         # (cost_effective_gradient_boosting.hpp:70-74 DetailGain): gain is
         # penalized by tradeoff*penalty_split*num_data_in_leaf plus, for a
         # feature not yet used anywhere in the model, the coupled per-
         # feature penalty. In-tree usage updates come through cegb_used.
-        gain = gain - (cegb_coupled * (1.0 - cegb_used))[:, None] \
-            - cegb_split * C
+        gain = gain - (cegb_coupled * (1.0 - cegb_used))[None, :, None] \
+            - cegb_split * C[None]
     if cegb_lazy_pen is not None:
         # lazy (on-demand) per-row feature-acquisition costs
         # (cost_effective_gradient_boosting.hpp:126-151
         # CalculateOndemandCosts): penalty = tradeoff * penalty_lazy[f] *
         # (#rows in this leaf that have never used feature f) — the per-
         # feature totals are precomputed by the caller per leaf
-        gain = gain - cegb_lazy_pen[:, None]
-    valid = ((CL >= min_data) & (C - CL >= min_data)
-             & (HL >= min_hess) & (H - HL >= min_hess))
-    if cat_valid is not None:
-        valid = valid & jnp.where(cm, cat_valid, True)
-    if monotone is not None:
-        wl = -_thresholded(GL, lambda_l1) / (HL + l2_child)
-        wr = -_thresholded(GR, lambda_l1) / (HR + l2_child)
-        m = monotone[:, None]
-        valid = valid & jnp.where(
-            m == 0, True, jnp.where(m > 0, wl <= wr, wl >= wr))
+        gain = gain - cegb_lazy_pen[None, :, None]
     if feat_mask is not None:
-        valid = valid & (feat_mask[:, None] > 0)
+        valid = valid & (feat_mask[None, :, None] > 0)
     gain = jnp.where(valid & (gain > min_gain), gain, -jnp.inf)
     flat = jnp.argmax(gain)
-    p, B = gain.shape
-    return gain.reshape(-1)[flat], flat // B, flat % B
+    _, p, B = gain.shape
+    rem = flat % (p * B)
+    # bin code packs the missing direction: code = bin + B * default_left
+    return (gain.reshape(-1)[flat], rem // B,
+            rem % B + B * (flat // (p * B)))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 17, 18, 19))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 17, 18, 19),
+         static_argnames=("nan_bin",))
 def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
                use_pallas, row_block, feat_chunk,
                lambda_l2, min_data, min_hess, min_gain, feat_mask,
                lambda_l1, monotone, cat_mask, mesh=None, par_mode="data",
-               path_smooth=0.0, cat_params=None):
+               path_smooth=0.0, cat_params=None, nan_bin=None):
     """Grow one leaf-wise tree; returns (split records, leaf values, rows).
 
     feat_mask (p,) 0/1 implements per-tree column sampling (feature_fraction):
@@ -297,7 +337,10 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
         return _best_split_of_hist(hist, lambda_l2, min_data, min_hess,
                                    min_gain, feat_mask, lambda_l1, monotone,
                                    cat_mask, path_smooth, parent_out,
-                                   cat_params=cat_params)
+                                   cat_params=cat_params, nan_bin=nan_bin)
+
+    nb_route = None if nan_bin is None else jnp.asarray(
+        np.asarray(nan_bin, dtype=np.int32))
 
     def raw_out(hist):
         G = jnp.sum(hist[0, 0, :])
@@ -345,14 +388,22 @@ def _grow_tree(bins_T, node0, stats_T, num_bins, num_leaves, max_depth,
             feat_col = jnp.take(bins_T, f, axis=0)           # (n,)
             in_leaf = node == l
             is_cat = cat_mask[f] > 0
+            # decode the packed missing direction: code = bin + B * dl
+            dl = b >= num_bins
+            br = b - jnp.where(dl, num_bins, 0)
             # categorical: rank of each bin in this leaf's G/H ordering;
             # the recorded bin index b means "ranks <= b go left"
             order_f = _cat_order(leaf_hist[l, f], csm_app)  # (B,)
             rank = jnp.argsort(order_f)                      # bin -> rank
-            go_right_cat = rank[feat_col] > b
-            go_right = jnp.where(is_cat, go_right_cat, feat_col > b)
+            go_right_cat = rank[feat_col] > br
+            go_right_num = feat_col > br
+            if nb_route is not None:
+                nbf = nb_route[f]
+                go_right_num = jnp.where((nbf >= 0) & (feat_col == nbf),
+                                         ~dl, go_right_num)
+            go_right = jnp.where(is_cat, go_right_cat, go_right_num)
             node2 = jnp.where(in_leaf & go_right, new_slot, node)
-            left_bins = (rank <= b) & is_cat                 # (B,) bool
+            left_bins = (rank <= br) & is_cat                # (B,) bool
             lb = left_bins.astype(jnp.uint32)
             n_words_ = rec_cat.shape[1]
             pad = n_words_ * 32 - lb.shape[0]
@@ -572,7 +623,7 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                 extra_key0=None, feat_hi=None,
                                 forced=None, cegb_lazy=None,
                                 lazy_used0=None, cat_params=None,
-                                inter_groups=None):
+                                inter_groups=None, nan_bin=None):
     """Leaf-partitioned leaf-wise growth (single device). Pure traceable
     function — also called from inside the multi-round lax.scan fast paths
     (gbdt.py Booster.update_many / update_many_gpboost), where ONE device
@@ -652,7 +703,12 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
                                    cat_mask, path_smooth, parent_out,
                                    cegb_coupled, cegb_split, used,
                                    key if use_extra else None, feat_hi,
-                                   lazy_pen, cat_params=cat_params)
+                                   lazy_pen, cat_params=cat_params,
+                                   nan_bin=nan_bin)
+
+    # per-feature missing-bin ids for routing split rows (static -> device)
+    nb_route = None if nan_bin is None else jnp.asarray(
+        np.asarray(nan_bin, dtype=np.int32))
 
     def unused_segment(used_p, s0, cnt):
         """(p,) count of rows in positions [s0, s0+cnt) whose feature f has
@@ -766,10 +822,18 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
             c = seg_cnt[l]
             fcol = jnp.take(bins_p, f, axis=1).astype(jnp.int32)  # (n_pad,)
             is_cat = cat_mask[f] > 0
+            # decode the packed missing direction: code = bin + B * dl
+            dl = b >= num_bins
+            br = b - jnp.where(dl, num_bins, 0)
             order_f = _cat_order(leaf_hist[l, f], csm_app)  # (B,)
             rank = jnp.argsort(order_f)                      # bin -> rank
-            go_right = jnp.where(is_cat, rank[fcol] > b, fcol > b)
-            left_bins = (rank <= b) & is_cat
+            go_right_num = fcol > br
+            if nb_route is not None:
+                nbf = nb_route[f]
+                go_right_num = jnp.where((nbf >= 0) & (fcol == nbf),
+                                         ~dl, go_right_num)
+            go_right = jnp.where(is_cat, rank[fcol] > br, go_right_num)
+            left_bins = (rank <= br) & is_cat
             lb = left_bins.astype(jnp.uint32)
             n_words_ = rec_cat.shape[1]
             lb = jnp.pad(lb, (0, n_words_ * 32 - lb.shape[0]))
@@ -898,12 +962,14 @@ def _grow_tree_partitioned_impl(bins_pos, stats_pos, num_bins, num_leaves,
     return out
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16),
+         static_argnames=("nan_bin",))
 def _grow_tree_partitioned(*args, **kw):
     return _grow_tree_partitioned_impl(*args, **kw)[:5]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 16),
+         static_argnames=("nan_bin",))
 def _grow_tree_partitioned_lazy(*args, **kw):
     """Variant returning (..., leaf_path) for lazy CEGB: leaf_path (L, p)
     is the per-leaf set of features used on the leaf's root path, from which
@@ -1065,6 +1131,18 @@ class SerialTreeLearner:
         for j, mp_ in enumerate(self.mappers):
             hi[j] = max(int(mp_.num_bins) - 2, 0)
         self.feat_hi = hi
+        # per-feature missing-bin ids (-1 = none): numeric features with a
+        # NaN bin get the two-direction split search + default_left routing
+        # (feature_histogram.hpp:167-190); categorical missing rides the
+        # overflow bin. None when no feature has missing values — the search
+        # then skips the second direction entirely.
+        nb = np.full(self.p_pad, -1, dtype=np.int32)
+        for j, mp_ in enumerate(self.mappers):
+            if not getattr(mp_, "is_categorical", False) \
+                    and getattr(mp_, "has_nan", False):
+                nb[j] = int(mp_.nan_bin)
+        self.nan_bin_t = tuple(int(v) for v in nb) if (nb >= 0).any() \
+            else None
         # forcedsplits_filename (serial_tree_learner.cpp:453 ForceSplits):
         # nested {feature, threshold, left, right} applied before gain
         # splits; slots pre-assigned in parent-before-child (BFS) order
@@ -1176,7 +1254,8 @@ class SerialTreeLearner:
             if lazy is None:
                 rec, leaf_values, node, rec_gain, rec_cat = \
                     _grow_tree_partitioned(*grow_args, cat_params=cat_p,
-                                           inter_groups=ig_arg)
+                                           inter_groups=ig_arg,
+                                           nan_bin=self.nan_bin_t)
             else:
                 lpen = np.zeros(self.p_pad, dtype=np.float32)
                 lpen[:len(lazy)] = lazy
@@ -1197,7 +1276,8 @@ class SerialTreeLearner:
                 rec, leaf_values, node, rec_gain, rec_cat, leaf_path = \
                     _grow_tree_partitioned_lazy(
                         *grow_args, jnp.asarray(lpen), used_eff,
-                        cat_params=cat_p, inter_groups=ig_arg)
+                        cat_params=cat_p, inter_groups=ig_arg,
+                        nan_bin=self.nan_bin_t)
                 marks = jnp.take(
                     leaf_path,
                     jnp.clip(node, 0, self.num_leaves - 1), axis=0)
@@ -1247,7 +1327,8 @@ class SerialTreeLearner:
                     jnp.asarray(fm), jnp.float32(self.lambda_l1),
                     jnp.asarray(self.monotone), jnp.asarray(self.cat_mask),
                     self.mesh, self.parallel_mode, self.path_smooth,
-                    cat_params=jnp.asarray(self.cat_params, jnp.float32))
+                    cat_params=jnp.asarray(self.cat_params, jnp.float32),
+                    nan_bin=self.nan_bin_t)
         slot_of_row = np.asarray(node)[:n]
         cnt = np.bincount(slot_of_row, minlength=self.num_leaves + 8)
         tree, leaf_value_of_slot = self.build_tree(rec, leaf_values, rec_gain,
@@ -1272,8 +1353,16 @@ class SerialTreeLearner:
                 break
             node_id = slot_to_node[int(parent_slot)]
             mapper = self.mappers[int(f)]
+            # decode the packed missing direction: code = bin + B * dl
+            dl = int(b) >= self.num_bins
+            b = int(b) - (self.num_bins if dl else 0)
+            is_cat_f = bool(self.cat_mask[int(f)])
+            mb = int(mapper.nan_bin) if (not is_cat_f and
+                                         getattr(mapper, "has_nan", False)) \
+                else -1
             thr = mapper.bin_to_threshold(int(b))
-            li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0)
+            li, ri = tree.split(node_id, int(f), int(b), thr, 0.0, 0.0,
+                                default_left=dl, missing_bin=mb)
             tree.split_gain[node_id] = rec_gain[s]
             if self.cat_mask[int(f)]:
                 words = rec_cat[s]

@@ -60,7 +60,8 @@ def _load():
             np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.float64),
-            np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.float64),
             ctypes.c_longlong, ctypes.c_int, np.ctypeslib.ndpointer(np.float64)]
         _lib = lib
     except Exception:
@@ -135,11 +136,12 @@ def tree_shap(tree, X, phi):
     il = np.ascontiguousarray(tree.is_leaf[:n_nodes], dtype=np.uint8)
     lv = np.ascontiguousarray(tree.leaf_value[:n_nodes], dtype=np.float64)
     cov = np.ascontiguousarray(tree.cover[:n_nodes], dtype=np.float64)
+    dl = np.ascontiguousarray(tree.default_left[:n_nodes], dtype=np.uint8)
     X = np.ascontiguousarray(X, dtype=np.float64)
     n, p = X.shape
     lib = _load()
     if lib is not None:
-        lib.gpb_tree_shap(sf, thr, lc, rc, il, lv, cov, X, n, p, phi)
+        lib.gpb_tree_shap(sf, thr, lc, rc, il, lv, cov, dl, X, n, p, phi)
         return
 
     # ---------------- pure-Python fallback ----------------
@@ -200,7 +202,7 @@ def tree_shap(tree, X, phi):
             return
         f = sf[j]
         xv = x[f]
-        go_left = np.isfinite(xv) and xv <= thr[j]
+        go_left = (xv <= thr[j]) if np.isfinite(xv) else bool(dl[j])
         hot, cold = (lc[j], rc[j]) if go_left else (rc[j], lc[j])
         hzf, czf = cov[hot] / cov[j], cov[cold] / cov[j]
         izf = iof = 1.0

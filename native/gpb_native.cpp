@@ -280,6 +280,7 @@ struct TreeArrays {
     const unsigned char* is_leaf;
     const double* leaf_value;
     const double* cover;
+    const unsigned char* default_left;  // missing-value routing per node
 };
 
 void shap_recurse(const TreeArrays& t, const double* x, double* phi,
@@ -299,8 +300,10 @@ void shap_recurse(const TreeArrays& t, const double* x, double* phi,
     }
     const int f = t.split_feature[node];
     const double xv = x[f];
-    // NaN goes right, matching Tree.predict_raw
-    const bool go_left = (xv == xv) && (xv <= t.threshold[node]);
+    // missing follows the split's learned default direction
+    // (Tree.default_left), finite values the threshold
+    const bool go_left = (xv == xv) ? (xv <= t.threshold[node])
+                                    : (t.default_left[node] != 0);
     const int hot = go_left ? t.lc[node] : t.rc[node];
     const int cold = go_left ? t.rc[node] : t.lc[node];
     const double w = t.cover[node];
@@ -343,8 +346,10 @@ extern "C" {
 void gpb_tree_shap(const int* split_feature, const double* threshold,
                    const int* lc, const int* rc, const unsigned char* is_leaf,
                    const double* leaf_value, const double* cover,
+                   const unsigned char* default_left,
                    const double* X, long long n, int p, double* phi) {
-    TreeArrays t{split_feature, threshold, lc, rc, is_leaf, leaf_value, cover};
+    TreeArrays t{split_feature, threshold, lc, rc, is_leaf, leaf_value,
+                 cover, default_left};
     const double expected = tree_expected_value(t, 0);
     const int D = tree_max_depth(t, 0) + 2;
     std::vector<PathElem> buf((size_t)D * (D + 1));
