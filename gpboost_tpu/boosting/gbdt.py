@@ -19,6 +19,7 @@ are the autodiff d1/d2 of the per-sample log density — "regression" (L2),
 from functools import partial
 
 import numpy as np
+from ..ops.jit_utils import lifted_jit
 import jax
 import jax.numpy as jnp
 
@@ -347,7 +348,7 @@ def _make_fused_lagaboost_scan(eng, chunk, grow_cfg, maxit_gp, lr0_gp,
 
         return jax.lax.scan(body, carry, None, length=chunk)
 
-    return jax.jit(run)
+    return lifted_jit(run)
 
 
 def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
@@ -399,7 +400,7 @@ def _make_fused_gpboost_scan(eng, chunk, grow_cfg, maxit_gp, reuse_lr,
 
         return jax.lax.scan(body, carry, None, length=chunk)
 
-    return jax.jit(run)
+    return lifted_jit(run)
 
 _OBJ_ALIASES = {
     "regression": "gaussian", "regression_l2": "gaussian", "l2": "gaussian",

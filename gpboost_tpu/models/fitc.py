@@ -12,6 +12,7 @@ matmuls, the TPU-friendliest of the scalable approximations (SURVEY §7.7).
 All gradients by autodiff.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -141,19 +142,19 @@ class FITCGaussianEngine:
 
         self.nll_parts_raw = lambda t, s2, y: nll_parts(*_cast(t, s2, y))
         self.prep_y_gd = lambda y: jnp.asarray(np.asarray(y, dtype=np.float64), dt)
-        self.nll_parts = jax.jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
-        self.grad_profiled = jax.jit(
+        self.nll_parts = lifted_jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
+        self.grad_profiled = lifted_jit(
             lambda t, s, y: jax.value_and_grad(nll_scalar)(*_cast(t, s, y)))
-        self.vag_full = jax.jit(
+        self.vag_full = lifted_jit(
             lambda u, y: jax.value_and_grad(nll_full)(*_cast(u, y)))
-        self.hess_full = jax.jit(lambda u, y: jax.hessian(nll_full)(*_cast(u, y)))
+        self.hess_full = lifted_jit(lambda u, y: jax.hessian(nll_full)(*_cast(u, y)))
 
         def nll_profiled(theta_log, y):
             quad, logdet = quad_logdet(theta_log, y)
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
                           + n * math.log(2.0 * math.pi)), quad
 
-        self.nll_profiled_vag = jax.jit(
+        self.nll_profiled_vag = lifted_jit(
             lambda t, y: jax.value_and_grad(nll_profiled, has_aux=True)(
                 *_cast(t, y)))
         # raw closures for the on-device L-BFGS loop (ops/lbfgs.py)
@@ -164,7 +165,7 @@ class FITCGaussianEngine:
             theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(lp))
             return nll_scalar(theta_log, sigma2, y)
 
-        self.nll_orig_vag = jax.jit(
+        self.nll_orig_vag = lifted_jit(
             lambda lp, y: jax.value_and_grad(nll_orig)(*_cast(lp, y)))
 
         def psi_inv_apply(theta_log, V):
@@ -181,17 +182,17 @@ class FITCGaussianEngine:
             Lc = jnp.linalg.cholesky(Ac)
             return jsl.cho_solve((Lc, True), X.T @ Miy)
 
-        self.wls_coef = jax.jit(lambda t, y, X: wls_coef(*_cast(t, y, X)))
+        self.wls_coef = lifted_jit(lambda t, y, X: wls_coef(*_cast(t, y, X)))
         self.wls_coef_raw = lambda t, y, X: wls_coef(*_cast(t, y, X))
         # Psi_tilde^-1 M for the GPBoost-algorithm hook (boosting/gbdt.py)
-        self.psi_inv_apply_jit = jax.jit(
+        self.psi_inv_apply_jit = lifted_jit(
             lambda t, V: psi_inv_apply(*_cast(t, V)))
 
         def coef_grad(theta_log, sigma2, resid, X):
             Mir = psi_inv_apply(theta_log, resid[:, None])[:, 0]
             return -(X.T @ Mir) / sigma2
 
-        self.coef_grad = jax.jit(
+        self.coef_grad = lifted_jit(
             lambda t, s, r, X: coef_grad(*_cast(t, s, r, X)))
 
         def fisher_transformed(u, include_error_var=True):

@@ -19,6 +19,7 @@ Gradients via the same implicit-function-theorem custom_vjp as the dense /
 Vecchia Laplace engines.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -235,16 +236,16 @@ class FITCLaplaceEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn   # traceable closure for the fully
         # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0,
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0,
                                                has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
         self._W_fn = _W
         self._d1_fn = _d1
-        self._solve_H_fn = jax.jit(_solve_H)
+        self._solve_H_fn = lifted_jit(_solve_H)
 
     # ------------------------------------------------------------------
     def zero_mode(self):

@@ -36,6 +36,7 @@ stochastic trace with the same fixed Rademacher probes), replacing the
 reference's hand-written FSA gradient code (re_model_template.h:2150-2350).
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -291,10 +292,10 @@ class FSAIterativeGaussianEngine:
         self.nll_parts_raw = lambda t, s2, y: nll_parts(*_cast(t, s2, y))
         self.prep_y_gd = lambda y: jnp.asarray(
             np.asarray(y, dtype=np.float64), dt)
-        self.nll_parts = jax.jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
-        self.grad_profiled = jax.jit(
+        self.nll_parts = lifted_jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
+        self.grad_profiled = lifted_jit(
             lambda t, s, y: jax.value_and_grad(nll_scalar)(*_cast(t, s, y)))
-        self.vag_full = jax.jit(
+        self.vag_full = lifted_jit(
             lambda u, y: jax.value_and_grad(nll_full)(*_cast(u, y)))
 
         def nll_profiled(theta_log, y):
@@ -302,7 +303,7 @@ class FSAIterativeGaussianEngine:
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
                           + n * math.log(2.0 * math.pi)), quad
 
-        self.nll_profiled_vag = jax.jit(
+        self.nll_profiled_vag = lifted_jit(
             lambda t, y: jax.value_and_grad(nll_profiled,
                                             has_aux=True)(*_cast(t, y)))
         self.nll_profiled_raw = lambda t, y: nll_profiled(*_cast(t, y))
@@ -313,7 +314,7 @@ class FSAIterativeGaussianEngine:
                 jnp.exp(log_pars_orig))
             return nll_scalar(theta_log, sigma2, y)
 
-        self.nll_orig_vag = jax.jit(
+        self.nll_orig_vag = lifted_jit(
             lambda lp, y: jax.value_and_grad(nll_orig)(*_cast(lp, y)))
 
         def wls_coef(theta_log, y, X):
@@ -324,14 +325,14 @@ class FSAIterativeGaussianEngine:
             La = jnp.linalg.cholesky(A)
             return jsl.cho_solve((La, True), X.T @ Miy)
 
-        self.wls_coef = jax.jit(wls_coef)
+        self.wls_coef = lifted_jit(wls_coef)
         self.wls_coef_raw = wls_coef
 
         def coef_grad(theta_log, sigma2, resid, X):
             p = self._factors(theta_log)
             return -(X.T @ solve(p, resid)) / sigma2
 
-        self.coef_grad = jax.jit(coef_grad)
+        self.coef_grad = lifted_jit(coef_grad)
 
         def fisher_transformed(u, include_error_var=True):
             raise NotImplementedError(

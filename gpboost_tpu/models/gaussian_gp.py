@@ -22,6 +22,7 @@ reference's per-cluster std::map layout (re_model_template.h:6067-6069) into one
 static masked dense matrix — branch-free and jit-compatible.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from functools import partial
 
@@ -234,14 +235,14 @@ class DenseGaussianEngine:
 
         self.nll_parts_raw = nll_parts       # pure closure for jitted GD
         self.prep_y_gd = lambda y: jnp.asarray(np.asarray(y, dtype=np.float64))
-        self.nll_parts = jax.jit(nll_parts)
-        self.grad_profiled = jax.jit(
+        self.nll_parts = lifted_jit(nll_parts)
+        self.grad_profiled = lifted_jit(
             lambda theta_log, sigma2, y:
             jax.value_and_grad(nll_scalar)(theta_log, sigma2, y)
         )
-        self.nll_full = jax.jit(nll_full)
-        self.vag_full = jax.jit(jax.value_and_grad(nll_full))
-        self.hess_full = jax.jit(jax.hessian(nll_full))
+        self.nll_full = lifted_jit(nll_full)
+        self.vag_full = lifted_jit(jax.value_and_grad(nll_full))
+        self.hess_full = lifted_jit(jax.hessian(nll_full))
 
         def fisher_transformed(u, include_error_var=True):
             """FI on transformed (log) scale (CalcFisherInformation transf_scale=true).
@@ -266,7 +267,7 @@ class DenseGaussianEngine:
                 return FI
             return FI_cc
 
-        self.fisher_transformed = jax.jit(fisher_transformed, static_argnums=1)
+        self.fisher_transformed = lifted_jit(fisher_transformed, static_argnums=1)
 
         def fisher_original(pars_orig):
             """FI wrt original-scale pars (CalcFisherInformation transf_scale=false)."""
@@ -277,7 +278,7 @@ class DenseGaussianEngine:
             A = jax.vmap(lambda G: jsl.cho_solve((L, True), G))(dPsi)
             return 0.5 * jnp.einsum('pij,qji->pq', A, A)
 
-        self.fisher_original = jax.jit(fisher_original)
+        self.fisher_original = lifted_jit(fisher_original)
 
         def wls_coef(theta_log, y, X):
             """Closed-form GLS coefficients (re_model_template.h:9942 UpdateCoefGLS)."""
@@ -290,7 +291,7 @@ class DenseGaussianEngine:
             La = jnp.linalg.cholesky(A)
             return jsl.cho_solve((La, True), X.T @ Miy)
 
-        self.wls_coef = jax.jit(wls_coef)
+        self.wls_coef = lifted_jit(wls_coef)
 
         def coef_grad(theta_log, sigma2, resid, X):
             """grad_beta = -X' Psi^-1 resid (re_model_template.h:2016)."""
@@ -298,7 +299,7 @@ class DenseGaussianEngine:
             L = jnp.linalg.cholesky(M)
             return -(X.T @ jsl.cho_solve((L, True), resid)) / sigma2
 
-        self.coef_grad = jax.jit(coef_grad)
+        self.coef_grad = lifted_jit(coef_grad)
 
         def nll_profiled(theta_log, y):
             """NLL with the nugget profiled out in closed form
@@ -314,7 +315,7 @@ class DenseGaussianEngine:
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
                           + n * math.log(2.0 * math.pi)), quad
 
-        self.nll_profiled_vag = jax.jit(
+        self.nll_profiled_vag = lifted_jit(
             jax.value_and_grad(nll_profiled, has_aux=True))
         # raw closures for the on-device L-BFGS loop (ops/lbfgs.py)
         self.nll_profiled_raw = nll_profiled
@@ -327,7 +328,7 @@ class DenseGaussianEngine:
             theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(log_pars_orig))
             return nll_scalar(theta_log, sigma2, y)
 
-        self.nll_orig_vag = jax.jit(jax.value_and_grad(nll_orig))
+        self.nll_orig_vag = lifted_jit(jax.value_and_grad(nll_orig))
 
     # ------------------------------------------------------------------
     # parameter transforms (host side, numpy)

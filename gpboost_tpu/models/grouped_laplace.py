@@ -30,6 +30,7 @@ Cholesky fails only when H is indefinite, and such iterates are rejected by
 the Armijo backtracking — mirroring the reference's NaN guards.
 """
 
+from ..ops.jit_utils import lifted_jit
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -312,11 +313,11 @@ class GroupedRELaplaceEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn   # traceable closure for the fully
         # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
         self._W_fn = _W
         self._d1_fn = _d1
@@ -330,7 +331,7 @@ class GroupedRELaplaceEngine:
             W = _W(y, _Zb(b) + F1, F2, aux)
             return b, W
 
-        self._mode_and_W = jax.jit(_mode_and_W)
+        self._mode_and_W = lifted_jit(_mode_and_W)
 
     # ------------------------------------------------------------------
     # host-facing API (interface parity with LaplaceDenseEngine)

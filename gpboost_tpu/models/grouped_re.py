@@ -22,6 +22,7 @@ autodiff of the q-sized NLL; Fisher information via closed-form q x q trace
 identities using one-hot block reductions (matmul, not scatter).
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -178,25 +179,25 @@ class WoodburyGaussianEngine:
 
         self.nll_parts_raw = lambda t, s2, stats: nll_parts_i(t, s2, *stats)
         self.prep_y_gd = lambda y: self._stats_y(np.asarray(y, dtype=np.float64))
-        _nll_parts = jax.jit(nll_parts_i)
-        _grad_prof = jax.jit(lambda t, s, Zty, yty:
+        _nll_parts = lifted_jit(nll_parts_i)
+        _grad_prof = lifted_jit(lambda t, s, Zty, yty:
                              jax.value_and_grad(nll_scalar_i)(t, s, Zty, yty))
-        _vag_full = jax.jit(jax.value_and_grad(nll_full_i))
-        _hess_full = jax.jit(jax.hessian(nll_full_i))
+        _vag_full = lifted_jit(jax.value_and_grad(nll_full_i))
+        _hess_full = lifted_jit(jax.hessian(nll_full_i))
 
         def nll_profiled_i(theta_log, Zty, yty):
             quad, logdet = core(theta_log, Zty, yty)
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
                           + n * math.log(2.0 * math.pi)), quad
 
-        _nll_prof_vag = jax.jit(jax.value_and_grad(nll_profiled_i, has_aux=True))
+        _nll_prof_vag = lifted_jit(jax.value_and_grad(nll_profiled_i, has_aux=True))
 
         def nll_orig_i(log_pars_orig, Zty, yty):
             u = jnp.concatenate([log_pars_orig[:1],
                                  log_pars_orig[1:] - log_pars_orig[0]])
             return nll_full_i(u, Zty, yty)
 
-        _nll_orig_vag = jax.jit(jax.value_and_grad(nll_orig_i))
+        _nll_orig_vag = lifted_jit(jax.value_and_grad(nll_orig_i))
 
         # host-facing wrappers: same signatures as DenseGaussianEngine
         self.nll_parts = lambda t, s, y: _nll_parts(t, s, *self._stats_y(y))
@@ -237,7 +238,7 @@ class WoodburyGaussianEngine:
                 return FI
             return FI_cc
 
-        self.fisher_transformed = jax.jit(fisher_transformed, static_argnums=1)
+        self.fisher_transformed = lifted_jit(fisher_transformed, static_argnums=1)
 
         def fisher_original(pars_orig):
             """FI wrt original pars [sigma2, v_j] (transf_scale=false),
@@ -261,7 +262,7 @@ class WoodburyGaussianEngine:
             FI = FI.at[1:, 1:].set(Fkj)
             return 0.5 * FI / (sigma2 * sigma2)
 
-        self.fisher_original = jax.jit(fisher_original)
+        self.fisher_original = lifted_jit(fisher_original)
 
         def wls_coef_i(theta_log, ZtX, XtX, Zty, Xty):
             """GLS coefficients entirely in q-space:
@@ -274,7 +275,7 @@ class WoodburyGaussianEngine:
             Lc = jnp.linalg.cholesky(XtPX)
             return jsl.cho_solve((Lc, True), XtPy)
 
-        _wls = jax.jit(wls_coef_i)
+        _wls = lifted_jit(wls_coef_i)
 
         def wls_coef(theta_log, y, X):
             ZtX, XtX = self._stats_X(X)
@@ -290,7 +291,7 @@ class WoodburyGaussianEngine:
             AinvZtr = jsl.cho_solve((L, True), Ztr)
             return -(Xtr - ZtX.T @ AinvZtr) / sigma2
 
-        _coef_grad = jax.jit(coef_grad_i)
+        _coef_grad = lifted_jit(coef_grad_i)
 
         def coef_grad(theta_log, sigma2, resid, X):
             ZtX, _ = self._stats_X(X)

@@ -13,6 +13,7 @@ Semantics mirror models/optimize.py `_optimize_internal` (gradient_descent
 branch, no covariates, all parameters estimated).
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from functools import partial
 
@@ -57,7 +58,7 @@ def make_jitted_gd(nll_parts_raw, n, momentum_offset=2, acc_rate0=0.5):
 
     vag = jax.value_and_grad(nll_theta)
 
-    @partial(jax.jit, static_argnums=())
+    @lifted_jit
     def fit(u0, y, lr0, max_iter, delta):
         nll0, quad0 = nll_parts_raw(u0[1:], jnp.exp(u0[0]), y)
 
@@ -169,7 +170,7 @@ def make_jitted_gd_laplace(nll_raw, num_theta, num_aux, est_aux=True):
     else:
         mask = jnp.concatenate([jnp.ones(num_theta), jnp.zeros(num_aux)])
 
-    @jax.jit
+    @lifted_jit
     def fit(u0, F, y, a0, lr0, max_iter, delta):
         nll0, (a0_, _) = nll_raw(u0, F, y, a0)
 

@@ -22,6 +22,7 @@ gradient code. The adjoint solve uses (I + Sigma W)^-1 = I - Sigma sqrt(W)
 B^-1 sqrt(W) with B = I + sqrt(W) Sigma sqrt(W) (SPD, Cholesky).
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from functools import partial
 
@@ -377,11 +378,11 @@ class LaplaceDenseEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn   # traceable closure for the fully
         # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
 
         def predict_latent(u, F, y, a_init, Kcross, Kpred_diag):
@@ -409,7 +410,7 @@ class LaplaceDenseEngine:
                 var_red = jnp.sum((sW[:, None] * Kcross) * V, axis=0)
             return mu_p, Kpred_diag - var_red, a
 
-        self._predict_latent = jax.jit(predict_latent)
+        self._predict_latent = lifted_jit(predict_latent)
 
         def predict_latent_cov(u, F, y, a_init, Kcross, Kpred):
             theta_log = u[:self.num_theta]
@@ -433,7 +434,7 @@ class LaplaceDenseEngine:
                 cov_p = Kpred - (sW[:, None] * Kcross).T @ V
             return mu_p, cov_p, a
 
-        self._predict_latent_cov = jax.jit(predict_latent_cov)
+        self._predict_latent_cov = lifted_jit(predict_latent_cov)
 
     # ------------------------------------------------------------------
     # host-facing API

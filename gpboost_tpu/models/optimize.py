@@ -18,6 +18,7 @@ max_number_lr_shrinkage_steps=30, MAX_GRADIENT_UPDATE_LOG_SCALE=log(100),
 acc_rate_cov=0.5, momentum_offset=2.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from dataclasses import dataclass, field
 from typing import Optional
@@ -888,7 +889,7 @@ def _optimize_laplace_device(engine, y, config: OptimConfig, X=None,
 
             return lbfgs_run_state(vag, x0, b0, it, ftol=ft)
 
-        return jax.jit(run)
+        return lifted_jit(run)
 
     key = ("laplace_lbfgs_device", has_covariates, tuple(est_idx),
            k, nsets, str(dt))
@@ -1024,12 +1025,16 @@ def _optimize_external_device(engine, y, config: OptimConfig, X, est):
                 beta = engine.wls_coef_raw(theta, yd, Xd)
                 resid = yd - Xd @ beta
             else:
+                beta = jnp.zeros((0,), dt)
                 resid = yd
-            val, _quad = engine.nll_profiled_raw(theta, resid)
-            return val
+            val, quad = engine.nll_profiled_raw(theta, resid)
+            return val, (quad, beta)
 
         def vag(x):
-            return jax.value_and_grad(obj)(x)
+            # quad & beta ride along as aux so the final covariance state
+            # needs NO separate compiled evaluation after the run
+            (f, aux), g = jax.value_and_grad(obj, has_aux=True)(x)
+            return f, g, aux
 
         return vag
 
@@ -1039,9 +1044,9 @@ def _optimize_external_device(engine, y, config: OptimConfig, X, est):
         cache = engine._device_opt_cache = {}
     if key not in cache:
         vag = vag_builder()
-        cache[key] = jax.jit(
-            lambda x0, it, ft: lbfgs_run(vag, x0, it, ftol=ft),
-            static_argnums=())
+        cache[key] = lifted_jit(
+            lambda x0, it, ft: lbfgs_run(vag, x0, it, ftol=ft,
+                                         has_aux=True))
     run = cache[key]
 
     max_iter = config.maxit if config.maxit else min(config.max_iter, 1000)
@@ -1050,18 +1055,11 @@ def _optimize_external_device(engine, y, config: OptimConfig, X, est):
     # to maxit
     ftol = config.resolved_delta_rel_conv()
     x0 = jnp.asarray(theta0[free_idx], dt)
-    x, nll_prof, k, _conv = run(x0, max_iter, ftol)
+    x, nll, (quad, beta_d), k, _conv = run(x0, max_iter, ftol)
     theta = theta0.copy()
     theta[free_idx] = np.asarray(x, dtype=np.float64)
-
-    # final state via the existing jitted graphs
-    if has_covariates:
-        beta = np.asarray(engine.wls_coef(jnp.asarray(theta, dt), yd, Xd))
-        residd = jnp.asarray(y - np.asarray(X, dtype=np.float64) @ beta, dt)
-    else:
-        beta = None
-        residd = yd
-    (nll, quad), _ = engine.nll_profiled_vag(jnp.asarray(theta, dt), residd)
+    # final state came back as L-BFGS aux — no extra compiled evaluation
+    beta = np.asarray(beta_d, dtype=np.float64) if has_covariates else None
     sigma2 = float(quad) / n
     internal = np.concatenate([[sigma2], np.exp(theta)])
     internal = engine.apply_nugget_lower_bound(internal)

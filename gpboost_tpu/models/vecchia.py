@@ -21,6 +21,7 @@ Prediction orderings (CalcPredVecchia*, Vecchia_utils.h:479-588):
     distribution is N(-Lam_pp^-1 Lam_po y, Lam_pp^-1) with Lam = B'D^-1 B.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -52,10 +53,15 @@ def _corr_sets(cov_fn, cn, ci, alphas, d_nn=None, d_ni=None):
                                       alphas),
                 cov_fn.corr_pointwise(cn, ci[:, None, :], alphas))
     s = cov_fn.aniso_scale(alphas, cn.shape[-1])
-    cns = cn * s
-    cis = ci * s
-    d_nn = _safe_sqrt(((cns[:, :, None, :] - cns[:, None, :, :]) ** 2).sum(-1))
-    d_ni = _safe_sqrt(((cns - cis[:, None, :]) ** 2).sum(-1))
+    # subtract BEFORE scaling: identical points then give exactly-zero
+    # differences even under XLA's fused-multiply-add contraction, so
+    # _safe_sqrt's zero-gradient guard actually fires under jit (computing
+    # cn*s - ci*s instead leaves FMA residuals ~1e-34 that turn the sqrt
+    # gradient at self-pairs into garbage)
+    dn = (cn[:, :, None, :] - cn[:, None, :, :]) * s
+    di = (cn - ci[:, None, :]) * s
+    d_nn = _safe_sqrt((dn ** 2).sum(-1))
+    d_ni = _safe_sqrt((di ** 2).sum(-1))
     return (cov_fn.base_corr_scaled_dist(d_nn, alphas),
             cov_fn.base_corr_scaled_dist(d_ni, alphas))
 
@@ -309,19 +315,19 @@ class VecchiaGaussianEngine:
         self.nll_parts_raw = lambda t, s2, y: nll_parts(*_cast(t, s2, y))
         self.prep_y_gd = lambda y: jnp.asarray(
             np.asarray(y, dtype=np.float64)[self.perm], dt)
-        self.nll_parts = jax.jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
-        self.grad_profiled = jax.jit(
+        self.nll_parts = lifted_jit(lambda t, s, y: nll_parts(*_cast(t, s, y)))
+        self.grad_profiled = lifted_jit(
             lambda t, s, y: jax.value_and_grad(nll_scalar)(*_cast(t, s, y)))
-        self.vag_full = jax.jit(
+        self.vag_full = lifted_jit(
             lambda u, y: jax.value_and_grad(nll_full)(*_cast(u, y)))
-        self.hess_full = jax.jit(lambda u, y: jax.hessian(nll_full)(*_cast(u, y)))
+        self.hess_full = lifted_jit(lambda u, y: jax.hessian(nll_full)(*_cast(u, y)))
 
         def nll_profiled(theta_log, y):
             quad, logdet = quad_logdet(theta_log, y)
             return 0.5 * (logdet + n * jnp.log(quad / n) + n
                           + n * math.log(2.0 * math.pi)), quad
 
-        self.nll_profiled_vag = jax.jit(
+        self.nll_profiled_vag = lifted_jit(
             lambda t, y: jax.value_and_grad(nll_profiled, has_aux=True)(*_cast(t, y)))
         # raw (un-jitted) closures for the on-device L-BFGS loop (ops/lbfgs.py)
         self.nll_profiled_raw = lambda t, y: nll_profiled(*_cast(t, y))
@@ -331,7 +337,7 @@ class VecchiaGaussianEngine:
             theta_log, sigma2 = self._orig_to_internal_jnp(jnp.exp(log_pars_orig))
             return nll_scalar(theta_log, sigma2, y)
 
-        self.nll_orig_vag = jax.jit(
+        self.nll_orig_vag = lifted_jit(
             lambda lp, y: jax.value_and_grad(nll_orig)(*_cast(lp, y)))
 
         def B_apply(A, V):
@@ -348,7 +354,7 @@ class VecchiaGaussianEngine:
             Lc = jnp.linalg.cholesky(Ac)
             return jsl.cho_solve((Lc, True), rhs)
 
-        self.wls_coef = jax.jit(wls_coef)
+        self.wls_coef = lifted_jit(wls_coef)
         self.wls_coef_raw = wls_coef
 
         def coef_grad(theta_log, sigma2, resid, X):
@@ -357,7 +363,7 @@ class VecchiaGaussianEngine:
             Br = B_apply(A, resid[:, None])[:, 0]
             return -(U.T @ (Br / D)) / sigma2
 
-        self.coef_grad = jax.jit(coef_grad)
+        self.coef_grad = lifted_jit(coef_grad)
 
         def fisher_transformed(u, include_error_var=True):
             raise NotImplementedError(
@@ -461,7 +467,7 @@ class VecchiaGaussianEngine:
         if cache is None:
             cache = self._pred_cache = {}
         if key not in cache:
-            cache[key] = jax.jit(builder())
+            cache[key] = lifted_jit(builder())
         return cache[key]
 
     def _knn_obs(self, coords_pred, k):

@@ -26,6 +26,7 @@ grouped REs + `gp_approx='fitc'` or pure Vecchia until an iterative variant
 lands here.
 """
 
+from ..ops.jit_utils import lifted_jit
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -310,11 +311,11 @@ class VecchiaGroupedLaplaceEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0,
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0,
                                                has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
         self._W_fn = _W
         self._d1_fn = _d1

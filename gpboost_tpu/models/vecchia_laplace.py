@@ -18,6 +18,7 @@ the O(n m) conjugate-gradient formulation (reference preconditioners
 re_model_template.h:5859) is the scale path for a later round.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 
 import numpy as np
@@ -234,11 +235,11 @@ class VecchiaLaplaceEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn   # traceable closure for the fully
         # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
         self._W_fn = _W
         self._d1_fn = _d1
@@ -731,11 +732,11 @@ class VecchiaLaplaceEngine:
 
         nll_fn.defvjp(nll_fwd, nll_bwd)
 
-        self._nll_fn = jax.jit(nll_fn)
+        self._nll_fn = lifted_jit(nll_fn)
         self._nll_raw = nll_fn   # traceable closure for the fully
         # on-device GD loop (models/jit_gd.py gd_fit_laplace_engine)
-        self._vag = jax.jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
-        self._vag_F = jax.jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
+        self._vag = lifted_jit(jax.value_and_grad(nll_fn, argnums=0, has_aux=True))
+        self._vag_F = lifted_jit(jax.value_and_grad(nll_fn, argnums=(0, 1),
                                                  has_aux=True))
         self._W_fn = _W
         self._d1_fn = _d1

@@ -368,7 +368,10 @@ class CovarianceFunction:
             return self.corr_pointwise(x1[:, None, :], x2[None, :, :], alphas)
         if t in ("matern_ard", "matern_space_time", "matern_ard_estimate_shape"):
             scale = self.aniso_scale(alphas, x1.shape[1])
-            ds = _safe_sqrt(pairwise_dist_sq(x1 * scale, x2 * scale, method="direct"))
+            # subtract before scaling so identical points stay exactly zero
+            # under XLA FMA contraction (see models/vecchia._corr_sets)
+            diff = (x1[:, None, :] - x2[None, :, :]) * scale
+            ds = _safe_sqrt(jnp.sum(diff * diff, axis=-1))
             return self.base_corr_scaled_dist(ds, alphas)
         if t == "gaussian_ard":
             sq = pairwise_dist_sq(

@@ -22,16 +22,30 @@ from jax import lax
 
 
 def lbfgs_run(vag, x0, max_iter, m=20, ftol=1e-16, gtol=1e-12, c1=1e-4,
-              max_ls=30):
+              max_ls=30, has_aux=False):
     """Minimize via L-BFGS entirely on device.
 
-    vag: x -> (f, g), a pure jax function (value and gradient).
+    vag: x -> (f, g), a pure jax function (value and gradient); with
+    has_aux=True, x -> (f, g, aux) and the aux of the final accepted
+    iterate is returned too (so callers need no separate final-state
+    evaluation — which would cost a second cold compile of the whole
+    objective graph).
     max_iter may be a traced scalar (no recompile when it changes).
-    Returns (x, f, num_iter, converged).
+    Returns (x, f, num_iter, converged) or (x, f, aux, num_iter, converged).
     """
     d = x0.shape[0]
     dtype = x0.dtype
-    f0, g0 = vag(x0)
+    raw_vag = vag
+    if not has_aux:
+        def vag(x):
+            f, g = raw_vag(x)
+            return f, g, jnp.zeros((), dtype)
+
+    def keep(ok, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+
+    f0, g0, aux0 = vag(x0)
     S = jnp.zeros((m, d), dtype)
     Y = jnp.zeros((m, d), dtype)
     rho = jnp.zeros((m,), dtype)
@@ -62,7 +76,7 @@ def lbfgs_run(vag, x0, max_iter, m=20, ftol=1e-16, gtol=1e-12, c1=1e-4,
 
         return lax.fori_loop(0, m, fw, r)
 
-    def line_search(x, f, g, p):
+    def line_search(x, f, g, aux, p):
         """Backtracking Armijo: halve until f(x+t p) <= f + c1 t g'p."""
         gp = jnp.dot(g, p)
         # fall back to steepest descent if p is not a descent direction
@@ -71,34 +85,35 @@ def lbfgs_run(vag, x0, max_iter, m=20, ftol=1e-16, gtol=1e-12, c1=1e-4,
         gp = jnp.where(bad, -jnp.dot(g, g), gp)
 
         def cond(c):
-            _, _, _, _, i, done = c
+            i, done = c[4], c[5]
             return (~done) & (i < max_ls)
 
         def body(c):
-            t, fn, xn, gn, i, _ = c
+            t, fn, xn, gn, i, _, auxn = c
             x_try = x + t * p
-            f_try, g_try = vag(x_try)
+            f_try, g_try, aux_try = vag(x_try)
             ok = (f_try <= f + c1 * t * gp) & jnp.isfinite(f_try)
             t_next = jnp.where(ok, t, t * 0.5)
             return (t_next,
                     jnp.where(ok, f_try, fn),
                     jnp.where(ok, x_try, xn),
                     jnp.where(ok, g_try, gn),
-                    i + 1, ok)
+                    i + 1, ok, keep(ok, aux_try, auxn))
 
         t0 = jnp.asarray(1.0, dtype)
-        init = (t0, f, x, g, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        _, fn, xn, gn, _, ok = lax.while_loop(cond, body, init)
-        return fn, xn, gn, ok
+        init = (t0, f, x, g, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                aux)
+        _, fn, xn, gn, _, ok, auxn = lax.while_loop(cond, body, init)
+        return fn, xn, gn, auxn, ok
 
     def cond(state):
-        _, _, _, _, _, _, k, done, _ = state
+        k, done = state[6], state[7]
         return (~done) & (k < max_iter)
 
     def body(state):
-        x, f, g, S, Y, rho, k, _, gamma = state
+        x, f, g, S, Y, rho, k, _, gamma, aux = state
         p = -two_loop(g, S, Y, rho, gamma, k)
-        fn, xn, gn, ls_ok = line_search(x, f, g, p)
+        fn, xn, gn, auxn, ls_ok = line_search(x, f, g, aux, p)
 
         s = xn - x
         yv = gn - g
@@ -113,11 +128,13 @@ def lbfgs_run(vag, x0, max_iter, m=20, ftol=1e-16, gtol=1e-12, c1=1e-4,
 
         done = ((f - fn) <= ftol * jnp.maximum(jnp.abs(f), 1.0)) \
             | (jnp.max(jnp.abs(gn)) <= gtol) | (~ls_ok)
-        return xn, fn, gn, S, Y, rho, k + 1, done, gamma
+        return xn, fn, gn, S, Y, rho, k + 1, done, gamma, auxn
 
     init = (x0, f0, g0, S, Y, rho, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(1.0, dtype))
-    x, f, g, _, _, _, k, done, _ = lax.while_loop(cond, body, init)
+            jnp.asarray(False), jnp.asarray(1.0, dtype), aux0)
+    x, f, g, _, _, _, k, done, _, aux = lax.while_loop(cond, body, init)
+    if has_aux:
+        return x, f, aux, k, done
     return x, f, k, done
 
 

@@ -19,6 +19,7 @@ replicated. One optimizer step = psum(local stats) -> q x q Cholesky ->
 gradient -> log-scale GD update, all inside a single pjit-compiled program.
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from functools import partial
 
@@ -72,4 +73,4 @@ def make_sharded_grouped_lmm_step(mesh, q, lr=0.1, axis_name="dp"):
         local_step, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name, None)),
         out_specs=(P(), P()))
-    return jax.jit(step)
+    return lifted_jit(step)

@@ -16,6 +16,7 @@ what gets sharded" — the reference has no distributed GP path at all (its
 network layer only serves the tree learners).
 """
 
+from ..ops.jit_utils import lifted_jit
 import math
 from functools import partial
 
@@ -94,4 +95,4 @@ def make_sharded_vecchia_gd_step(mesh, corr_from_dist, n_total, m, lr=0.1,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(), P()))
-    return jax.jit(step)
+    return lifted_jit(step)
