@@ -255,35 +255,39 @@ def main():
         gg, yg2 = sim_glmm()
         mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")
         mg.fit(y=yg2, params={"maxit": 50})                     # compile
-        mg._fit_result = None
-        mg.model_has_been_fitted = False
+        mg.reset_fit()
         t0 = time.time()
         mg.fit(y=yg2, params={"maxit": 50})
         el = time.time() - t0
         record("grouped_glmm_bernoulli_n100k_q1k_fit", el,
-               maxit=50, num_it=int(mg._fit_result.num_it),
+               maxit=50, num_it=int(mg.get_num_optim_iter()),
                note="RE-scale (q-dim) grouped Laplace engine, whole fit = "
                     "one on-device safeguarded L-BFGS dispatch — BASELINE "
                     "config #5 class; O(n) memory")
 
     def w_vl():
-        # iterative Vecchia-Laplace binary fit n=20k
+        # Vecchia-Laplace binary fit n=20k. Formulation: dense-precision
+        # Cholesky on the MXU (f32). At this n the dense factorization is
+        # ~0.2 s of systolic-array time per Newton step, while any
+        # gather/CG pipeline is latency-bound on TPU (one data-dependent
+        # gather ~3.5 ms) — dense IS the TPU-native scale choice here;
+        # the matrix-free CG/SLQ engine takes over where n^2 won't fit.
         coords, yv = sim_vl()
         kw = dict(gp_coords=coords, cov_function="exponential",
                   gp_approx="vecchia", num_neighbors=20,
                   likelihood="bernoulli_probit",
-                  matrix_inversion_method="iterative")
+                  matrix_inversion_method="cholesky", dtype="float32")
         mvl = gpb.GPModel(**kw)
         mvl.fit(y=yv, params={"maxit": 20,
                               "init_cov_pars": [1.0, 0.1]})     # compile
-        mvl._fit_result = None
-        mvl.model_has_been_fitted = False
+        mvl.reset_fit()
         t0 = time.time()
         mvl.fit(y=yv, params={"maxit": 20, "init_cov_pars": [1.0, 0.1]})
         record("vecchia_laplace_fit_n20k_binary", time.time() - t0,
-               maxit=20,
-               note="matrix-free O(n*m) mode finding + CG/SLQ log-dets "
-                    "(vadu preconditioner)")
+               maxit=20, num_it=int(mvl.get_num_optim_iter()),
+               note="dense-precision Laplace on the MXU (f32): scatter "
+                    "densify + blocked Cholesky per Newton step; exact "
+                    "log-dets (no SLQ)")
 
     def w_boost():
         # boosting-only throughput: n=200k p=50, 31 and 255 leaves
@@ -325,8 +329,7 @@ def main():
                   num_boost_round=10, gp_model=gpl)             # compile
         # reset the GP fit state so the timed run repeats the full initial
         # covariance fit (the engine keeps the compiled scan executable)
-        gpl._fit_result = None
-        gpl.model_has_been_fitted = False
+        gpl.reset_fit()
         dsl = gpb.Dataset(Xl, label=yl)
         t0 = time.time()
         gpb.train({"objective": "binary", "learning_rate": 0.1,

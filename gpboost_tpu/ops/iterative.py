@@ -84,6 +84,51 @@ def pcg_it(matvec, b, precond=None, tol=1e-6, maxit=1000, x0=None):
     return x, it
 
 
+def pcg_batched(matvec, B, precond=None, tol=1e-6, maxit=1000):
+    """Solve A X = B column-wise for a batch of right-hand sides.
+
+    B is (k, n) (one system per ROW); matvec/precond act on a single (n,)
+    vector and are vmapped here. One while_loop drives all systems — it
+    stops when EVERY system's residual is below tol (relative to its own
+    rhs norm); already-converged systems keep iterating harmlessly (their
+    alpha is guarded to 0 when the search direction degenerates). The
+    reference solves multi-rhs systems column-by-column on the host
+    (CG_utils.h:208 CGVecchiaLaplaceSimProbe loops); one batched device
+    loop replaces that."""
+    if precond is None:
+        precond = lambda r: r
+    mv = jax.vmap(matvec)
+    pc = jax.vmap(precond)
+    bnorm = jnp.linalg.norm(B, axis=1)
+    tol_b = tol * jnp.maximum(bnorm, 1e-300)
+    X = jnp.zeros_like(B)
+    R = B - mv(X)
+    Z = pc(R)
+    P = Z
+    rz = jnp.einsum("kn,kn->k", R, Z)
+
+    def cond(carry):
+        X, R, P, rz, it = carry
+        return jnp.logical_and(
+            jnp.any(jnp.linalg.norm(R, axis=1) > tol_b), it < maxit)
+
+    def body(carry):
+        X, R, P, rz, it = carry
+        AP = mv(P)
+        pAp = jnp.einsum("kn,kn->k", P, AP)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        X = X + alpha[:, None] * P
+        R = R - alpha[:, None] * AP
+        Z = pc(R)
+        rz_new = jnp.einsum("kn,kn->k", R, Z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + beta[:, None] * P
+        return (X, R, P, rz_new, it + 1)
+
+    X, R, P, rz, it = jax.lax.while_loop(cond, body, (X, R, P, rz, 0))
+    return X
+
+
 def lanczos_tridiag(matvec, z, rank):
     """Lanczos tridiagonalization of A restricted to K_rank(A, z).
 
