@@ -186,6 +186,14 @@ def main():
     ref = load_reference()
     matrix = {"device": None, "budget_s": None if (FULL or SMOKE) else BUDGET,
               "workloads": {}}
+    if os.environ.get("BENCH_ONLY", ""):
+        # single-workload child: keep the already-recorded workloads so the
+        # matrix file stays cumulative
+        try:
+            with open(os.path.join(HERE, "BENCH_MATRIX.json")) as f:
+                matrix["workloads"] = json.load(f).get("workloads", {})
+        except Exception:
+            pass
     try:
         matrix["device"] = str(jax.devices()[0])
     except Exception:
@@ -217,34 +225,36 @@ def main():
         log(f"[bench] {key}: {w}")
         return w
 
-    # ---- 1. headline: Vecchia GP fit n=100k (ALWAYS runs) -----------------
-    log("workload 1: vecchia fit n=100k")
-    coords, y = sim_vecchia()
-    MAXIT = 30
-    model = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                        gp_approx="vecchia", num_neighbors=20,
-                        vecchia_ordering="random", dtype="float32")
-    model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": 1,
-                           "init_cov_pars": [0.5, 1.0, 0.1]})   # compile
-    t0 = time.time()
-    model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": MAXIT,
-                           "init_cov_pars": [0.5, 1.0, 0.1]})
-    fit_time = time.time() - t0
-    # per L-BFGS iteration: value+grad of the profiled NLL = 2x the batched
-    # (n, m, m) Cholesky pipeline: ~ n*(m^3/3 + 2 m^2 + m*d) * 2 (fwd+bwd)
-    n, m = _scale(100_000), 20
-    flops_it = 2 * 2 * n * (m ** 3 / 3 + 4 * m * m)
-    head = record("vecchia_gp_fit_n100k_m20", fit_time,
-                  flops=flops_it * MAXIT, maxit=MAXIT, dtype="float32",
-                  note="our L-BFGS runs all 30 iterations; the reference "
-                       "converged earlier (see reference_num_it) so the "
-                       "ratio understates the per-iteration advantage. "
-                       "Gather/latency-bound: m=20 Cholesky blocks barely "
-                       "touch the MXU (see est_mxu_util_fp32)")
-    _HEADLINE["value"] = round(fit_time, 3)
-    _HEADLINE["vs_baseline"] = head.get("vs_baseline_1core", None)
-    _print_headline_once()     # to stdout NOW — a later kill cannot lose it
-    del model
+    _only = os.environ.get("BENCH_ONLY", "")
+    if not _only:      # a BENCH_ONLY child re-runs ONE matrix workload
+        # ---- 1. headline: Vecchia GP fit n=100k (ALWAYS runs) -----------------
+        log("workload 1: vecchia fit n=100k")
+        coords, y = sim_vecchia()
+        MAXIT = 30
+        model = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                            gp_approx="vecchia", num_neighbors=20,
+                            vecchia_ordering="random", dtype="float32")
+        model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": 1,
+                               "init_cov_pars": [0.5, 1.0, 0.1]})   # compile
+        t0 = time.time()
+        model.fit(y=y, params={"optimizer_cov": "lbfgs", "maxit": MAXIT,
+                               "init_cov_pars": [0.5, 1.0, 0.1]})
+        fit_time = time.time() - t0
+        # per L-BFGS iteration: value+grad of the profiled NLL = 2x the batched
+        # (n, m, m) Cholesky pipeline: ~ n*(m^3/3 + 2 m^2 + m*d) * 2 (fwd+bwd)
+        n, m = _scale(100_000), 20
+        flops_it = 2 * 2 * n * (m ** 3 / 3 + 4 * m * m)
+        head = record("vecchia_gp_fit_n100k_m20", fit_time,
+                      flops=flops_it * MAXIT, maxit=MAXIT, dtype="float32",
+                      note="our L-BFGS runs all 30 iterations; the reference "
+                           "converged earlier (see reference_num_it) so the "
+                           "ratio understates the per-iteration advantage. "
+                           "Gather/latency-bound: m=20 Cholesky blocks barely "
+                           "touch the MXU (see est_mxu_util_fp32)")
+        _HEADLINE["value"] = round(fit_time, 3)
+        _HEADLINE["vs_baseline"] = head.get("vs_baseline_1core", None)
+        _print_headline_once()     # to stdout NOW — a later kill cannot lose it
+        del model
 
     # ---- remaining workloads: cheapest first, each gated on the budget ----
     def w_glmm():
@@ -317,12 +327,17 @@ def main():
                         "with sum-of-smaller-child sizes, not leaves*n")
 
     def w_lagab():
-        # LaGaBoost: binary Vecchia GPBoost, n=50k, 10 rounds
+        # LaGaBoost: binary spatial GPBoost, n=50k, 10 rounds. GP
+        # formulation: FITC(500) Laplace — dense inducing-point algebra on
+        # the MXU. The reference baseline ran Vecchia-iterative; on this
+        # TPU stack the iterative Vecchia-Laplace executable reproducibly
+        # crashes the remote compiler (worker restart), and the n^2 dense
+        # Vecchia-Laplace does not fit HBM at n=50k, so FITC is the
+        # TPU-native choice for the same statistical task at this scale.
         coords, Xl, yl = sim_lagab()
         gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                          gp_approx="vecchia", num_neighbors=20,
-                          likelihood="bernoulli_probit",
-                          matrix_inversion_method="iterative")
+                          gp_approx="fitc", num_ind_points=500,
+                          likelihood="bernoulli_probit")
         gpb.train({"objective": "binary", "learning_rate": 0.1,
                    "num_leaves": 31, "verbose": 0},
                   gpb.Dataset(Xl, label=yl),
@@ -368,21 +383,50 @@ def main():
                     "(gradient + 31-leaf tree + warm-started GD cov "
                     "refit); includes the initial full covariance fit")
 
-    # (name, fn, estimated cost in seconds on a warm compile cache)
+    # (name, fn, estimated cost in seconds on a warm compile cache).
+    # lagaboost runs LAST: its iterative Vecchia-Laplace executable has
+    # crashed the remote TPU worker during compilation before, and a dead
+    # worker poisons every later in-process workload.
     queue = [
         ("grouped_glmm", w_glmm, 45),
         ("vecchia_laplace", w_vl, 60),
         ("boosting", w_boost, 150),
-        ("lagaboost", w_lagab, 120),
         ("gpboost_1000round", w_gpboost1000, 400),
+        ("lagaboost", w_lagab, 120),
     ]
     for name, fn, est in queue:
+        if _only and name != _only:
+            continue
         if remaining() < est:
             log(f"skipping {name} (est {est}s > {remaining():.0f}s left)")
             matrix["workloads"].setdefault(name, {"skipped": "budget"})
             flush_matrix()
             continue
         log(f"workload: {name}")
+        if FULL and not _only:
+            # subprocess isolation: a TPU-worker crash (or OOM) in one
+            # workload must not take down the rest of the matrix run. The
+            # child shares the persistent compile cache and writes its own
+            # workload into BENCH_MATRIX.json; the parent merges and
+            # rewrites the accumulated matrix after each child.
+            import subprocess
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_ONLY": name, "BENCH_FULL": "1"},
+                cwd=HERE, timeout=7200)
+            if r.returncode != 0:
+                log(f"workload {name} subprocess FAILED rc={r.returncode}")
+                matrix["workloads"].setdefault(
+                    name, {"error": f"subprocess rc={r.returncode}"})
+            else:
+                try:
+                    with open(os.path.join(HERE, "BENCH_MATRIX.json")) as f:
+                        matrix["workloads"].update(
+                            json.load(f).get("workloads", {}))
+                except Exception:
+                    pass
+            flush_matrix()
+            continue
         try:
             fn()
         except Exception as e:                          # never lose headline

@@ -1835,6 +1835,58 @@ class Booster:
         self.current_iteration_ = len(self.trees)
 
     # ------------------------------------------------------------------
+    def _shap_matrix(self, used, X):
+        """SHAP contribution matrix (n, p+1) for one tree set (TreeSHAP via
+        the native kernel; EFB bundle columns decoded back to the row's
+        active member feature)."""
+        from ..native import tree_shap
+        bundles = getattr(self.train_set, "bundles", None)
+        if bundles:
+            # EFB: SHAP runs in learner (bundled-bin) space — the trees'
+            # decisions live there — then each bundle column's attribution
+            # is decoded to the row's ACTIVE member (bundle members are
+            # mutually exclusive, so the bundled value IS that feature's
+            # value; all-zero rows split it equally)
+            Xl = self.train_set.encode_raw(X).astype(np.float64)
+            phi_l = np.zeros((len(X), Xl.shape[1] + 1))
+            import types
+            for tree in used:
+                n_nodes = tree.num_nodes
+                shadow = types.SimpleNamespace(
+                    num_nodes=n_nodes,
+                    split_feature=tree.split_feature,
+                    threshold_real=tree.threshold_bin[:n_nodes].astype(
+                        np.float64),
+                    left=tree.left, right=tree.right,
+                    is_leaf=tree.is_leaf, leaf_value=tree.leaf_value,
+                    cover=tree.cover, default_left=tree.default_left)
+                tree_shap(shadow, Xl, phi_l)
+            phi = np.zeros((len(X), X.shape[1] + 1))
+            kept = self.train_set.kept_features
+            for lj, j in enumerate(kept):
+                phi[:, j] = phi_l[:, lj]
+            for bi, b in enumerate(bundles):
+                col = phi_l[:, len(kept) + bi]
+                members = np.asarray(b.feature_ids)
+                active = np.zeros((len(X), len(members)), dtype=bool)
+                for mi, f in enumerate(members):
+                    v = X[:, f]
+                    active[:, mi] = np.isfinite(v) & (v != 0.0)
+                any_active = active.any(axis=1)
+                first = np.argmax(active, axis=1)
+                for mi, f in enumerate(members):
+                    hit = any_active & (first == mi)
+                    phi[hit, f] += col[hit]
+                    phi[~any_active, f] += col[~any_active] / len(members)
+            phi[:, -1] = phi_l[:, -1]
+        else:
+            phi = np.zeros((len(X), X.shape[1] + 1))
+            for tree in used:
+                tree_shap(tree, X, phi)
+        if self.params.get("boosting") == "rf" and used:
+            phi /= len(used)
+        return phi
+
     def predict(self, data, start_iteration=0, num_iteration=None,
                 raw_score=False, pred_latent=False, pred_contrib=False,
                 group_data_pred=None, group_rand_coef_data_pred=None,
@@ -1890,62 +1942,39 @@ class Booster:
                             axis=1).astype(np.int32)
         if pred_contrib:
             from ..native import tree_shap
-            ntrees = num_iteration if num_iteration else len(self.trees)
-            used = self.trees[start_iteration:start_iteration + ntrees]
-            bundles = getattr(self.train_set, "bundles", None)
-            if bundles:
-                # EFB: SHAP runs in learner (bundled-bin) space — the trees'
-                # decisions live there — then each bundle column's
-                # attribution is decoded to the row's ACTIVE member (bundle
-                # members are mutually exclusive, so the bundled value IS
-                # that feature's value; all-zero rows split it equally)
-                Xl = self.train_set.encode_raw(X).astype(np.float64)
-                phi_l = np.zeros((len(X), Xl.shape[1] + 1))
-                import types
-                for tree in used:
-                    n_nodes = tree.num_nodes
-                    shadow = types.SimpleNamespace(
-                        num_nodes=n_nodes,
-                        split_feature=tree.split_feature,
-                        threshold_real=tree.threshold_bin[:n_nodes].astype(
-                            np.float64),
-                        left=tree.left, right=tree.right,
-                        is_leaf=tree.is_leaf, leaf_value=tree.leaf_value,
-                        cover=tree.cover)
-                    tree_shap(shadow, Xl, phi_l)
-                phi = np.zeros((len(X), X.shape[1] + 1))
-                kept = self.train_set.kept_features
-                for lj, j in enumerate(kept):
-                    phi[:, j] = phi_l[:, lj]
-                for bi, b in enumerate(bundles):
-                    col = phi_l[:, len(kept) + bi]
-                    members = np.asarray(b.feature_ids)
-                    active = np.zeros((len(X), len(members)), dtype=bool)
-                    for mi, f in enumerate(members):
-                        v = X[:, f]
-                        active[:, mi] = np.isfinite(v) & (v != 0.0)
-                    any_active = active.any(axis=1)
-                    first = np.argmax(active, axis=1)
-                    for mi, f in enumerate(members):
-                        hit = any_active & (first == mi)
-                        phi[hit, f] += col[hit]
-                        phi[~any_active, f] += col[~any_active] / len(members)
-                phi[:, -1] = phi_l[:, -1]
-            else:
-                phi = np.zeros((len(X), X.shape[1] + 1))
-                for tree in used:
-                    tree_shap(tree, X, phi)
-            if self.params.get("boosting") == "rf" and used:
-                phi /= len(used)
-            phi[:, -1] += self.init_score
+            K = max(1, self._nsets)
+            nit = num_iteration if num_iteration else len(self.trees) // K
+            used_all = self.trees[K * start_iteration:
+                                  K * (start_iteration + nit)]
+            if K > 1:
+                # multiclass / two-predictor: per-class contributions over
+                # the interleaved trees, LightGBM layout (n, K*(p+1)); the
+                # init scores belong to iteration 0 (slices over
+                # start_iteration sum to the full contributions,
+                # test_Predictor.R:48)
+                mats = [self._shap_matrix([t for i, t in
+                                           enumerate(used_all)
+                                           if i % K == k], X)
+                        for k in range(K)]
+                if start_iteration == 0:
+                    for k in range(K):
+                        mats[k][:, -1] += float(self._init_scores[k])
+                return np.concatenate(mats, axis=1)
+            phi = self._shap_matrix(used_all, X)
+            if start_iteration == 0:
+                phi[:, -1] += self.init_score
             return phi
         if self._nsets > 1 and self.gp_model is None \
                 and self.objective_name == "mean_scale_regression":
             used = self.trees[2 * start_iteration:]
             if num_iteration:
                 used = used[: 2 * num_iteration]
-            m = np.full(len(X), self._init_scores[0])
-            sv = np.full(len(X), self._init_scores[1])
+            # init scores belong to iteration 0: raw slices over
+            # start_iteration sum to the full prediction (test_Predictor.R)
+            m = np.full(len(X),
+                        self._init_scores[0] if start_iteration == 0 else 0.0)
+            sv = np.full(len(X),
+                         self._init_scores[1] if start_iteration == 0 else 0.0)
             for i, tree in enumerate(used):
                 if i % 2 == 0:
                     m = m + self._tree_predict(tree, X)
@@ -1959,7 +1988,9 @@ class Booster:
             K = self._nsets
             nit = num_iteration if num_iteration else len(self.trees) // K
             used = self.trees[K * start_iteration: K * (start_iteration + nit)]
-            Fk = np.tile(self._init_scores[:, None], (1, len(X)))
+            init = self._init_scores if start_iteration == 0 \
+                else np.zeros_like(self._init_scores)
+            Fk = np.tile(init[:, None], (1, len(X)))
             if pred_early_stop:
                 # multiclass margin = top1 - top2 of the raw scores
                 # (prediction_early_stop.cpp:38 MulticlassScoreFunction)
@@ -1987,8 +2018,10 @@ class Booster:
             # interleaved trees: even -> mean block, odd -> second block
             nit = num_iteration if num_iteration else len(self.trees) // 2
             used = self.trees[2 * start_iteration: 2 * (start_iteration + nit)]
-            F1 = np.full(len(X), self.init_score)
-            F2 = np.full(len(X), self.init_score2)
+            F1 = np.full(len(X),
+                         self.init_score if start_iteration == 0 else 0.0)
+            F2 = np.full(len(X),
+                         self.init_score2 if start_iteration == 0 else 0.0)
             for i, tree in enumerate(used):
                 if i % 2 == 0:
                     F1 = F1 + self._tree_predict(tree, X)
@@ -2035,7 +2068,10 @@ class Booster:
                     F_pred = F_pred + self._tree_predict(tree, X)
             if self.params.get("boosting") == "rf" and used:
                 F_pred = F_pred / len(used)     # rf.hpp: average_output_
-            F_pred = F_pred + self.init_score
+            if start_iteration == 0:
+                # the init score belongs to iteration 0 so raw slices over
+                # start_iteration sum to the full prediction
+                F_pred = F_pred + self.init_score
 
         gp = self.gp_model
         if gp is None or ignore_gp_model:

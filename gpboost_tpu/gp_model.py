@@ -836,6 +836,11 @@ class GPModel:
                              "(matrix_inversion_method != 'iterative')")
         return int(n)
 
+    def get_total_num_cg_steps(self):
+        """Cumulative CG iterations across all iterative solves of this
+        model's lifetime (preconditioner-quality diagnostics)."""
+        return int(getattr(self._engine, "total_num_cg_it", 0))
+
     def get_current_neg_log_likelihood(self):
         return self._require_fit().neg_log_likelihood
 

@@ -285,6 +285,35 @@ class VecchiaGaussianEngine:
         D = diag_c - jnp.sum(A * k_ni, axis=1)
         return A, D
 
+    def _bd_add_diag(self, theta_log, add_diag):
+        """Vecchia factors of the LATENT covariance plus a per-point diagonal
+        (CalcVecchiaApproxLatentAddDiagonal, re_model_template.h — the
+        'vecchia_response' preconditioner's B~/D~ with pseudo-nugget W^-1).
+
+        add_diag is (n,) in the engine's (permuted) point order.
+        """
+        comp = self.comp
+        v = jnp.exp(theta_log[0])
+        alphas = jnp.exp(theta_log[1:])
+        ci = self._coords_d
+        cn = self._coords_d[self._nn_idx]
+        mask = self._nn_mask
+        corr_nn, corr_ni = _corr_sets(comp.cov_fn, cn, ci, alphas,
+                                      d_nn=self._d_nn, d_ni=self._d_ni)
+        eye_m = jnp.eye(self.m, dtype=self.dtype)[None, :, :]
+        K_nn = v * corr_nn + add_diag[self._nn_idx][:, :, None] * eye_m
+        k_ni = v * corr_ni
+        pair_mask = mask[:, :, None] & mask[:, None, :]
+        K_nn = jnp.where(pair_mask, K_nn, eye_m)
+        k_ni = jnp.where(mask, k_ni, 0.0)
+        A = _solve_sets(K_nn, k_ni, self.m)
+        if comp.cov_fn.needs_coords:
+            diag_c = v * comp.cov_fn.corr_pointwise(ci, ci, alphas)
+        else:
+            diag_c = v
+        D = diag_c + add_diag - jnp.sum(A * k_ni, axis=1)
+        return A, D
+
     def _build_jitted(self):
         n = self.n
 

@@ -491,22 +491,66 @@ class VecchiaGroupedLaplaceEngine:
         # segment sum of W over duplicate rows); grouped block: Jacobi on
         # prior_dg + diag(Zg' W Zg).
         pc_type = self.cg_preconditioner_type
-        if pc_type not in ("vadu", "diagonal", "none"):
+        if pc_type not in ("vadu", "ssor", "diagonal", "none"):
             raise ValueError(
                 f"cg_preconditioner_type '{pc_type}' is not supported for "
                 "grouped REs + Vecchia GP; use 'vadu' "
-                "(Sigma_inv_plus_BtWB), 'diagonal' or 'none'")
+                "(Sigma_inv_plus_BtWB), 'ssor', 'diagonal' or 'none'")
 
         def _block_diags(p):
             A, D, prior_dg, W = p
             Wu = jax.ops.segment_sum(W, row_pos, num_segments=nu)
             d_gp = jnp.maximum(1.0 / D + Wu, 1e-10)
-            parts = [prior_dg + jax.ops.segment_sum(vl * vl * W, cd,
-                                                    num_segments=qj)
-                     for cd, vl, qj in zip(g_codes, g_vals, q_sizes)]
+            parts = [prior_dg[c0:c0 + qj]
+                     + jax.ops.segment_sum(vl * vl * W, cd, num_segments=qj)
+                     for cd, vl, c0, qj in zip(g_codes, g_vals, g_cols,
+                                               q_sizes)]
             d_g = jnp.maximum(jnp.concatenate(parts), 1e-10) if q \
                 else jnp.zeros(0, self.dtype)
             return d_gp, d_g
+
+        def _ssor_grouped(p, d_g, r_g):
+            """SSOR sweep over the grouped block's component structure
+            (CG_utils.h:977-1078 P_SSOR for Sigma^-1 + Z'WZ): within one
+            component Z_j' W Z_j is diagonal, so the sweep runs component
+            by component — (D+L) D^-1 (D+L)' with L the cross-component
+            blocks Z_i' W Z_j applied as gather + segment-sum pairs. For a
+            single grouped component this equals Jacobi exactly."""
+            A, D, prior_dg, W = p
+            K = len(g_codes)
+            dsplit = []
+            o = 0
+            for qj in q_sizes:
+                dsplit.append((o, qj))
+                o += qj
+            # forward sweep: (D + L) y = r
+            y = [None] * K
+            acc = jnp.zeros(n, self.dtype)
+            for j in range(K):
+                o, qj = dsplit[j]
+                rhs = r_g[o:o + qj]
+                if j > 0:
+                    rhs = rhs - jax.ops.segment_sum(
+                        g_vals[j] * acc, g_codes[j], num_segments=qj)
+                y[j] = rhs / d_g[o:o + qj]
+                if j < K - 1:
+                    acc = acc + W * g_vals[j] * y[j][g_codes[j]]
+            # scale: z = D y
+            z = [y[j] * d_g[dsplit[j][0]:dsplit[j][0] + dsplit[j][1]]
+                 for j in range(K)]
+            # backward sweep: (D + L)' x = z
+            x = [None] * K
+            acc = jnp.zeros(n, self.dtype)
+            for j in range(K - 1, -1, -1):
+                o, qj = dsplit[j]
+                rhs = z[j]
+                if j < K - 1:
+                    rhs = rhs - jax.ops.segment_sum(
+                        g_vals[j] * acc, g_codes[j], num_segments=qj)
+                x[j] = rhs / d_g[o:o + qj]
+                if j > 0:
+                    acc = acc + W * g_vals[j] * x[j][g_codes[j]]
+            return jnp.concatenate(x)
 
         def _precond(p):
             A, D, prior_dg, W = p
@@ -522,6 +566,9 @@ class VecchiaGroupedLaplaceEngine:
                 gp = _SJ(A, _SJt(A, r[:nu]) / d_gp)
                 if not q:
                     return gp
+                if pc_type == "ssor":
+                    return jnp.concatenate([gp, _ssor_grouped(p, d_g,
+                                                              r[nu:])])
                 return jnp.concatenate([gp, r[nu:] / d_g])
 
             return apply

@@ -77,11 +77,13 @@ class VecchiaLaplaceEngine:
         self.cg_preconditioner_type = _pc_aliases.get(
             cg_preconditioner_type, cg_preconditioner_type)
         if self.cg_preconditioner_type not in (
-                "vadu", "pivoted_cholesky", "diagonal", "none"):
+                "vadu", "pivoted_cholesky", "vecchia_response", "diagonal",
+                "none"):
             raise ValueError(
                 f"cg_preconditioner_type '{cg_preconditioner_type}' is not "
                 "supported; use 'vadu' (Sigma_inv_plus_BtWB), "
-                "'pivoted_cholesky' (piv_chol_on_Sigma_nn), 'diagonal' or "
+                "'pivoted_cholesky' (piv_chol_on_Sigma_nn), "
+                "'vecchia_response', 'diagonal' or "
                 "'none' (re_model_template.h:5859)")
         self.piv_chol_rank = int(piv_chol_rank)
         if matrix_inversion_method == "iterative":
@@ -610,12 +612,53 @@ class VecchiaLaplaceEngine:
 
             return apply
 
+        def _solve_qw_vecchia_response(A, D, W, rhs, theta_log,
+                                       want_it=False):
+            """(Q + W) x = rhs via the reference's 'Sigma plus W^-1'
+            reformulation (CGVecchiaLaplace_Version_SigmaPlusWinvVec,
+            CG_utils.h:233): the SPD identity (Sigma + W^-1)(W x) = Sigma r
+            turns the solve into a system whose matrix the
+            'vecchia_response' factors precondition DIRECTLY —
+            P = B~^-1 D~ B~^-T ~ Sigma + W^-1 with (B~, D~) the Vecchia
+            factors of the latent covariance plus pseudo-nugget W^-1
+            (CalcVecchiaApproxLatentAddDiagonal, re_model_template.h:7465).
+            P^-1 r = B~'(D~^-1(B~ r)) is one gather + one scatter. Note the
+            Vecchia-response factors must NOT enter a Woodbury subtraction
+            for (Q+W)^-1 (their O(25%) approximation error makes that
+            indefinite — measured); as a congruent preconditioner the same
+            error is harmless. Unlike the reference, gradients still flow
+            with this preconditioner: the SLQ log-det rides the vadu
+            congruence regardless (class comment)."""
+            Wp = jnp.maximum(W, 1e-10)
+            At, Dt = self._vecchia._bd_add_diag(theta_log, 1.0 / Wp)
+
+            def sigma_apply(v):            # Sigma v = B^-1 (D (B^-T v))
+                return _SJ(A, D * _SJt(A, v))
+
+            def mv(v):
+                return sigma_apply(v) + v / Wp
+
+            def pre(r):
+                return _Btv(At, _Bv(At, r) / Dt)
+
+            from ..ops.iterative import pcg_it as _pcg_it
+            if want_it:
+                u, it = _pcg_it(mv, sigma_apply(rhs), precond=pre,
+                                tol=cg_tol, maxit=cg_maxit)
+                return u / Wp, it
+            u = pcg(mv, sigma_apply(rhs), precond=pre, tol=cg_tol,
+                    maxit=cg_maxit)
+            return u / Wp
+
         def _make_precond(p, theta_log=None):
             if pc_type == "vadu":
                 return _precond_vadu(p)
             if pc_type == "pivoted_cholesky" and theta_log is not None:
                 return _precond_pivchol(p, theta_log)
-            if pc_type in ("diagonal", "pivoted_cholesky"):
+            if pc_type == "vecchia_response" and theta_log is not None:
+                return _precond_vecchia_response(p, theta_log)
+            if pc_type in ("diagonal", "pivoted_cholesky",
+                           "vecchia_response"):
                 return _precond_diag(p)
             return lambda r: r
 
@@ -637,12 +680,17 @@ class VecchiaLaplaceEngine:
         from ..ops.iterative import pcg_it
 
         def _solve_qw(A, D, W, rhs, x0=None, theta_log=None):
+            if pc_type == "vecchia_response" and theta_log is not None:
+                return _solve_qw_vecchia_response(A, D, W, rhs, theta_log)
             pre = _make_precond((A, D, W), theta_log)
             return pcg(lambda v: _qw_matvec((A, D, W), v), rhs,
                        precond=pre, tol=cg_tol, maxit=cg_maxit,
                        x0=x0)
 
         def _solve_qw_it(A, D, W, rhs, x0=None, theta_log=None):
+            if pc_type == "vecchia_response" and theta_log is not None:
+                return _solve_qw_vecchia_response(A, D, W, rhs, theta_log,
+                                                  want_it=True)
             pre = _make_precond((A, D, W), theta_log)
             return pcg_it(lambda v: _qw_matvec((A, D, W), v), rhs,
                           precond=pre, tol=cg_tol,
