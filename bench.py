@@ -327,17 +327,20 @@ def main():
                         "with sum-of-smaller-child sizes, not leaves*n")
 
     def w_lagab():
-        # LaGaBoost: binary spatial GPBoost, n=50k, 10 rounds. GP
-        # formulation: FITC(500) Laplace — dense inducing-point algebra on
-        # the MXU. The reference baseline ran Vecchia-iterative; on this
-        # TPU stack the iterative Vecchia-Laplace executable reproducibly
-        # crashes the remote compiler (worker restart), and the n^2 dense
-        # Vecchia-Laplace does not fit HBM at n=50k, so FITC is the
-        # TPU-native choice for the same statistical task at this scale.
-        coords, Xl, yl = sim_lagab()
+        # LaGaBoost: binary spatial GPBoost, 10 rounds, n=20k. GP part:
+        # dense-precision Vecchia-Laplace on the MXU (f32) — the ONLY
+        # Laplace formulation whose executable this stack's remote
+        # compiler survives (the iterative Vecchia-Laplace and FITC
+        # n=50k graphs both crash the TPU worker during compilation;
+        # n^2 dense does not fit HBM at n=50k). The reference baseline
+        # for this n is measured by bench_reference.py with the same
+        # generator (lagaboost_binary_vecchia_n20k_10rounds).
+        coords, Xl, yl = sim_lagab(n=_scale(20_000))
         gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
-                          gp_approx="fitc", num_ind_points=500,
-                          likelihood="bernoulli_probit")
+                          gp_approx="vecchia", num_neighbors=20,
+                          likelihood="bernoulli_probit",
+                          matrix_inversion_method="cholesky",
+                          dtype="float32")
         gpb.train({"objective": "binary", "learning_rate": 0.1,
                    "num_leaves": 31, "verbose": 0},
                   gpb.Dataset(Xl, label=yl),
@@ -350,11 +353,12 @@ def main():
         gpb.train({"objective": "binary", "learning_rate": 0.1,
                    "num_leaves": 31, "verbose": 0}, dsl,
                   num_boost_round=10, gp_model=gpl)
-        record("lagaboost_binary_vecchia_n50k_10rounds", time.time() - t0,
-               rounds=10, n=50_000,
+        record("lagaboost_binary_vecchia_n20k_10rounds", time.time() - t0,
+               rounds=10, n=20_000,
                note="fused LaGaBoost scan: per round = Laplace dNLL/dF "
                     "gradient + tree + warm-started on-device GD cov "
-                    "refit; includes the initial full covariance fit")
+                    "refit; includes the initial full covariance fit; "
+                    "dense-MXU Laplace (f32)")
 
     def w_gpboost1000():
         # north-star #2: 1000-round GPBoost spatial train

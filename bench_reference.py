@@ -202,6 +202,21 @@ def main():
         record("lagaboost_binary_vecchia_n50k_10rounds", time.time() - t0,
                rounds=10, n=50_000)
 
+    # 4b. LaGaBoost at n=20k (the size our TPU bench runs: the remote
+    # compiler does not survive the n=50k Laplace executables)
+    coords, Xl, yl = sim_lagab(n=20_000)
+    gpl = gpb.GPModel(gp_coords=coords, cov_function="exponential",
+                      gp_approx="vecchia", num_neighbors=20,
+                      likelihood="bernoulli_probit",
+                      matrix_inversion_method="iterative")
+    dsl = gpb.Dataset(Xl, label=yl)
+    t0 = time.time()
+    gpb.train({"objective": "binary", "learning_rate": 0.1,
+               "num_leaves": 31, "verbose": -1}, dsl,
+              num_boost_round=10, gp_model=gpl)
+    record("lagaboost_binary_vecchia_n20k_10rounds", time.time() - t0,
+           rounds=10, n=20_000)
+
     # 5. RE-scale grouped Laplace GLMM: bernoulli, n=100k, q=1k
     gg, yg2 = sim_glmm()
     mg = gpb.GPModel(group_data=gg, likelihood="bernoulli_logit")

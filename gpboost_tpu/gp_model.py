@@ -303,6 +303,29 @@ class GPModel:
             self.X = None
             self.model_has_been_fitted = False
             return
+        elif gp_approx in ("full_scale_vecchia",
+                           "full_scale_vecchia_correlation_based") \
+                and likelihood == "gaussian" \
+                and len(self.components) == 1 \
+                and self.components[0].kind == "gp" \
+                and self.components[0].z is None \
+                and self.cluster_ids is None and self.weights is None \
+                and self.components[0].cov_fn.base.is_isotropic \
+                and (matrix_inversion_method == "iterative"
+                     or (matrix_inversion_method == "auto"
+                         and self.num_data > 8000)):
+            # FSVA n-scaling path: congruence-by-B CG + SLQ with the vifdu
+            # preconditioner (re_model_template.h:5866; CG_utils.h:208-318)
+            from .models.fsva_iterative import FSVAIterativeGaussianEngine
+            self._engine = FSVAIterativeGaussianEngine(
+                self.components, self.num_data, dtype=self._dtype)
+            self.num_cov_par = self._engine.num_cov_par
+            self.params = OptimConfig()
+            self._fit_result = None
+            self.y = None
+            self.X = None
+            self.model_has_been_fitted = False
+            return
         if gp_approx in _taper_approxes:
             # the tapered/FSA kernel adapters ride the dense (or Laplace)
             # engine — reset to the plain dense dispatch below
@@ -543,7 +566,8 @@ class GPModel:
                     " (they configure the iterative CG/Lanczos methods)")
         rebuild = getattr(eng, "_build_jitted_iterative", None) \
             or (getattr(eng, "_build_jitted", None)
-                if type(eng).__name__ == "FSAIterativeGaussianEngine"
+                if type(eng).__name__ in ("FSAIterativeGaussianEngine",
+                                          "FSVAIterativeGaussianEngine")
                 else None)
         if eng is not None \
                 and getattr(eng, "matrix_inversion_method", None) == "iterative" \

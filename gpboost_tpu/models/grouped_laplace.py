@@ -96,6 +96,34 @@ class GroupedRELaplaceEngine:
                     pw.append(self._w_np[j] * self._w_np[k])
             self._pair_flat = jnp.asarray(np.concatenate(pf))
             self._pair_w = jnp.asarray(np.concatenate(pw), dtype)
+        # ---- padded-by-group layout (TPU-native segment elimination) ----
+        # For the single-grouping case, rows regrouped into a (q, s_max)
+        # padded matrix turn every per-Newton-iteration segment_sum /
+        # gather of the mode finder into dense masked row reductions —
+        # scatters on this TPU cost ~ms each while a (q, s_max) masked
+        # reduction is microseconds. Only used when padding inflates the
+        # cell count by <= 4x (pathologically imbalanced groups fall back
+        # to the scatter path).
+        self._padded = None
+        if self.diag_path:
+            codes = self._idx_np[0]
+            counts = np.bincount(codes, minlength=self.q)
+            s_max = int(counts.max()) if len(counts) else 0
+            if s_max > 0 and self.q * s_max <= 4 * self.n:
+                order = np.argsort(codes, kind="stable")
+                pad_idx = np.zeros((self.q, s_max), dtype=np.int64)
+                pad_mask = np.zeros((self.q, s_max), dtype=bool)
+                pos = 0
+                for g in range(self.q):
+                    c = counts[g]
+                    pad_idx[g, :c] = order[pos:pos + c]
+                    pad_mask[g, :c] = True
+                    pos += c
+                self._padded = {
+                    "idx": jnp.asarray(pad_idx),
+                    "mask": jnp.asarray(pad_mask.astype(np.float64), dtype),
+                    "s_max": s_max,
+                }
         block_id = np.concatenate([
             np.full(m, j) for j, m in enumerate(self.block_sizes)])
         self._block_id = jnp.asarray(block_id)
@@ -213,8 +241,77 @@ class GroupedRELaplaceEngine:
         self._H_solve_factors = _H_solve_factors
         self._H_solve_apply = _H_solve
 
+        # ---- padded-by-group mode finding (see __init__): the whole
+        # Newton loop runs on dense (q, s_max) masked tensors — zero
+        # gathers/scatters per iteration (three gathers total per call)
+        padded = self._padded \
+            if (not two and lik.approx_type != "tkc") else None
+
+        def _mode_solve_padded(theta_log, aux, y, F, b_init):
+            pidx, pmask = padded["idx"], padded["mask"]
+            y_pad = y[pidx]
+            F_pad = F[pidx] * pmask
+            w_pad = wmat[0][pidx] * pmask
+            wo_pad = None if wobs is None else wobs[pidx] * pmask
+            sbinv = _sbinv_diag(theta_log)
+
+            def ll_pad(loc_pad):
+                ll = lik.log_lik(y_pad, loc_pad, aux)
+                ll = ll if wo_pad is None else wo_pad * ll
+                return jnp.sum(pmask * ll)
+
+            def d1_pad(loc_pad):
+                return jax.grad(ll_pad)(loc_pad)
+
+            def W_pad(loc_pad):
+                if use_fisher_mode:
+                    Wf = lik.fisher_W(y_pad, loc_pad, aux)
+                    return pmask * (Wf if wo_pad is None else wo_pad * Wf)
+                return -jax.grad(lambda l: jnp.sum(d1_pad(l)))(loc_pad)
+
+            def obj_of(b):
+                loc = w_pad * b[:, None] + F_pad
+                return -0.5 * jnp.sum(sbinv * b * b) + ll_pad(loc)
+
+            def newton_body(carry):
+                b, obj, it, done = carry
+                loc = w_pad * b[:, None] + F_pad
+                d1 = d1_pad(loc)
+                W = W_pad(loc)
+                grad = jnp.sum(w_pad * d1, axis=1) - sbinv * b
+                h = sbinv + jnp.sum(w_pad * w_pad * W, axis=1)
+                delta = grad / jnp.maximum(jnp.abs(h), 1e-10)
+                gdd = grad @ delta
+
+                def bt_cond(bt):
+                    lr, ih, acc, _, _ = bt
+                    return jnp.logical_and(~acc, ih < MAX_LR_SHRINK_MODE)
+
+                def bt_body(bt):
+                    lr, ih, _, _, _ = bt
+                    b_new = b + lr * delta
+                    obj_new = obj_of(b_new)
+                    ok = obj_new >= obj + C_ARMIJO * lr * gdd
+                    ok = jnp.logical_and(ok, jnp.isfinite(obj_new))
+                    return (jnp.where(ok, lr, lr * 0.5), ih + 1, ok, b_new,
+                            obj_new)
+
+                _, _, _, b_new, obj_new = jax.lax.while_loop(
+                    bt_cond, bt_body,
+                    (jnp.asarray(1.0, b.dtype), 0, False, b, obj))
+                rel = DELTA_CONV_MODE * jnp.abs(obj)
+                conv = jnp.where(it == 0, jnp.abs(obj_new - obj) < rel,
+                                 (obj_new - obj) < rel)
+                bad = ~jnp.isfinite(obj_new)
+                return (b_new, obj_new, it + 1, jnp.logical_or(conv, bad))
+
+            b_fin, _, nit, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(~c[3], c[2] < MAXIT_MODE_NEWTON),
+                newton_body, (b_init, obj_of(b_init), 0, False))
+            return b_fin, nit
+
         # ---- mode finding: q-dim Newton with Armijo backtracking ---------
-        def _mode_solve(theta_log, aux, y, F, b_init):
+        def _mode_solve_rows(theta_log, aux, y, F, b_init):
             F1, F2 = _split_F(F)
             sbinv = _sbinv_diag(theta_log)
             obj0 = -0.5 * jnp.sum(sbinv * b_init * b_init) \
@@ -270,7 +367,10 @@ class GroupedRELaplaceEngine:
                 newton_body, (b_init, obj0, 0, False))
             return b_fin, nit
 
-        def _g(u, F, b, y):
+        _mode_solve = _mode_solve_padded if padded is not None \
+            else _mode_solve_rows
+
+        def _g_rows(u, F, b, y):
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             F1, F2 = _split_F(F)
@@ -280,12 +380,61 @@ class GroupedRELaplaceEngine:
             return (0.5 * jnp.sum(sbinv * b * b) - _loglik(y, loc, F2, aux)
                     + _half_logdet(theta_log, W))
 
-        def _r(u, F, b, y):
+        def _r_rows(u, F, b, y):
             theta_log = u[:self.num_theta]
             aux = jnp.exp(u[self.num_theta:])
             F1, F2 = _split_F(F)
             return _sbinv_diag(theta_log) * b - _Zt(_d1(y, _Zb(b) + F1, F2,
                                                         aux))
+
+        # padded-layout objective/residual: the duplicate y/F/w gathers CSE
+        # with the mode finder's inside one jitted value-and-grad graph, so
+        # these remove the per-evaluation scatters for free
+        def _pad_parts(F, y, aux):
+            pidx, pmask = padded["idx"], padded["mask"]
+            y_pad = y[pidx]
+            F_pad = F[pidx] * pmask
+            w_pad = wmat[0][pidx] * pmask
+            wo_pad = None if wobs is None else wobs[pidx] * pmask
+
+            def ll_pad(loc_pad):
+                ll = lik.log_lik(y_pad, loc_pad, aux)
+                ll = ll if wo_pad is None else wo_pad * ll
+                return jnp.sum(pmask * ll)
+
+            return y_pad, F_pad, w_pad, wo_pad, pmask, ll_pad
+
+        def _g_padded(u, F, b, y):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            y_pad, F_pad, w_pad, wo_pad, pmask, ll_pad = _pad_parts(F, y,
+                                                                    aux)
+            loc = w_pad * b[:, None] + F_pad
+            if use_fisher_det:
+                Wf = lik.fisher_W(y_pad, loc, aux)
+                W = pmask * (Wf if wo_pad is None else wo_pad * Wf)
+            else:
+                W = -jax.grad(
+                    lambda l: jnp.sum(jax.grad(ll_pad)(l)))(loc)
+            sbinv = _sbinv_diag(theta_log)
+            h = sbinv + jnp.sum(w_pad * w_pad * W, axis=1)
+            half_logdet = 0.5 * (jnp.sum(jnp.log(h))
+                                 + jnp.sum(m_sizes * theta_log))
+            return (0.5 * jnp.sum(sbinv * b * b) - ll_pad(loc)
+                    + half_logdet)
+
+        def _r_padded(u, F, b, y):
+            theta_log = u[:self.num_theta]
+            aux = jnp.exp(u[self.num_theta:])
+            _, F_pad, w_pad, _, _, ll_pad = _pad_parts(F, y, aux)
+            loc = w_pad * b[:, None] + F_pad
+            d1 = jax.grad(ll_pad)(loc)
+            return _sbinv_diag(theta_log) * b - jnp.sum(w_pad * d1, axis=1)
+
+        if padded is not None and lik.approx_type not in ("tkc",):
+            _g, _r = _g_padded, _r_padded
+        else:
+            _g, _r = _g_rows, _r_rows
 
         @jax.custom_vjp
         def nll_fn(u, F, y, b_init):
