@@ -255,8 +255,14 @@ class GroupedRELaplaceEngine:
             wo_pad = None if wobs is None else wobs[pidx] * pmask
             sbinv = _sbinv_diag(theta_log)
 
+            shp = y_pad.shape
+
             def ll_pad(loc_pad):
-                ll = lik.log_lik(y_pad, loc_pad, aux)
+                # likelihood kernels assume 1-D location vectors (e.g. the
+                # Tweedie Dunn-Smyth series broadcasts internal axes) —
+                # flatten the padded layout for every lik call
+                ll = lik.log_lik(y_pad.ravel(), loc_pad.ravel(),
+                                 aux).reshape(shp)
                 ll = ll if wo_pad is None else wo_pad * ll
                 return jnp.sum(pmask * ll)
 
@@ -265,7 +271,8 @@ class GroupedRELaplaceEngine:
 
             def W_pad(loc_pad):
                 if use_fisher_mode:
-                    Wf = lik.fisher_W(y_pad, loc_pad, aux)
+                    Wf = lik.fisher_W(y_pad.ravel(), loc_pad.ravel(),
+                                      aux).reshape(shp)
                     return pmask * (Wf if wo_pad is None else wo_pad * Wf)
                 return -jax.grad(lambda l: jnp.sum(d1_pad(l)))(loc_pad)
 
@@ -397,8 +404,12 @@ class GroupedRELaplaceEngine:
             w_pad = wmat[0][pidx] * pmask
             wo_pad = None if wobs is None else wobs[pidx] * pmask
 
+            shp = y_pad.shape
+
             def ll_pad(loc_pad):
-                ll = lik.log_lik(y_pad, loc_pad, aux)
+                # flatten for the likelihood kernels (see _mode_solve_padded)
+                ll = lik.log_lik(y_pad.ravel(), loc_pad.ravel(),
+                                 aux).reshape(shp)
                 ll = ll if wo_pad is None else wo_pad * ll
                 return jnp.sum(pmask * ll)
 
@@ -411,7 +422,8 @@ class GroupedRELaplaceEngine:
                                                                     aux)
             loc = w_pad * b[:, None] + F_pad
             if use_fisher_det:
-                Wf = lik.fisher_W(y_pad, loc, aux)
+                Wf = lik.fisher_W(y_pad.ravel(), loc.ravel(),
+                                  aux).reshape(y_pad.shape)
                 W = pmask * (Wf if wo_pad is None else wo_pad * Wf)
             else:
                 W = -jax.grad(

@@ -124,9 +124,17 @@ class VIFCovarianceFunction(_CovAdapterBase):
         if correlation_based and init_alphas is not None:
             idx, mask = self._corr_neighbors(np.asarray(init_alphas))
         else:
-            from ..models.vecchia import nearest_preceding_neighbors
-            idx, mask = nearest_preceding_neighbors(self.train_coords,
-                                                    self.m_nn)
+            idx = mask = None
+            if self.n >= 20000 and self.train_coords.shape[1] == 2:
+                # native cell-bucketed search (see models/vecchia.py)
+                from ..native import nn_preceding_2d
+                res = nn_preceding_2d(self.train_coords, self.m_nn)
+                if res is not None:
+                    idx, mask = res
+            if idx is None:
+                from ..models.vecchia import nearest_preceding_neighbors
+                idx, mask = nearest_preceding_neighbors(self.train_coords,
+                                                        self.m_nn)
         self._nn_idx = jnp.asarray(idx)
         self._nn_mask = jnp.asarray(mask)
 

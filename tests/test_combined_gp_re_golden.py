@@ -19,6 +19,8 @@ import pytest
 from gpboost_tpu import GPModel, fitGPModel
 from gpboost_tpu.utils.datasim import sim_rand_unif, qnorm, r_matrix
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 TOL_STRICT = 1e-5
 TOL_MEDIUM = 1e-3
 TOL_LOOSE = 1e-2

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import gpboost_tpu as gpb
 from gpboost_tpu.models.fsa_iterative import FSAIterativeGaussianEngine
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 def _sim(n=350, seed=0):
     rng = np.random.RandomState(seed)

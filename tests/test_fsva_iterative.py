@@ -11,6 +11,8 @@ import pytest
 
 import gpboost_tpu as gpb
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def fsva_data():

@@ -18,6 +18,8 @@ import gpboost_tpu as gpb
 
 from test_gpboost_algorithm_golden import sim_rand_unif, sim_friedman3
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 BOOST = {"learning_rate": 0.05, "max_depth": 6, "min_data_in_leaf": 5,
          "objective": "regression_l2", "verbose": 0}
 

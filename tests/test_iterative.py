@@ -8,6 +8,8 @@ import pytest
 from gpboost_tpu.ops.iterative import pcg, make_cg_solve, make_slq_logdet
 from gpboost_tpu import GPModel, fitGPModel
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 TOL_ITERATIVE = 1e-1  # reference TOLERANCE_ITERATIVE
 
 

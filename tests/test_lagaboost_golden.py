@@ -18,6 +18,8 @@ from scipy.stats import nbinom, norm, poisson
 
 import gpboost_tpu as gpb
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 def sim_rand_unif(n, init_c):
     mod = 134456

@@ -7,6 +7,8 @@ import pytest
 
 from gpboost_tpu.parallel import make_mesh, make_sharded_grouped_lmm_step
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_lmm_step_matches_single_device():

@@ -12,6 +12,8 @@ import pytest
 
 import gpboost_tpu as gpb
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 def _data(n=1200, p=6, seed=3):
     rng = np.random.RandomState(seed)

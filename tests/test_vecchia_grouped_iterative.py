@@ -14,6 +14,8 @@ from scipy.stats import norm
 
 import gpboost_tpu as gpb
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def combo_data():

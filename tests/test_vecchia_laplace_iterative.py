@@ -13,6 +13,8 @@ from scipy import stats
 from gpboost_tpu import GPModel, fitGPModel
 from gpboost_tpu.utils.datasim import sim_rand_unif, qnorm
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (pytest.ini)
+
 TOL_ITER = 1e-1
 
 IT_PARAMS = dict(cg_delta_conv=1e-6, num_rand_vec_trace=200,
