@@ -405,6 +405,13 @@ class GPModel:
             self.model_has_been_fitted = False
             return
         if gp_approx in ("vecchia", "fitc"):
+            if gp_approx == "vecchia" and likelihood != "gaussian" \
+                    and self.cluster_ids is not None:
+                raise NotImplementedError(
+                    "cluster_ids with gp_approx='vecchia' are supported for "
+                    "the Gaussian likelihood only (per-cluster neighbor "
+                    "restriction); use gp_approx='fitc' or the dense engine "
+                    "for clustered non-Gaussian GPs")
             if likelihood != "gaussian":
                 self._likelihood_obj = get_likelihood(
                     likelihood, likelihood_additional_param)
@@ -444,7 +451,7 @@ class GPModel:
                     num_neighbors=num_neighbors if num_neighbors else 20,
                     vecchia_ordering=vecchia_ordering, seed=seed,
                     dtype=self._dtype, mesh=self._mesh,
-                    weights=self.weights)
+                    weights=self.weights, cluster_ids=self.cluster_ids)
             else:
                 self._engine = FITCGaussianEngine(
                     self.components, self.num_data,

@@ -74,8 +74,16 @@ def _solve_sets(K_nn, k_ni, m):
     return jax.vmap(lambda Li, ki: jsl.cho_solve((Li, True), ki))(L, k_ni)
 
 
-def nearest_preceding_neighbors(coords, m):
+def nearest_preceding_neighbors(coords, m, clusters=None):
     """Neighbor indices among preceding points in the ordering.
+
+    With `clusters`, candidates are restricted to the SAME cluster (the
+    reference's independent-realization semantics: conditioning sets never
+    cross cluster boundaries, re_model_template.h SetUpGPIds): the search
+    runs per cluster on its sub-coordinates and local indices are mapped
+    back to global positions, preserving the global ordering within each
+    cluster. Rows whose cluster has no preceding member are fully padded
+    (marginal distribution), exactly like row 0 of the unclustered case.
 
     Exact kNN via cKDTree over doubling batches: for the batch [s, 2s) a tree
     on points [0, 2s) is queried with an over-allocation factor, and indices
@@ -89,6 +97,16 @@ def nearest_preceding_neighbors(coords, m):
     """
     from scipy.spatial import cKDTree
     n = len(coords)
+    if clusters is not None:
+        clusters = np.asarray(clusters)
+        idx = np.tile(np.arange(n)[:, None], (1, m))
+        mask = np.zeros((n, m), dtype=bool)
+        for c in np.unique(clusters):
+            sel = np.flatnonzero(clusters == c)    # global order preserved
+            sub_idx, sub_mask = nearest_preceding_neighbors(coords[sel], m)
+            idx[sel] = sel[sub_idx]
+            mask[sel] = sub_mask
+        return idx, mask
     idx = np.zeros((n, m), dtype=np.int64)
     mask = np.zeros((n, m), dtype=bool)
     s = 1
@@ -121,7 +139,7 @@ class VecchiaGaussianEngine:
 
     def __init__(self, components, num_data, num_neighbors=20,
                  vecchia_ordering="random", seed=0, dtype=jnp.float64,
-                 mesh=None, weights=None):
+                 mesh=None, weights=None, cluster_ids=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the per-row
         arrays (neighbor indices/masks/distances) are sharded over it and the
         NLL's row reductions become psums under jit (GSPMD); the TPU-native
@@ -159,6 +177,12 @@ class VecchiaGaussianEngine:
             raise ValueError(f"vecchia_ordering '{vecchia_ordering}'")
         self.perm = perm
         self.coords_ord = comp.coords[perm]
+        # independent realizations: neighbor candidates restricted to the
+        # row's own cluster (re_model_template.h SetUpGPIds semantics)
+        self.cluster_ids = None if cluster_ids is None else \
+            np.asarray(cluster_ids)
+        self._clusters_ord = None if self.cluster_ids is None else \
+            self.cluster_ids[perm]
         # ar1 multifidelity: euclidean neighbor search runs on the SPATIAL
         # coordinates only (the fidelity indicator is not a distance axis)
         self._search_cols = slice(0, -1) \
@@ -166,7 +190,8 @@ class VecchiaGaussianEngine:
             else slice(None)
         search_coords = self.coords_ord[:, self._search_cols]
         idx = mask = None
-        if self.n >= 20000 and search_coords.shape[1] == 2:
+        if self.n >= 20000 and search_coords.shape[1] == 2 \
+                and self._clusters_ord is None:
             # native cell-bucketed search (the reference's fast-heuristic
             # analogue, Vecchia_utils.h:238): ~20x faster, >99% same neighbors
             from ..native import nn_preceding_2d
@@ -174,7 +199,8 @@ class VecchiaGaussianEngine:
             if res is not None:
                 idx, mask = res
         if idx is None:
-            idx, mask = nearest_preceding_neighbors(search_coords, self.m)
+            idx, mask = nearest_preceding_neighbors(
+                search_coords, self.m, clusters=self._clusters_ord)
         self._nn_idx = jnp.asarray(idx)
         self._nn_mask = jnp.asarray(mask)
         self._coords_d = jnp.asarray(self.coords_ord, dtype=dtype)
@@ -227,7 +253,8 @@ class VecchiaGaussianEngine:
                                           self.coords_ord.shape[1]))
         scaled = self.coords_ord[:, self._search_cols] \
             * scale[self._search_cols]
-        idx, mask = nearest_preceding_neighbors(scaled, self.m)
+        idx, mask = nearest_preceding_neighbors(scaled, self.m,
+                                                clusters=self._clusters_ord)
         if np.array_equal(idx, np.asarray(self._nn_idx)) \
                 and np.array_equal(mask, np.asarray(self._nn_mask)):
             return False
@@ -501,6 +528,12 @@ class VecchiaGaussianEngine:
 
     def _knn_obs(self, coords_pred, k):
         """k nearest observed points per prediction point (host cKDTree)."""
+        if self._clusters_ord is not None:
+            raise NotImplementedError(
+                "prediction with cluster_ids under gp_approx='vecchia' is "
+                "not implemented (training/NLL are); predict with the dense "
+                "engine (gp_approx='none') or gp_approx='fitc' for "
+                "clustered models")
         from scipy.spatial import cKDTree
         sc = self._search_cols
         dist, idx = cKDTree(self.coords_ord[:, sc]).query(
